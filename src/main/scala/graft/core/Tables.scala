@@ -1,0 +1,102 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Table loading + deterministic-arithmetic helpers.
+  *
+  * The engine's correctness gate is a differential compare against a DuckDB
+  * oracle, so every aggregate we emit must be *bit-deterministic* across
+  * engines. Double-precision SUM is order-dependent under parallel
+  * execution; we therefore route sums through DECIMAL(38,6) (exact integer
+  * arithmetic, associative, hence partition-order independent) and cast
+  * back to double. Variance/correlation are then derived from those exact
+  * sums with a fixed closed formula instead of the engines' (different)
+  * streaming algorithms.
+  *
+  * Scale note: decimal sums are whole-stage-codegen'd in Spark and shuffle
+  * exactly like double sums (map-side partial aggregation), so the 100 TB
+  * plan shape is unchanged — only the accumulator type widens.
+  */
+object Tables {
+
+  val AllTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one fixture table from an sf directory. Parquet → columnar scan
+    * with predicate pushdown + column pruning for free. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---------------------------------------------------------------------
+  // Deterministic aggregate building blocks (oracle-exact)
+  // ---------------------------------------------------------------------
+
+  private val Dec = DecimalType(38, 6)
+
+  /** Order-independent exact sum of a double column. */
+  def exactSum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Exact mean = exact sum / non-null count (single double division). */
+  def exactMean(c: Column): Column = exactSum(c) / count(c)
+
+  /** Sample variance (ddof=1, Orange's convention — reference
+    * Orange/widgets/data/owgroupby.py:60-96) from exact sums:
+    * (Σx² − (Σx)²/n) / (n−1). Deterministic across engines. */
+  def exactVarSamp(c: Column): Column = {
+    val s  = exactSum(c)
+    val ss = sum((c * c).cast(Dec)).cast(DoubleType)
+    val n  = count(c)
+    (ss - s * s / n) / (n - lit(1))
+  }
+
+  def exactStdSamp(c: Column): Column = sqrt(exactVarSamp(c))
+
+  /** Population variance from exact sums (ddof=0). */
+  def exactVarPop(c: Column): Column = {
+    val s  = exactSum(c)
+    val ss = sum((c * c).cast(Dec)).cast(DoubleType)
+    val n  = count(c)
+    (ss - s * s / n) / n
+  }
+
+  /** Pearson correlation from exact sums — fixed closed formula, identical
+    * bit pattern in Spark and DuckDB. */
+  def exactCorr(x: Column, y: Column): Column = {
+    val n   = count(x).cast(DoubleType)
+    val sx  = exactSum(x);       val sy  = exactSum(y)
+    val sxx = exactSum(x * x);   val syy = exactSum(y * y)
+    val sxy = exactSum(x * y)
+    (n * sxy - sx * sy) /
+      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
+
+  /** Sample covariance from exact sums. */
+  def exactCovarSamp(x: Column, y: Column): Column = {
+    val n   = count(x).cast(DoubleType)
+    val sx  = exactSum(x); val sy = exactSum(y)
+    val sxy = exactSum(x * y)
+    (sxy - sx * sy / n) / (n - lit(1))
+  }
+
+  // ---------------------------------------------------------------------
+  // Portable string hash (same value in Spark and in DuckDB oracle SQL)
+  // ---------------------------------------------------------------------
+
+  /** 32-bit unsigned integer from the first 8 hex chars of md5(s).
+    * Spark side parses the hex directly via conv(); the oracle side
+    * (hashVal32Sql) reconstructs the identical integer with an
+    * instr-based nibble sum. Used for MinHash permutations, SimHash
+    * bits and seeded "random" tie-breaks. */
+  def hashVal32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)
+
+  /** DuckDB-SQL twin of [[hashVal32]]: Σ nibble(i)·16^(8−i) over the
+    * first 8 hex chars of md5. */
+  def hashVal32Sql(sExpr: String): String =
+    (1 to 8).map { i =>
+      s"(instr('0123456789abcdef', substring(md5($sExpr), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
+    }.mkString("(", " + ", ")")
+}

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Statistics operators: basic stats, distributions, contingency,
+  * correlations, FDR — reference: Orange/statistics/basic_stats.py:18-60,
+  * distribution.py:32-334, contingency.py:31-300, util.py:224-380,757;
+  * widgets owcorrelations.py:266, owfeaturestatistics.py:737.
+  *
+  * All are single aggregation passes (one shuffle max). Basic stats over
+  * N columns is ONE scan with N×5 aggregate expressions — the same shape
+  * Orange's `stats()` computes per-block, but distributed.
+  */
+object StatsOps {
+
+  /** Per-column min/max/mean/var/#nan/#non-nan (basic_stats.py:18-60) in a
+    * single pass; output = one row with `<col>_<stat>` columns. */
+  def basicStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val v = col(c)
+      Seq(
+        min(v).as(s"${c}_min"),
+        max(v).as(s"${c}_max"),
+        exactMean(v).as(s"${c}_mean"),
+        exactVarSamp(v).as(s"${c}_var"),
+        (count(lit(1)) - count(v)).as(s"${c}_nans"),
+        count(v).as(s"${c}_nonnans"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Distribution of a column: (value, weighted count) sorted by value
+    * (distribution.py:32-334). */
+  def distribution(df: DataFrame, c: String,
+                   weight: Option[String] = None): DataFrame = {
+    val w = weight.map(col(_)).getOrElse(lit(1.0))
+    df.groupBy(col(c)).agg(exactSum(w).as("freq")).orderBy(col(c))
+  }
+
+  /** Contingency: counts over a (rowVar, colVar) pair, long form —
+    * scalable version of the reference's dense matrix
+    * (contingency.py:31-300). */
+  def contingency(df: DataFrame, rowVar: String, colVar: String): DataFrame =
+    df.groupBy(col(rowVar), col(colVar)).agg(count(lit(1)).as("n"))
+
+  /** Pairwise Pearson correlation for the given column pairs in ONE
+    * aggregation pass (owcorrelations.py:266). */
+  def correlationPairs(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    val aggs = pairs.map { case (a, b) =>
+      exactCorr(col(a), col(b)).as(s"corr_${a}_$b")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Benjamini–Hochberg FDR correction (statistics/util.py:757):
+    * given (key, pvalue) rows, adjusted = min over j>=i of p_j*n/j,
+    * computed with two windows (rank + reverse running min). */
+  def fdrBH(df: DataFrame, key: String, p: String): DataFrame = {
+    val n = Window.partitionBy()
+    val byP = Window.orderBy(col(p).asc, col(key).asc)
+    val rev = Window.orderBy(col(p).desc, col(key).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__n", count(lit(1)).over(n))
+      .withColumn("__i", row_number().over(byP))
+      .withColumn("__raw", col(p) * col("__n") / col("__i"))
+      .withColumn("fdr", least(min(col("__raw")).over(rev), lit(1.0)))
+      .select(col(key), col(p), col("fdr"))
+  }
+
+  /** Entropy-based feature scores from a contingency (InfoGain/GainRatio/
+    * Gini — preprocess/score.py:298-337): pure aggregations over the
+    * (feature value × class) count table. Returns one row per metric. */
+  def infoGain(df: DataFrame, feature: String, target: String): DataFrame = {
+    val cont = df.groupBy(col(feature), col(target)).agg(count(lit(1)).as("n"))
+    val tot  = cont.agg(sum("n").as("total"))
+    val byF  = cont.groupBy(col(feature)).agg(sum("n").as("nf"))
+    val byC  = cont.groupBy(col(target)).agg(sum("n").as("nc"))
+    // H(C) − Σ_f p(f) H(C|f); all exact integer counts → double math at end
+    val hC = byC.crossJoin(tot)
+      .select((-(col("nc") / col("total")) * log2(col("nc") / col("total"))).as("t"))
+      .agg(sum("t").as("h_class"))
+    val hCgivenF = cont.join(byF, feature).crossJoin(tot)
+      .select((col("nf") / col("total") *
+        (-(col("n") / col("nf")) * log2(col("n") / col("nf")))).as("t"))
+      .agg(sum("t").as("h_cond"))
+    hC.crossJoin(hCgivenF)
+      .select((col("h_class") - col("h_cond")).as("info_gain"),
+              col("h_class"), col("h_cond"))
+  }
+}

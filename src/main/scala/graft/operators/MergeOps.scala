@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Orange's Merge Data operator (reference:
+  * Orange/widgets/data/owmergedata.py:553-592) — a single equi-join in
+  * three modes — plus the row-id semi/anti joins of Select-by-Data-Index
+  * (owselectbydataindex.py:13).
+  *
+  * Spark-first notes:
+  *   - We emit a plain `join` and let Catalyst pick broadcast vs
+  *     sort-merge; callers can wrap the small side in `broadcast()`.
+  *     Orange's own implementation is always a driver-side hash dict —
+  *     the broadcast-hash plan is its true distributed analogue.
+  *   - Orange rejects duplicate right-side keys ("1:N at most",
+  *     owmergedata.py:453-495). `assertUniqueKeys` reproduces that as a
+  *     cheap pre-join aggregation (count>1 → error), optional because at
+  *     100 TB you usually *know* the dim table is unique.
+  *   - NaN keys never match in Orange (owmergedata.py:558-561) — SQL
+  *     equi-join on NULL has the same semantics for free.
+  */
+object MergeOps {
+
+  /** "Append columns (left outer)" — owmergedata.py:553-572. */
+  def mergeLeft(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_outer")
+
+  /** "Find matching rows (inner)" — owmergedata.py:574-580. */
+  def mergeInner(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "inner")
+
+  /** "Concatenate tables, merge rows (full outer)" — owmergedata.py:582-592. */
+  def mergeOuter(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "full_outer")
+
+  /** Orange's duplicate-key rejection (owmergedata.py:453-495): throws if
+    * any key occurs more than once. One aggregation, short-circuits via
+    * limit(1) so it never collects more than one row. */
+  def assertUniqueKeys(df: DataFrame, keys: Seq[String]): Unit = {
+    val dup = df.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty, s"duplicate join keys on ${keys.mkString(",")}")
+  }
+
+  /** Select by Data Index: keep rows of `data` whose id occurs in
+    * `subset` (semi) or doesn't (anti) — owselectbydataindex.py:13. */
+  def semiJoin(data: DataFrame, subset: DataFrame, keys: Seq[String]): DataFrame =
+    data.join(subset, keys, "left_semi")
+
+  def antiJoin(data: DataFrame, subset: DataFrame, keys: Seq[String]): DataFrame =
+    data.join(subset, keys, "left_anti")
+}
