@@ -25,7 +25,9 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  private lazy val allQ: Seq[Q] = RelationalQueries.all
+  private lazy val allQ: Seq[Q] =
+    RelationalQueries.all ++ PreprocessQueries.all ++ AnalyticsQueries.all ++
+    TextQueries.all ++ SimilarityQueries.all ++ StreamingQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQ.map(q => q.name -> q.build).toMap

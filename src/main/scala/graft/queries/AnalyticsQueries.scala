@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.core.Tables
+import graft.core.Tables._
+import graft.similarity.SimilarityOps
+import graft.queries.SqlGen._
+
+/** Oracle-verified analytic operators: feature scoring (SURVEY §2.10),
+  * rank correlation, distances (§2.9), neighbors, outliers, FDR,
+  * transpose. */
+object AnalyticsQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+  private def reg(s: SparkSession, d: String) = Tables.load(s, d, "region")
+
+  /** Order-independent sum of small double terms: round each term to 12
+    * decimals, sum as DECIMAL — deterministic across engines up to the
+    * per-term libm ulp (absorbed by the rounding). */
+  private def detSum(term: org.apache.spark.sql.Column) =
+    sum(round(term, 12).cast(DecimalType(38, 14))).cast(DoubleType)
+  private def sqlDetSum(term: String) =
+    s"CAST(SUM(CAST(ROUND($term, 12) AS DECIMAL(38,14))) AS DOUBLE)"
+
+  val all: Seq[Q] = Seq(
+
+    Q("score_infogain", // InfoGain from contingency (score.py:298-337)
+      (s, d) => {
+        val o = ord(s, d)
+        val cont = o.groupBy(col("o_orderpriority").as("f"),
+            col("o_orderstatus").as("c"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cont.agg(sum("n").as("total"))
+        val byF = cont.groupBy(col("f")).agg(sum("n").as("nf"))
+        val byC = cont.groupBy(col("c")).agg(sum("n").as("nc"))
+        val hC = byC.crossJoin(tot).agg(
+          detSum(-(col("nc") / col("total")) * log2(col("nc") / col("total")))
+            .as("h_class"))
+        val hCond = cont.join(byF, "f").crossJoin(tot).agg(
+          detSum((col("nf") / col("total")) *
+            (-(col("n") / col("nf")) * log2(col("n") / col("nf")))).as("h_cond"))
+        hC.crossJoin(hCond).select(
+          round(col("h_class") - col("h_cond"), 6).as("info_gain"),
+          round(col("h_class"), 6).as("h_class"),
+          round(col("h_cond"), 6).as("h_cond"))
+      },
+      Some {
+        val terms =
+          s"""WITH cont AS (
+             |  SELECT o_orderpriority AS f, o_orderstatus AS c, COUNT(*) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |tot AS (SELECT SUM(n) AS total FROM cont),
+             |byf AS (SELECT f, SUM(n) AS nf FROM cont GROUP BY f),
+             |byc AS (SELECT c, SUM(n) AS nc FROM cont GROUP BY c),
+             |hc AS (SELECT ${sqlDetSum("-(nc * 1.0 / total) * log2(nc * 1.0 / total)")} AS h_class
+             |       FROM byc CROSS JOIN tot),
+             |hcond AS (SELECT ${sqlDetSum("(nf * 1.0 / total) * (-(n * 1.0 / nf) * log2(n * 1.0 / nf))")} AS h_cond
+             |          FROM cont JOIN byf USING (f) CROSS JOIN tot)
+             |SELECT ROUND(h_class - h_cond, 6) AS info_gain,
+             |       ROUND(h_class, 6) AS h_class, ROUND(h_cond, 6) AS h_cond
+             |FROM hc CROSS JOIN hcond""".stripMargin
+        terms
+      }),
+
+    Q("spearman_rank_corr", // §2.9 Spearman: average ranks + exact Pearson
+      (s, d) => {
+        val rx = rank().over(Window.orderBy(col("l_quantity"))) +
+          (count(lit(1)).over(Window.partitionBy(col("l_quantity"))) - 1) / 2.0
+        val ry = rank().over(Window.orderBy(col("l_extendedprice"))) +
+          (count(lit(1)).over(Window.partitionBy(col("l_extendedprice"))) - 1) / 2.0
+        li(s, d).select(rx.as("rx"), ry.as("ry"))
+          .agg(round(exactCorr(col("rx"), col("ry")), 6).as("spearman"))
+      },
+      Some(s"""SELECT ROUND(${sqlCorr("rx", "ry")}, 6) AS spearman FROM (
+              |  SELECT RANK() OVER (ORDER BY l_quantity)
+              |           + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+              |         RANK() OVER (ORDER BY l_extendedprice)
+              |           + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
+              |  FROM lineitem)""".stripMargin)),
+
+    Q("distances_pairwise", // §2.9 Euclidean/Manhattan/Cosine between
+      // nation-level centroid vectors (mean acctbal, customer count).
+      (s, d) => {
+        val cent = cust(s, d).groupBy(col("c_nationkey").as("k"))
+          .agg(exactMean(col("c_acctbal")).as("m"),
+               count(lit(1)).cast(DoubleType).as("n"))
+        val a = cent.select(col("k").as("k1"), col("m").as("m1"), col("n").as("n1"))
+        val b = cent.select(col("k").as("k2"), col("m").as("m2"), col("n").as("n2"))
+        a.join(b, col("k1") < col("k2"))
+          .select(col("k1"), col("k2"),
+            round(SimilarityOps.euclidean(Seq(
+              (col("m1"), col("m2")), (col("n1"), col("n2")))), 6).as("euclid"),
+            round(SimilarityOps.manhattan(Seq(
+              (col("m1"), col("m2")), (col("n1"), col("n2")))), 6).as("manhattan"),
+            round(SimilarityOps.cosineDist(Seq(
+              (col("m1"), col("m2")), (col("n1"), col("n2")))), 6).as("cosine_dist"))
+          .orderBy(col("k1"), col("k2"))
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT c_nationkey AS k, ${sqlMean("c_acctbal")} AS m,
+              |         CAST(COUNT(*) AS DOUBLE) AS n
+              |  FROM customer GROUP BY c_nationkey)
+              |SELECT a.k AS k1, b.k AS k2,
+              |  ROUND(SQRT((a.m - b.m)*(a.m - b.m) + (a.n - b.n)*(a.n - b.n)), 6) AS euclid,
+              |  ROUND(ABS(a.m - b.m) + ABS(a.n - b.n), 6) AS manhattan,
+              |  ROUND(1.0 - (a.m*b.m + a.n*b.n) /
+              |    (SQRT(a.m*a.m + a.n*a.n) * SQRT(b.m*b.m + b.n*b.n)), 6) AS cosine_dist
+              |FROM cent a JOIN cent b ON a.k < b.k
+              |ORDER BY k1, k2""".stripMargin)),
+
+    Q("neighbors_knn", // owneighbors.py: k nearest rows to reference rows
+      (s, d) => {
+        val q = cust(s, d).filter(col("c_custkey") < 20)
+          .select(col("c_custkey").as("query_id"), col("c_acctbal").as("qb"))
+        val c = cust(s, d).select(col("c_custkey").as("neighbor_id"),
+          col("c_acctbal").as("nb"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("neighbor_id").asc)
+        broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+          .withColumn("dist", abs(col("qb") - col("nb")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("neighbor_id"), col("dist"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""SELECT query_id, neighbor_id, dist, rank FROM (
+             |  SELECT q.c_custkey AS query_id, c.c_custkey AS neighbor_id,
+             |         ABS(q.c_acctbal - c.c_acctbal) AS dist,
+             |         ROW_NUMBER() OVER (PARTITION BY q.c_custkey
+             |           ORDER BY ABS(q.c_acctbal - c.c_acctbal) ASC,
+             |                    c.c_custkey ASC) AS rank
+             |  FROM customer q JOIN customer c ON q.c_custkey <> c.c_custkey
+             |  WHERE q.c_custkey < 20)
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("outliers_mahalanobis2d", // outlier_detection.py Mahalanobis scores:
+      // closed-form 2-D Σ⁻¹ from exact sums → fully deterministic.
+      (s, d) => {
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        val stats = li(s, d).agg(
+          exactMean(x).as("mx"), exactMean(y).as("my"),
+          exactVarSamp(x).as("vx"), exactVarSamp(y).as("vy"),
+          exactCovarSamp(x, y).as("cxy"))
+        val dx = x - col("mx"); val dy = y - col("my")
+        val det = col("vx") * col("vy") - col("cxy") * col("cxy")
+        val md2 = (dx * dx * col("vy") - dx * dy * col("cxy") * 2.0
+          + dy * dy * col("vx")) / det
+        li(s, d).crossJoin(broadcast(stats))
+          .withColumn("md2", round(md2, 6))
+          .filter(col("md2") > 9)
+          .select(col("l_orderkey"), col("l_linenumber"), col("md2"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("md2"))
+      },
+      Some(s"""WITH stats AS (SELECT
+              |  ${sqlMean("l_quantity")} AS mx, ${sqlMean("l_extendedprice")} AS my,
+              |  ${sqlVarSamp("l_quantity")} AS vx, ${sqlVarSamp("l_extendedprice")} AS vy,
+              |  ${sqlCovarSamp("l_quantity", "l_extendedprice")} AS cxy
+              |  FROM lineitem)
+              |SELECT l_orderkey, l_linenumber, md2 FROM (
+              |  SELECT l_orderkey, l_linenumber,
+              |    ROUND(((l_quantity - mx)*(l_quantity - mx)*vy
+              |      - (l_quantity - mx)*(l_extendedprice - my)*cxy*2.0
+              |      + (l_extendedprice - my)*(l_extendedprice - my)*vx)
+              |      / (vx*vy - cxy*cxy), 6) AS md2
+              |  FROM lineitem CROSS JOIN stats)
+              |WHERE md2 > 9
+              |ORDER BY l_orderkey, l_linenumber, md2""".stripMargin)),
+
+    Q("fdr_bh", // Benjamini–Hochberg (statistics/util.py:757)
+      (s, d) => {
+        val p = round((hashVal32(concat(lit("p_"), col("o_orderkey"))) + 0.5)
+          / 4294967296.0, 6)
+        val sub = ord(s, d).filter(col("o_orderkey") < 200)
+          .select(col("o_orderkey"), p.as("p"))
+        graft.functions.StatsOps.fdrBH(sub, "o_orderkey", "p")
+          .select(col("o_orderkey"), col("p"), round(col("fdr"), 6).as("fdr"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some {
+        val h = sqlHash32("CONCAT('p_', o_orderkey)")
+        s"""WITH pv AS (
+           |  SELECT o_orderkey, ROUND(($h + 0.5) / 4294967296.0, 6) AS p
+           |  FROM orders WHERE o_orderkey < 200),
+           |ranked AS (
+           |  SELECT o_orderkey, p,
+           |    COUNT(*) OVER () AS n,
+           |    ROW_NUMBER() OVER (ORDER BY p ASC, o_orderkey ASC) AS i
+           |  FROM pv)
+           |SELECT o_orderkey, p,
+           |  ROUND(LEAST(MIN(p * n / i) OVER (
+           |    ORDER BY p DESC, o_orderkey DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) AS fdr
+           |FROM ranked ORDER BY o_orderkey""".stripMargin
+      }),
+
+    Q("transpose", // table.py:2231-2373 — features ↔ instances on the
+      // region table (transpose is inherently schema-bounded).
+      (s, d) => reg(s, d).groupBy()
+        .pivot(col("r_name"),
+          Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+        .agg(min(col("r_regionkey"))),
+      Some("""SELECT
+             |  MIN(CASE WHEN r_name = 'AFRICA' THEN r_regionkey END) AS "AFRICA",
+             |  MIN(CASE WHEN r_name = 'AMERICA' THEN r_regionkey END) AS "AMERICA",
+             |  MIN(CASE WHEN r_name = 'ASIA' THEN r_regionkey END) AS "ASIA",
+             |  MIN(CASE WHEN r_name = 'EUROPE' THEN r_regionkey END) AS "EUROPE",
+             |  MIN(CASE WHEN r_name = 'MIDDLE EAST' THEN r_regionkey END) AS "MIDDLE EAST"
+             |FROM region""".stripMargin))
+  )
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Tables._
+import graft.preprocess.PreprocessOps
+import graft.queries.SqlGen._
+
+/** Oracle-verified queries for SURVEY §2.7 (expression language) and
+  * §2.8 (preprocessing transforms: discretize/continuize/impute/
+  * normalize). */
+object PreprocessQueries {
+
+  private def li(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "lineitem")
+  private def ord(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "orders")
+  private def cust(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "customer")
+  private def sup(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "supplier")
+
+  val all: Seq[Q] = Seq(
+
+    Q("discretize_equalwidth", // discretize.py:211 — fit min/max, 10 bins
+      (s, d) => PreprocessOps.equalWidth(li(s, d), "l_extendedprice", 10, "bin")
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy(col("bin")),
+      Some("""SELECT bin, COUNT(*) AS n, MIN(l_extendedprice) AS lo,
+             |       MAX(l_extendedprice) AS hi
+             |FROM (SELECT l_extendedprice,
+             |        CAST(LEAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 10)), 9) AS INT) AS bin
+             |      FROM lineitem CROSS JOIN (SELECT MIN(l_extendedprice) AS mn,
+             |        MAX(l_extendedprice) AS mx FROM lineitem))
+             |GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    Q("discretize_equalfreq", // discretize.py:181 — quartiles via ntile
+      (s, d) => PreprocessOps.equalFreqNtile(cust(s, d), "c_acctbal", 4,
+          Seq("c_custkey"), "tile")
+        .groupBy(col("tile")).agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+        .orderBy(col("tile")),
+      Some("""SELECT tile, COUNT(*) AS n, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+             |FROM (SELECT c_acctbal,
+             |        NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) - 1 AS tile
+             |      FROM customer)
+             |GROUP BY tile ORDER BY tile""".stripMargin)),
+
+    Q("discretize_fixedwidth", // discretize.py:251
+      (s, d) => ord(s, d)
+        .withColumn("bucket", PreprocessOps.fixedWidth(col("o_totalprice"), 50000))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+             |       COUNT(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    Q("discretize_time_year", // FixedTimeWidth (discretize.py:272)
+      (s, d) => li(s, d)
+        .groupBy(PreprocessOps.timeBin(col("l_shipdate"), "year").as("y"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("y")),
+      Some("""SELECT date_trunc('year', l_shipdate) AS y, COUNT(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY y""".stripMargin)),
+
+    Q("continuize_onehot", // Indicators treatment (transformation.py:100-173)
+      (s, d) => PreprocessOps.oneHot(ord(s, d), "o_orderstatus",
+          Seq("F", "O", "P"), "st_")
+        .select(col("o_orderkey"), col("st_F"), col("st_O"), col("st_P"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS "st_F",
+             |  CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS "st_O",
+             |  CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS "st_P"
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("continuize_asordinal", // AsOrdinal treatment (continuize.py)
+      (s, d) => ord(s, d).select(col("o_orderkey"),
+          PreprocessOps.asOrdinal(col("o_orderpriority"),
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+            .as("prio_ord"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+             |    WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+             |    WHEN '5-LOW' THEN 4 END AS prio_ord
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("impute_mean", // ReplaceUnknowns/Average (impute.py:96)
+      // The fixture has no NULLs, so nulls are synthesized (qty<5 →
+      // unknown), then imputed with the exact mean of the rest.
+      (s, d) => {
+        val withNulls = li(s, d).withColumn("v",
+          when(col("l_quantity") < 5, null).otherwise(col("l_quantity")))
+        PreprocessOps.imputeMean(withNulls, "v", "imputed")
+          .select(col("l_orderkey"), col("l_linenumber"), col("imputed"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("imputed"))
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber, COALESCE(v, m) AS imputed
+              |FROM (SELECT l_orderkey, l_linenumber,
+              |        CASE WHEN l_quantity < 5 THEN NULL ELSE l_quantity END AS v
+              |      FROM lineitem)
+              |CROSS JOIN (SELECT ${sqlMean("CASE WHEN l_quantity < 5 THEN NULL ELSE l_quantity END")} AS m
+              |            FROM lineitem)
+              |ORDER BY l_orderkey, l_linenumber, imputed""".stripMargin)),
+
+    Q("impute_asvalue", // AsValue (impute.py:285-324): token + indicator
+      (s, d) => {
+        val withNulls = ord(s, d).withColumn("status",
+          when(col("o_orderstatus") === "P", null).otherwise(col("o_orderstatus")))
+        PreprocessOps.imputeAsValue(withNulls, "status")
+          .select(col("o_orderkey"), col("status"), col("status_defined"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'P' THEN 'N/A' ELSE o_orderstatus END AS status,
+             |  CASE WHEN o_orderstatus = 'P' THEN 0 ELSE 1 END AS status_defined
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("normalize_zscore", // Normalize by SD (normalize.py:11-110)
+      (s, d) => PreprocessOps.normalizeBySD(cust(s, d), "c_acctbal", "z")
+        .select(col("c_custkey"), col("z"))
+        .orderBy(col("c_custkey")),
+      Some(s"""SELECT c_custkey, (c_acctbal - m) / sd AS z
+              |FROM customer CROSS JOIN (
+              |  SELECT ${sqlMean("c_acctbal")} AS m,
+              |         ${sqlStdSamp("c_acctbal")} AS sd FROM customer)
+              |ORDER BY c_custkey""".stripMargin)),
+
+    Q("normalize_span", // Normalize by span to [0,1]
+      (s, d) => PreprocessOps.normalizeBySpan(sup(s, d), "s_acctbal", "scaled")
+        .select(col("s_suppkey"), col("scaled"))
+        .orderBy(col("s_suppkey")),
+      Some("""SELECT s_suppkey, (s_acctbal - mn) / (mx - mn) AS scaled
+             |FROM supplier CROSS JOIN (SELECT MIN(s_acctbal) AS mn,
+             |  MAX(s_acctbal) AS mx FROM supplier)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    Q("scale_center_median", // Scale: center by median (preprocess.py:467-545)
+      (s, d) => {
+        val fitted = PreprocessOps.withStats(cust(s, d),
+          Seq(round(percentile(col("c_acctbal"), lit(0.5)), 6).as("__med")))
+        fitted.select(col("c_custkey"),
+            (col("c_acctbal") - col("__med")).as("centered"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_acctbal - med AS centered
+             |FROM customer CROSS JOIN (
+             |  SELECT ROUND(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 6) AS med
+             |  FROM customer)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("feature_construction", // §2.7 expression language → Column algebra
+      (s, d) => li(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_quantity")), 6).as("f_sqrt"),
+          round(log(col("l_extendedprice")), 6).as("f_log"),
+          round(exp(col("l_discount")), 6).as("f_exp"),
+          round(sin(col("l_tax")), 6).as("f_sin"),
+          round(pow(col("l_quantity"), 2) + col("l_tax") * 10, 6).as("f_poly"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("f_sqrt")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  ROUND(SQRT(l_quantity), 6) AS f_sqrt,
+             |  ROUND(LN(l_extendedprice), 6) AS f_log,
+             |  ROUND(EXP(l_discount), 6) AS f_exp,
+             |  ROUND(SIN(l_tax), 6) AS f_sin,
+             |  ROUND(POW(l_quantity, 2) + l_tax * 10, 6) AS f_poly
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber, f_sqrt""".stripMargin)),
+
+    Q("datetime_features", // TimeVariable accessors (§2.7 date/time ops)
+      (s, d) => ord(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INT) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS mo,
+             |  CAST(day(o_orderdate) AS INT) AS dom,
+             |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+             |  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("random_variates", // §2.7 seeded random variates — portable hash →
+      // uniform → Box-Muller normal / inverse-CDF exponential.
+      (s, d) => {
+        val u1 = (hashVal32(concat(lit("u1_"), col("o_orderkey"))) + 0.5) / 4294967296.0
+        val u2 = (hashVal32(concat(lit("u2_"), col("o_orderkey"))) + 0.5) / 4294967296.0
+        ord(s, d).select(
+            col("o_orderkey"),
+            round(u1, 6).as("runif"),
+            round(sqrt(-log(u1) * 2.0) * cos(u2 * (2.0 * math.Pi)), 6).as("rnorm"),
+            round(-log(u1), 6).as("rexp"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some {
+        val h1 = sqlHash32("CONCAT('u1_', o_orderkey)")
+        val h2 = sqlHash32("CONCAT('u2_', o_orderkey)")
+        s"""SELECT o_orderkey,
+           |  ROUND(($h1 + 0.5) / 4294967296.0, 6) AS runif,
+           |  ROUND(SQRT(-LN(($h1 + 0.5) / 4294967296.0) * 2.0)
+           |        * COS((($h2 + 0.5) / 4294967296.0) * ${2.0 * math.Pi}), 6) AS rnorm,
+           |  ROUND(-LN(($h1 + 0.5) / 4294967296.0), 6) AS rexp
+           |FROM orders ORDER BY o_orderkey""".stripMargin
+      })
+  )
+}

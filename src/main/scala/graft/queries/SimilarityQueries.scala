@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.similarity.SimilarityOps
+import graft.queries.SqlGen._
+
+/** Oracle-verified similarity-search queries over the embeddings table
+  * (Array[Float] × 64). Dot products are fixed 64-term chains → identical
+  * doubles in Spark and DuckDB, so even the ranking needs no tolerance. */
+object SimilarityQueries {
+
+  private val Dim = 64
+
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** SQL fragment: left-assoc 64-term dot product of e1/e2 list columns. */
+  private def sqlDot(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+  private def sqlNorm(a: String): String =
+    "SQRT(" + (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($a[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")") + ")"
+  private def sqlCos(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"
+
+  val all: Seq[Q] = Seq(
+
+    Q("ann_bruteforce_cosine", // exact top-5 cosine neighbors of 20 queries
+      (s, d) => SimilarityOps.topKCosine(
+          emb(s, d).filter(col("vec_id") < 20), emb(s, d),
+          "vec_id", "embedding", Dim, 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    ${sqlCos("q.embedding", "c.embedding")} AS cosine,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC,
+              |               c.vec_id ASC) AS rank
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 20)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("ann_lsh_bucketed", // scale path: sign-of-projection buckets, then
+      // exact cosine within bucket only (equi-join, no cross join).
+      (s, d) => SimilarityOps.lshTopKCosine(
+          emb(s, d).filter(col("vec_id") < 20), emb(s, d),
+          "vec_id", "embedding", Dim, 3, nPlanes = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank")),
+      Some {
+        val bucket = (0 until 4).map { j =>
+          val proj = (1 to Dim).map { i =>
+            s"CAST(embedding[$i] AS DOUBLE) * ${SimilarityOps.planeComponent(j, i)}"
+          }.mkString("(", " + ", ")")
+          s"CASE WHEN $proj > 0 THEN ${math.pow(2, j).toLong} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH b AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings)
+           |SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ${sqlCos("q.embedding", "c.embedding")} AS cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC,
+           |               c.vec_id ASC) AS rank
+           |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 20)
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+      }),
+
+    Q("embedding_norms", // vector feature extraction: norms + means
+      (s, d) => {
+        val e = col("embedding")
+        val mean64 = (1 to Dim).map(i => element_at(e, i).cast("double"))
+          .reduce(_ + _) / Dim
+        emb(s, d).select(col("vec_id"), col("label"),
+            round(SimilarityOps.norm2Fixed(e, Dim), 6).as("l2_norm"),
+            round(mean64, 6).as("mean_component"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val meanExpr = (1 to Dim).map(i => s"CAST(embedding[$i] AS DOUBLE)")
+          .mkString("(", " + ", ")") + s" / $Dim"
+        s"""SELECT vec_id, label,
+           |  ROUND(${sqlNorm("embedding")}, 6) AS l2_norm,
+           |  ROUND($meanExpr, 6) AS mean_component
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      }),
+
+    Q("embedding_centroid_by_label", // per-class centroid distance: the
+      // group-then-broadcast pattern for embedding-cosine near-dup.
+      (s, d) => {
+        val e = col("embedding")
+        val perDim = (1 to Dim).map(i =>
+          graft.core.Tables.exactMean(element_at(e, i).cast("double")).as(s"c$i"))
+        val centroids = emb(s, d).groupBy(col("label"))
+          .agg(perDim.head, perDim.tail: _*)
+        val dot = (1 to Dim).map(i =>
+          element_at(e, i).cast("double") * col(s"c$i")).reduce(_ + _)
+        val cNorm = sqrt((1 to Dim).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _))
+        emb(s, d).join(broadcast(centroids), "label")
+          .select(col("vec_id"), col("label"),
+            round(dot / (SimilarityOps.norm2Fixed(e, Dim) * cNorm), 6)
+              .as("cos_to_centroid"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val cMeans = (1 to Dim).map(i =>
+          s"${SqlGen.sqlMean(s"CAST(embedding[$i] AS DOUBLE)")} AS c$i").mkString(", ")
+        val dot = (1 to Dim).map(i =>
+          s"CAST(e.embedding[$i] AS DOUBLE) * c.c$i").mkString("(", " + ", ")")
+        val cN = "SQRT(" + (1 to Dim).map(i => s"c.c$i * c.c$i")
+          .mkString("(", " + ", ")") + ")"
+        s"""WITH c AS (SELECT label, $cMeans FROM embeddings GROUP BY label)
+           |SELECT e.vec_id, e.label,
+           |  ROUND($dot / (${sqlNorm("e.embedding")} * $cN), 6) AS cos_to_centroid
+           |FROM embeddings e JOIN c ON e.label = c.label
+           |ORDER BY e.vec_id""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Tables._
+import graft.preprocess.PreprocessOps
+import graft.queries.SqlGen._
+
+/** Events-table queries: JSON extraction, batch time windows, and the
+  * Structured Streaming twin of the tumbling-window aggregation (SURVEY
+  * §2.12 — additive over the reference). The streaming query's oracle is
+  * the equivalent *batch* SQL: stream-batch equivalence is the
+  * correctness argument. */
+object StreamingQueries {
+
+  /** events.ts arrives as int64 NANOSECONDS (see the nanosAsLong session
+    * conf); `ts div 1e9` is exact integer floor-division to epoch seconds
+    * — double math would lose precision above 2^53 ns. */
+  private val tsSec = expr("ts div 1000000000")
+
+  private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  val all: Seq[Q] = Seq(
+
+    Q("events_json_extract", // semi-structured props column → typed value
+      (s, d) => ev(s, d)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+          .cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          exactMean(col("k")).as("mean_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+              |  ${sqlMean("CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT)")} AS mean_k,
+              |  MAX(CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT)) AS max_k
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("events_tumbling_batch", // 5-minute tumbling buckets, batch plan
+      (s, d) => ev(s, d)
+        .groupBy((tsSec.cast("long") - pmod(tsSec, lit(300L))).as("bucket_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total_value"))
+        .orderBy(col("bucket_start"), col("event_type")),
+      Some(s"""SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 300) * 300 AS BIGINT) AS bucket_start,
+              |  event_type, COUNT(*) AS n, ${sqlSum("value")} AS total_value
+              |FROM events GROUP BY 1, 2
+              |ORDER BY bucket_start, event_type""".stripMargin)),
+
+    Q("events_sessionize", // session windows via lag-gap > 30 min per user
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        ev(s, d)
+          .withColumn("tsec", tsSec)
+          .withColumn("prev_sec", lag(col("tsec"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_sec").isNull ||
+              col("tsec") - col("prev_sec") > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_sess"))
+            .over(w.rowsBetween(Long.MinValue, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tsec")).as("start_s"),
+            max(col("tsec")).as("end_s"))
+          .filter(col("n_events") >= 5)
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |      OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+             |         - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM marked)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |  MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS start_s,
+             |  MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS end_s
+             |FROM sess GROUP BY user_id, session_id
+             |HAVING COUNT(*) >= 5
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    Q("stream_tumbling_window", // Structured Streaming twin of the above
+      (s, d) => graft.streaming.StreamOps
+        .tumblingWindowAgg(s, d, "1 hour", "stream_tumbling_sink")
+        .orderBy(col("bucket_start"), col("event_type")),
+      Some(s"""SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket_start,
+              |  event_type, COUNT(*) AS n, ${sqlSum("value")} AS total_value
+              |FROM events GROUP BY 1, 2
+              |ORDER BY bucket_start, event_type""".stripMargin))
+  )
+}

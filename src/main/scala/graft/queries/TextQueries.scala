@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Tables._
+import graft.text.{TextOps, DedupOps}
+import graft.queries.SqlGen._
+
+/** Oracle-verified text-analysis + deduplication queries over the
+  * `documents` table — the training-data-pipeline operator family. */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** DuckDB twin of TextOps.shingles(n=3) as a FROM-clause fragment:
+    * (doc_id, shingle) distinct rows. */
+  private val shingleSqlDistinct: String =
+    """SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))""".stripMargin
+
+  private val enList = TextOps.StopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    Q("text_stats", // token counting / length stats per document
+      (s, d) => docs(s, d).select(
+          col("doc_id"),
+          TextOps.nTokens(col("text")).as("n_tokens"),
+          TextOps.nTypes(col("text")).as("n_types"),
+          TextOps.typeTokenRatio(col("text")).as("ttr"),
+          TextOps.nChars(col("text")).as("n_chars_m"),
+          TextOps.meanTokenLen(col("text")).as("mean_tok_len"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_types,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS ttr,
+             |  CAST(length(text) AS INT) AS n_chars_m,
+             |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS mean_tok_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("text_quality", // stopword-ratio / diversity quality scoring
+      (s, d) => docs(s, d).select(
+          col("doc_id"),
+          TextOps.stopwordRatio(col("text"), TextOps.StopwordsEn).as("stopword_ratio"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($enList))) AS DOUBLE)
+              |    / len(string_split(text, ' ')) AS stopword_ratio,
+              |  (CAST(len(list_filter(string_split(text, ' '), t -> t IN ($enList))) AS DOUBLE)
+              |     / len(string_split(text, ' '))
+              |   + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              |     / len(string_split(text, ' '))
+              |   + CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 500
+              |          THEN 1.0 ELSE 0.5 END) / 3.0 AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("text_langid", // marker-stopword language ID vs the labeled column
+      (s, d) => docs(s, d).select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text")).as("predicted"))
+        .orderBy(col("doc_id")),
+      Some {
+        val scores = TextOps.LangMarkers.map { case (code, ms) =>
+          val list = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS s_$code"
+        }.mkString(",\n    ")
+        val codes = TextOps.LangMarkers.map(_._1)
+        val best = s"GREATEST(${codes.map(c => s"s_$c").mkString(", ")})"
+        val cases = codes.map(c => s"WHEN s_$c = $best THEN '$c'").mkString(" ")
+        s"""SELECT doc_id, lang,
+           |  CASE WHEN $best = 0 THEN 'und' $cases END AS predicted
+           |FROM (SELECT doc_id, lang,
+           |    $scores
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("text_fingerprint", // md5-derived 32-bit doc fingerprints
+      (s, d) => docs(s, d).select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.canonicalFingerprint(col("text")).as("fp_canonical"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  ${sqlHash32("text")} AS fp,
+              |  ${sqlHash32("trim(regexp_replace(lower(text), ' +', ' ', 'g'))")} AS fp_canonical
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("dedup_exact", // hash-groupBy exact dedup groups
+      (s, d) => DedupOps.exactGroups(docs(s, d), "doc_id", "text")
+        .orderBy(col("content_hash")),
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS representative,
+             |  COUNT(*) AS group_size
+             |FROM documents GROUP BY md5(text)
+             |ORDER BY content_hash""".stripMargin)),
+
+    Q("dedup_ngram_jaccard", // 3-gram shingle Jaccard pairs (≥2 shared)
+      (s, d) => DedupOps.jaccardPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.0)
+        .filter(col("n_inter") >= 2)
+        .select(col("id1"), col("id2"), col("n_inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id1"), col("id2")),
+      Some(s"""WITH sh AS ($shingleSqlDistinct),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id)
+              |SELECT id1, id2, n_inter,
+              |  ROUND(CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter), 6) AS jaccard
+              |FROM inter
+              |JOIN sizes s1 ON s1.doc_id = id1
+              |JOIN sizes s2 ON s2.doc_id = id2
+              |WHERE n_inter >= 2
+              |ORDER BY id1, id2""".stripMargin)),
+
+    Q("dedup_minhash_lsh", // MinHash signatures + LSH band candidates
+      (s, d) => DedupOps.minhashCandidates(
+          DedupOps.minhashSignatures(docs(s, d), "doc_id", "text", 3),
+          "doc_id", bands = 8, rows = 2)
+        .orderBy(col("id1"), col("id2")),
+      Some {
+        val p = DedupOps.MinhashP
+        val h = sqlHash32("shingle")
+        val mins = DedupOps.MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(($h * $a + $b) % $p) AS m$j"
+        }.mkString(",\n    ")
+        val bandRows = (0 until 8).map { band =>
+          val c1 = s"m${band * 2}"; val c2 = s"m${band * 2 + 1}"
+          s"SELECT doc_id, $band AS band, CONCAT($c1, '_', $c2) AS sig FROM sig"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH sh AS ($shingleSqlDistinct),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |$bandRows)
+           |SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+           |FROM bands x JOIN bands y
+           |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+           |ORDER BY id1, id2""".stripMargin
+      }),
+
+    Q("dedup_simhash", // 32-bit SimHash signatures per doc
+      (s, d) => DedupOps.simhash(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some {
+        val h = sqlHash32("t")
+        val bitSums = (0 until 32).map { j =>
+          s"SUM(((CAST(FLOOR(h / ${math.pow(2, j).toLong}) AS BIGINT) % 2) * 2 - 1)) AS b$j"
+        }.mkString(",\n    ")
+        val sig = (0 until 32).map { j =>
+          s"CASE WHEN b$j > 0 THEN ${math.pow(2, j).toLong} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, $h AS h FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+           |agg AS (SELECT doc_id,
+           |    $bitSums
+           |  FROM tok GROUP BY doc_id)
+           |SELECT doc_id, $sig AS simhash FROM agg ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("dedup_simhash_pairs", // near-dup candidates by Hamming distance
+      (s, d) => DedupOps.simhashPairs(
+          DedupOps.simhash(docs(s, d), "doc_id", "text"), "doc_id", 8)
+        .orderBy(col("id1"), col("id2")),
+      Some {
+        val h = sqlHash32("t")
+        val bitSums = (0 until 32).map { j =>
+          s"SUM(((CAST(FLOOR(h / ${math.pow(2, j).toLong}) AS BIGINT) % 2) * 2 - 1)) AS b$j"
+        }.mkString(",\n    ")
+        val sig = (0 until 32).map { j =>
+          s"CASE WHEN b$j > 0 THEN ${math.pow(2, j).toLong} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, $h AS h FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+           |agg AS (SELECT doc_id,
+           |    $bitSums
+           |  FROM tok GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $sig AS simhash FROM agg)
+           |SELECT a.doc_id AS id1, b.doc_id AS id2,
+           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+           |ORDER BY id1, id2""".stripMargin
+      }),
+
+    Q("multimodal_binary_meta", // binary payload plumbing + stub decode
+      (s, d) => {
+        val media = graft.multimodal.MultimodalOps.asMedia(
+          docs(s, d), "doc_id", "text")
+        graft.multimodal.MultimodalOps.decodeFeatures(s, media)
+          .select(col("media_id"), col("width"), col("height"),
+            col("n_frames"), col("n_bytes"))
+          .orderBy(col("media_id"))
+      },
+      // Oracle mirrors the stub decode: payload = utf-8 bytes of text,
+      // b0/b1 = first two byte values (ASCII fixture text).
+      Some("""SELECT doc_id AS media_id,
+             |  64 + (ascii(substring(text, 1, 1)) % 16) * 64 AS width,
+             |  64 + (ascii(substring(text, 2, 1)) % 9) * 64 AS height,
+             |  CAST(1 + octet_length(encode(text)) % 30 AS INT) AS n_frames,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |FROM documents ORDER BY media_id""".stripMargin))
+  )
+}

@@ -1,0 +1,105 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Similarity search over embedding columns (Array[Float]) and the
+  * Orange distance set (SURVEY §2.9) on plain columns.
+  *
+  * Determinism note: dot products are emitted as a fixed left-to-right
+  * 64-term sum (the fixture dimension) so Spark and the DuckDB oracle
+  * produce identical doubles — no reliance on reduction order.
+  *
+  * Scale shapes:
+  *  - brute-force top-k: queries × corpus equi-free join — broadcast the
+  *    (small) query side, rank per query. O(|Q|·|C|) but embarrassingly
+  *    parallel and codegen'd; the right baseline.
+  *  - LSH-bucketed: sign-of-projection bucket per vector (deterministic
+  *    hyperplanes from md5), equi-join on bucket — the 100 TB path.
+  */
+object SimilarityOps {
+
+  /** Fixed-dimension dot product as a left-assoc chain (deterministic). */
+  def dotFixed(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  def norm2Fixed(a: Column, dim: Int): Column =
+    sqrt((1 to dim).map { i =>
+      val x = element_at(a, i).cast("double"); x * x
+    }.reduce(_ + _))
+
+  def cosineFixed(a: Column, b: Column, dim: Int): Column =
+    dotFixed(a, b, dim) / (norm2Fixed(a, dim) * norm2Fixed(b, dim))
+
+  /** Brute-force top-k cosine neighbors of each query vector.
+    * `queries` should be small (it is broadcast). Self-pairs excluded;
+    * ties broken by candidate id. */
+  def topKCosine(queries: DataFrame, corpus: DataFrame, id: String,
+                 vec: String, dim: Int, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineFixed(col("__qv"), col("__cv"), dim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane j, dim i) — an
+    * md5-derived constant baked in at plan-build time, so the oracle SQL
+    * can embed the identical literal. */
+  def planeComponent(j: Int, i: Int): Double =
+    graft.core.PortableHash.signOf(s"plane_${j}_$i")
+
+  /** Random-hyperplane LSH bucket id (nPlanes sign bits → int). The
+    * planes are literal constants; per row this is nPlanes fixed dot
+    * products, fully codegen'd. */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      val proj = (1 to dim).map(i =>
+        element_at(vec, i).cast("double") * planeComponent(j, i)).reduce(_ + _)
+      when(proj > 0, math.pow(2, j).toLong).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: join query/corpus on bucket equality, then exact
+    * cosine within the bucket. Misses cross-bucket neighbors (approx),
+    * but the join is an equi-join → shuffle on bucket id, no crossJoin. */
+  def lshTopKCosine(queries: DataFrame, corpus: DataFrame, id: String,
+                    vec: String, dim: Int, k: Int, nPlanes: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
+      lshBucket(col(vec), dim, nPlanes).as("bucket"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"),
+      lshBucket(col(vec), dim, nPlanes).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineFixed(col("__qv"), col("__cv"), dim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  // --- Orange §2.9 distances on scalar feature columns -----------------
+
+  def euclidean(xs: Seq[(Column, Column)]): Column =
+    sqrt(xs.map { case (a, b) => (a - b) * (a - b) }.reduce(_ + _))
+
+  def manhattan(xs: Seq[(Column, Column)]): Column =
+    xs.map { case (a, b) => abs(a - b) }.reduce(_ + _)
+
+  def cosineDist(xs: Seq[(Column, Column)]): Column = {
+    val dot = xs.map { case (a, b) => a * b }.reduce(_ + _)
+    val na  = sqrt(xs.map { case (a, _) => a * a }.reduce(_ + _))
+    val nb  = sqrt(xs.map { case (_, b) => b * b }.reduce(_ + _))
+    lit(1.0) - dot / (na * nb)
+  }
+
+  def hamming(xs: Seq[(Column, Column)]): Column =
+    xs.map { case (a, b) => when(a === b, 0).otherwise(1) }.reduce(_ + _)
+}

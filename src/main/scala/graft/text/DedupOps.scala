@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH banding, SimHash. All hashing is md5-derived
+  * (Tables.hashVal32) so results are portable to the SQL oracle.
+  *
+  * Scale shapes:
+  *  - exact dedup: one shuffle on the content hash (never on the text).
+  *  - Jaccard: explode distinct shingles → self-equi-join on shingle →
+  *    count per pair. The join key is the shingle, so only docs sharing
+  *    a shingle ever meet — no O(n²) cross join.
+  *  - MinHash LSH: k hash mins per doc (one aggregation), band →
+  *    equi-join on (band, signature). Candidate pairs only.
+  *  - SimHash: one aggregation producing a 32-bit signature per doc.
+  */
+object DedupOps {
+
+  /** Exact dedup groups: content hash → representative (min id) + size.
+    * GroupBy on the 32-char md5, never on the document body. */
+  def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text)).as("content_hash"))
+      .agg(min(col(id)).as("representative"), count(lit(1)).as("group_size"))
+
+  /** Keep one row per distinct content (the min-id representative). */
+  def exactDedup(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(text))).orderBy(col(id).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** (id, shingle) long table, distinct per doc. */
+  def shingleTable(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id), explode(TextOps.shingles(col(text), n)).as("shingle"))
+      .distinct()
+
+  /** N-gram Jaccard similarity for all pairs sharing ≥1 shingle;
+    * keeps pairs with similarity ≥ threshold. Pure integer counting
+    * until the final division → deterministic. */
+  def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+                   threshold: Double): DataFrame = {
+    val sh = shingleTable(df, id, text, n).cache()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .filter(col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(id, "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed(id, "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("n_inter"), col("jaccard"))
+  }
+
+  /** Fixed MinHash permutation parameters (a odd < 2^30, b < p, p prime).
+    * h_j(x) = (a_j·x + b_j) mod p over the 32-bit shingle hash; products
+    * stay < 2^62 so 64-bit integer math is exact in both engines. */
+  val MinhashP: Long = 2147483647L
+  val MinhashParams: Seq[(Long, Long)] = Seq(
+    (387461293L, 1299721L),  (576402349L, 15485863L),
+    (741204817L, 32452843L), (862910293L, 49979687L),
+    (198491317L, 67867967L), (322089721L, 86028121L),
+    (493024217L, 104395301L),(611952937L, 122949823L),
+    (137482951L, 141650939L),(259841203L, 160481183L),
+    (379421581L, 179424673L),(502134347L, 198491317L),
+    (623845921L, 217645177L),(744892193L, 236887691L),
+    (866421487L, 256203161L),(987514139L, 275604541L))
+
+  /** Per-doc MinHash signature: k min-hash columns m0..m{k-1} in ONE
+    * aggregation over the exploded shingle table. */
+  def minhashSignatures(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val sh = shingleTable(df, id, text, n)
+      .withColumn("__h", hashVal32(col("shingle")))
+    val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("__h") * a + b, lit(MinhashP))).as(s"m$j")
+    }
+    sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: b bands × r rows (b·r = 16). Docs sharing any band
+    * signature become candidate pairs. Returns distinct (id1 < id2). */
+  def minhashCandidates(sig: DataFrame, id: String,
+                        bands: Int = 4, rows: Int = 4): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"m${b * rows + r}"))
+      sig.select(col(id), lit(b).as("band"),
+        concat_ws("_", cols: _*).as("sig"))
+    }.reduce(_.union(_))
+    bandRows.as("x").join(bandRows.as("y"), Seq("band", "sig"))
+      .filter(col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("id1"), col(s"y.$id").as("id2"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over whitespace tokens (with multiplicity): bit j of
+    * the signature is set iff Σ_tokens (2·bit_j(h(token)) − 1) > 0. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id),
+      explode(TextOps.tokens(col(text))).as("__t"))
+      .withColumn("__h", hashVal32(col("__t")))
+    val bitSums = (0 until 32).map { j =>
+      sum(pmod(floor(col("__h") / math.pow(2, j).toLong), lit(2L)) * 2 - 1)
+        .as(s"__b$j")
+    }
+    val agg = tok.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map { j =>
+      when(col(s"__b$j") > 0, math.pow(2, j).toLong).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col(id), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bits (O(n²) pair check —
+    * the scale path prefixes it with LSH banding on signature bytes). */
+  def simhashPairs(sig: DataFrame, id: String, maxHamming: Int): DataFrame = {
+    val a = sig.select(col(id).as("id1"), col("simhash").as("s1"))
+    val b = sig.select(col(id).as("id2"), col("simhash").as("s2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+}

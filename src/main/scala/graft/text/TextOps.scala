@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, language-ID, fingerprinting.
+  * All are pure per-row expressions (codegen'd, shuffle-free) except the
+  * corpus-level aggregations, which are single group-bys.
+  *
+  * Everything is engine-portable-deterministic: integer token counts,
+  * exact ratios, md5-derived hashes — so each op is differentially
+  * verifiable against the SQL oracle.
+  */
+object TextOps {
+
+  /** Whitespace tokens (the fixtures are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token count (vocabulary size per doc). */
+  def nTypes(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Type-token ratio — lexical diversity quality signal. */
+  def typeTokenRatio(text: Column): Column =
+    nTypes(text).cast("double") / nTokens(text)
+
+  def nChars(text: Column): Column = length(text)
+
+  /** Mean token length (chars excluding separators / token count). */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / nTokens(text)
+
+  /** Ratio of non [a-z0-9 ] characters — punctuation/noise signal. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", "")))
+      .cast("double") / length(text)
+
+  /** Default English stopword sample (public, tiny). */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  /** Fraction of tokens found in a stopword list — classic quality
+    * heuristic (high ⇒ natural prose, near 0 ⇒ boilerplate/code). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val hits = filter(tokens(text),
+      t => stopwords.map(s => t === s).reduce(_ || _))
+    size(hits).cast("double") / nTokens(text)
+  }
+
+  /** Composite quality score in [0,1]: blend of stopword ratio, lexical
+    * diversity and length band — a Gopher-rules-style heuristic. */
+  def qualityScore(text: Column, stopwords: Seq[String] = StopwordsEn): Column = {
+    val lenOk = when(nTokens(text).between(20, 500), 1.0).otherwise(0.5)
+    (stopwordRatio(text, stopwords) + typeTokenRatio(text) + lenOk) / 3.0
+  }
+
+  /** Per-language stopword marker lists for n-gram-free language ID.
+    * Deterministic argmax (score desc, then language code asc). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "is", "you", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "dans", "une"),
+    "zh" -> Seq("的", "是", "不", "我", "了", "人", "在", "有"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** Predicted language: highest marker-hit count, 'und' if all zero,
+    * ties broken by language-code order (the seq above is sorted). */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (code, ms) => code -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, "und").otherwise(null)) {
+      case (acc, (code, sc)) => when(acc.isNotNull, acc)
+        .otherwise(when(sc === best, code))
+    }
+  }
+
+  /** 32-bit content fingerprint (md5-derived, portable). */
+  def fingerprint(text: Column): Column = hashVal32(text)
+
+  /** Canonical-form fingerprint: lowercase + collapsed whitespace first,
+    * so near-identical formatting variants collide. */
+  def canonicalFingerprint(text: Column): Column =
+    hashVal32(trim(regexp_replace(lower(text), " +", " ")))
+
+  /** Token n-gram shingles as an array column (n consecutive tokens
+    * joined by one space). Basis for MinHash / Jaccard dedup.
+    * Guard: sequence(1, 0) would generate a DESCENDING [1,0] in Spark,
+    * so short docs explicitly yield an empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+}
