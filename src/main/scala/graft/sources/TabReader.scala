@@ -1,0 +1,195 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Schema
+import graft.core.Schema._
+
+/** Orange-native `.tab` reader/writer (reference Orange/data/io_base.py:
+  * 117-430, io.py:120-197): tab-separated values with a 3-row header —
+  *
+  *   row 1: variable names
+  *   row 2: type flags — `c`/`continuous`, `d`/`discrete` (or a
+  *          space-separated value list), `s`/`string`/`text`,
+  *          `t`/`time` (io_base.py:117-156)
+  *   row 3: role flags — `class`, `meta`, `w`/`weight`, `i`/`ignore`;
+  *          blank = feature (io_base.py:164-193)
+  *
+  * plus the 1-row prefixed variant (`d#sex`, `c#age`, `m#name`,
+  * io_base.py:164-193) and Orange's missing tokens {?, ., "", NA, ~, nan}
+  * (variable.py:29) → NULL.
+  *
+  * Scale design: the 3 header lines are read once on the driver (bounded
+  * I/O); the body goes through Spark's distributed CSV reader with an
+  * explicit all-string schema, then one projection casts to typed columns
+  * — header rows are dropped by predicate, not by a row-index scan, so
+  * the read parallelizes like any CSV at 100 TB.
+  */
+object TabReader {
+
+  private case class HVar(name: String, kind: VarKind, role: Role,
+                          values: Seq[String])
+
+  private def parseType(t: String): (VarKind, Seq[String]) =
+    t.trim match {
+      case "c" | "continuous"          => (VarKind.Continuous, Nil)
+      case "d" | "discrete"            => (VarKind.Discrete, Nil)
+      case "s" | "string" | "text"     => (VarKind.Str, Nil)
+      case "t" | "time"                => (VarKind.Time, Nil)
+      case "" | "basket"               => (VarKind.Str, Nil)
+      case list => // space-separated declared value list (\ escapes space)
+        val vals = list.split("(?<!\\\\) ").map(_.replace("\\ ", " ")).toSeq
+        (VarKind.Discrete, vals)
+    }
+
+  private def parseRole(r: String): (Role, Boolean) =
+    r.trim.toLowerCase match {
+      case "class" | "c"          => (Role.Target, false)
+      case "meta" | "m" | "s"     => (Role.Meta, false)
+      case "i" | "ignore"         => (Role.Feature, true)
+      case "w" | "weight"         => (Role.Meta, false)
+      case _                      => (Role.Feature, false)
+    }
+
+  /** Read the first lines of a file through Hadoop FS (works for any
+    * Spark-supported filesystem, driver-side, bounded). */
+  private def headLines(spark: SparkSession, path: String, n: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      (1 to n).flatMap(_ => Option(br.readLine()))
+    } finally in.close()
+  }
+
+  /** Header classification (io_base.py:400-502): 3-row if row2 looks like
+    * type flags; 1-row prefixed if names carry `t#name` prefixes; else
+    * 1-row plain names with inferred types. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val head = headLines(spark, path, 3)
+    require(head.nonEmpty, s"empty .tab file: $path")
+    val names = head.head.split("\t", -1).toSeq
+
+    val typeFlag = "^(c|d|s|t|continuous|discrete|string|text|time|basket)$"
+    val looks3Row = head.size >= 3 && head(1).split("\t", -1).forall { t =>
+      t.trim.isEmpty || t.trim.matches(typeFlag) || t.contains(" ") ||
+        !t.trim.exists(_.isDigit)
+    } && head(2).split("\t", -1).forall(r =>
+      r.trim.isEmpty || r.trim.toLowerCase.matches("^(class|meta|m|c|s|i|ignore|w|weight)(:.*)?$"))
+
+    val prefixed = names.forall(_.matches("^[cdsmitw]{0,3}#.*")) &&
+      names.exists(_.contains("#"))
+
+    val (hvars, skip) =
+      if (looks3Row) {
+        val types = head(1).split("\t", -1).toSeq.padTo(names.size, "")
+        val roles = head(2).split("\t", -1).toSeq.padTo(names.size, "")
+        val hv = names.indices.map { i =>
+          val (kind, vals) = parseType(types(i))
+          val (role, ignore) = parseRole(roles(i))
+          if (ignore) null
+          else HVar(names(i), kind, role, vals)
+        }
+        (hv, 3)
+      } else if (prefixed) { // 1-row `d#sex` style (io_base.py:164-193)
+        val hv = names.map { n =>
+          val Array(flags, name) = n.split("#", 2)
+          val kind =
+            if (flags.contains("c")) VarKind.Continuous
+            else if (flags.contains("d")) VarKind.Discrete
+            else if (flags.contains("t")) VarKind.Time
+            else if (flags.contains("s")) VarKind.Str
+            else VarKind.Continuous
+          val role =
+            if (flags.contains("i")) null
+            else if (flags.contains("m")) Role.Meta
+            else if (flags.contains("!") || flags.contains("C")) Role.Target
+            else Role.Feature
+          if (role == null) null else HVar(name, kind, role, Nil)
+        }
+        (hv, 1)
+      } else { // 1 header row, all continuous unless non-numeric
+        (names.map(n => HVar(n, VarKind.Continuous, Role.Feature, Nil)), 1)
+      }
+
+    // Distributed body read: all-string schema, drop header rows by value
+    // (they re-appear as data rows since we supply our own schema).
+    val rawFields = names.indices.map(i => StructField(s"_c$i", StringType, true))
+    val raw = spark.read
+      .option("delimiter", "\t").option("quote", "")
+      .schema(StructType(rawFields))
+      .csv(path)
+    // Drop header rows by exact full-row match — a data row would have to
+    // equal the entire header line to be lost. Spark CSV yields NULL for
+    // empty cells, so compare through coalesce(…, ''). Blank lines (all
+    // cells null) are dropped too.
+    val nonBlank = names.indices.map(i => col(s"_c$i").isNotNull).reduce(_ || _)
+    val body = head.take(skip).foldLeft(raw.filter(nonBlank)) { (acc, line) =>
+      val cells = line.split("\t", -1).padTo(names.size, "")
+      val isHeader = names.indices
+        .map(i => coalesce(col(s"_c$i"), lit("")) <=> lit(cells(i)))
+        .reduce(_ && _)
+      acc.filter(!isHeader)
+    }
+
+    val missing = Schema.MissingTokens.toSeq
+    val cols = hvars.zipWithIndex.collect { case (h, i) if h != null =>
+      val rawCol = col(s"_c$i")
+      val cleaned = when(rawCol.isin(missing: _*), null).otherwise(rawCol)
+      val typed = h.kind match {
+        case VarKind.Continuous => cleaned.cast(DoubleType)
+        case VarKind.Time       => coalesce(
+          try_to_timestamp(cleaned, lit("yyyy-MM-dd HH:mm:ss")),
+          try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss")),
+          try_to_timestamp(cleaned, lit("yyyy-MM-dd")),
+          try_to_timestamp(cleaned, lit("HH:mm:ss")))
+        case _                  => cleaned
+      }
+      val meta = OVar(h.name, h.kind, h.role, h.values).toField.metadata
+      typed.as(h.name, meta)
+    }
+    body.select(cols: _*)
+  }
+
+  /** Write a DataFrame as Orange .tab with the 3-row header
+    * (io_base.py:596-700). Header is derived from the domain metadata. */
+  def write(df: DataFrame, path: String): Unit = {
+    val dom = Schema.domainOf(df)
+    val nameRow = dom.vars.map(_.name).mkString("\t")
+    val typeRow = dom.vars.map { v => v.kind match {
+      case VarKind.Continuous => "c"
+      case VarKind.Time       => "t"
+      case VarKind.Discrete   =>
+        if (v.values.nonEmpty) v.values.map(_.replace(" ", "\\ ")).mkString(" ") else "d"
+      case VarKind.Str        => "s"
+    }}.mkString("\t")
+    val roleRow = dom.vars.map(_.role match {
+      case Role.Target => "class"; case Role.Meta => "meta"; case _ => ""
+    }).mkString("\t")
+
+    val spark = df.sparkSession
+    import org.apache.hadoop.fs.Path
+    val tmp = path + ".body"
+    df.select(dom.vars.map(v => coalesce(col(v.name).cast(StringType), lit("?"))): _*)
+      .write.mode("overwrite")
+      .option("delimiter", "\t").option("quote", "").csv(tmp)
+    // Assemble header + body parts into one file (driver-side copy —
+    // .tab is Orange's small-data interchange format; parquet is the
+    // engine's scale format).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tmp).getFileSystem(conf)
+    val out = fs.create(new Path(path), true)
+    out.write((nameRow + "\n" + typeRow + "\n" + roleRow + "\n").getBytes("UTF-8"))
+    val parts = fs.listStatus(new Path(tmp)).filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    parts.foreach { st =>
+      val in = fs.open(st.getPath)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      finally in.close()
+    }
+    out.close()
+    fs.delete(new Path(tmp), true)
+  }
+}

@@ -33,9 +33,13 @@ object DedupOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** (id, shingle) long table, distinct per doc. */
+  /** (id, shingle) long table, distinct per doc. Tokenizes into a real
+    * array column FIRST so the shingle lambda does array lookups instead
+    * of re-splitting the text per element (see shinglesFromTokens). */
   def shingleTable(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id), explode(TextOps.shingles(col(text), n)).as("shingle"))
+    df.select(col(id), TextOps.tokens(col(text)).as("__ts"))
+      .select(col(id),
+        explode(TextOps.shinglesFromTokens(col("__ts"), n)).as("shingle"))
       .distinct()
 
   /** N-gram Jaccard similarity for all pairs sharing ≥1 shingle;
@@ -84,14 +88,25 @@ object DedupOps {
   }
 
   /** LSH banding: b bands × r rows (b·r = 16). Docs sharing any band
-    * signature become candidate pairs. Returns distinct (id1 < id2). */
+    * signature become candidate pairs. Returns distinct (id1 < id2).
+    *
+    * One explode produces all band rows in a single pass over the
+    * signatures (a union of b selects would recompute the signature
+    * aggregation b times), and both join sides share the identical
+    * subplan so Spark reuses the shuffle (ReusedExchange). */
   def minhashCandidates(sig: DataFrame, id: String,
                         bands: Int = 4, rows: Int = 4): DataFrame = {
-    val bandRows = (0 until bands).map { b =>
+    // The signature table is tiny relative to the corpus (n_docs × k
+    // longs) but expensive to produce (shingle explode + aggregation);
+    // persist it so the self-join's two sides don't recompute it.
+    val sigC = sig.cache()
+    val bandStructs = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => col(s"m${b * rows + r}"))
-      sig.select(col(id), lit(b).as("band"),
-        concat_ws("_", cols: _*).as("sig"))
-    }.reduce(_.union(_))
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("sig"))
+    }
+    val bandRows = sigC
+      .select(col(id), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(id), col("bs.band").as("band"), col("bs.sig").as("sig"))
     bandRows.as("x").join(bandRows.as("y"), Seq("band", "sig"))
       .filter(col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id1"), col(s"y.$id").as("id2"))

@@ -88,15 +88,23 @@ object TextOps {
   def canonicalFingerprint(text: Column): Column =
     hashVal32(trim(regexp_replace(lower(text), " +", " ")))
 
-  /** Token n-gram shingles as an array column (n consecutive tokens
-    * joined by one space). Basis for MinHash / Jaccard dedup.
+  /** Shingles over an already-materialized token ARRAY column.
+    *
+    * Callers must project the token array into a real column first:
+    * higher-order functions run interpreted, so if `ts` were the
+    * expression split(text) it would re-execute once per element_at —
+    * O(tokens²) work per document (measured 10× slowdown).
+    *
     * Guard: sequence(1, 0) would generate a DESCENDING [1,0] in Spark,
     * so short docs explicitly yield an empty array. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  def shinglesFromTokens(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(sequence(lit(1), size(ts) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Token n-gram shingles from raw text (n consecutive tokens joined by
+    * one space). Basis for MinHash / Jaccard dedup. Prefer the two-step
+    * projection in [[graft.text.DedupOps.shingleTable]] on hot paths. */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.ComputeValue
+import graft.core.ComputeValue._
+import graft.operators._
+import graft.operators.FilterOps._
+import graft.text.{TextOps, DedupOps}
+
+class OperatorSpec extends SparkSpec {
+
+  lazy val li = Tables.load(spark, sf, "lineitem").cache()
+
+  test("filter algebra lowers to one predicate and matches manual filter") {
+    val f = Values(Seq(
+      FilterContinuous("l_quantity", ContOp.Between, 10, 20),
+      SameValue("l_returnflag", "A")))
+    val n1 = FilterOps(li, f).count()
+    val n2 = li.filter(col("l_quantity").between(10, 20) &&
+      col("l_returnflag") === "A").count()
+    assert(n1 == n2 && n1 > 0)
+  }
+
+  test("agg17 produces one row per group with all 18 columns") {
+    val out = GroupByOps.agg17Exact(li, Seq("l_returnflag"), "l_quantity",
+      "l_linestatus", col("l_orderkey"), col("l_orderkey").cast("string"))
+    assert(out.count() == 3)
+    assert(out.columns.length == 19) // key + 17 aggs + mode
+    val row = out.filter(col("l_returnflag") === "A").head
+    assert(row.getAs[Double]("a_min") <= row.getAs[Double]("a_median"))
+    assert(row.getAs[Double]("a_median") <= row.getAs[Double]("a_max"))
+  }
+
+  test("merge dup-key assertion fires on duplicate right keys") {
+    val dup = li.select(col("l_orderkey")).limit(10)
+      .union(li.select(col("l_orderkey")).limit(10))
+    intercept[IllegalArgumentException] {
+      MergeOps.assertUniqueKeys(dup, Seq("l_orderkey"))
+    }
+  }
+
+  test("unique keeps exactly one row per key") {
+    val u = ReshapeOps.unique(li, Seq("l_orderkey"),
+      struct(col("l_linenumber"), col("l_quantity")), ReshapeOps.KeepWhich.First)
+    assert(u.groupBy("l_orderkey").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("melt produces ids × values rows") {
+    val part = Tables.load(spark, sf, "part")
+    val m = ReshapeOps.melt(part, Seq("p_partkey"), Seq("p_size", "p_retailprice"))
+    assert(m.count() == part.count() * 2)
+  }
+
+  test("compute_value DAG flattens to a single projection") {
+    val out = ComputeValue.domainTransform(li, Seq(
+      Derived("qty", Identity("l_quantity")),
+      Derived("is_a", Indicator("l_returnflag", "A")),
+      Derived("z", Normalizer("l_quantity", 25.0, 0.1)),
+      Derived("flag_name", Mapping("l_returnflag",
+        Map("A" -> "accepted", "N" -> "new", "R" -> "returned"))),
+      Derived("qbin", Discretizer("l_quantity", Seq(10, 25, 40))),
+      Derived("ratio", SqlExpr("l_extendedprice / l_quantity"))))
+    assert(out.columns.toSeq ==
+      Seq("qty", "is_a", "z", "flag_name", "qbin", "ratio"))
+    // no shuffle: plan must contain no Exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    val r = out.filter(col("flag_name") === "accepted").head
+    assert(r.getAs[Int]("is_a") == 1)
+  }
+
+  test("shingles guard: short docs yield empty array, not descending seq") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sh = d.select(TextOps.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).isEmpty && sh(1) == Seq("a b c", "b c d"))
+  }
+
+  test("exact dedup keeps one representative per content") {
+    import spark.implicits._
+    val d = Seq((1L, "x y z"), (2L, "x y z"), (3L, "p q")).toDF("doc_id", "text")
+    val kept = DedupOps.exactDedup(d, "doc_id", "text")
+    assert(kept.count() == 2)
+    assert(kept.filter(col("text") === "x y z").head.getLong(0) == 1L)
+  }
+
+  test("streaming tumbling window equals batch aggregation") {
+    val streamed = graft.streaming.StreamOps
+      .tumblingWindowAgg(spark, sf, "1 hour", "spec_stream_sink")
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy((expr("ts div 1000000000").cast("long") -
+        pmod(expr("ts div 1000000000"), lit(3600L))).as("bucket_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val s = streamed.select("bucket_start", "event_type", "n")
+      .orderBy("bucket_start", "event_type").collect().toSeq
+    val b = batch.orderBy("bucket_start", "event_type").collect().toSeq
+    assert(s == b)
+  }
+}
