@@ -1,0 +1,165 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Orange's uniform Learner/Model API (reference Orange/base.py:43-513:
+  * `Learner(Table) → Model`, `Model(data) → predictions`) over Spark.
+  *
+  * Three families:
+  *  - aggregation-based learners (NaiveBayes from contingencies — the
+  *    reference builds it the same way, classification/naive_bayes.py;
+  *    Majority; MeanRegressor): the "model" is a small DataFrame of
+  *    parameters, prediction is a broadcast join + scalar expressions —
+  *    fully distributed, no iteration, oracle-verifiable.
+  *  - MLlib-backed learners (logistic regression, kmeans, PCA, trees…):
+  *    thin adapters in MLlibLearners.
+  *  - evaluation: metric expressions + hash-based k-fold CV.
+  */
+object Learners {
+
+  trait Model { def predict(df: DataFrame): DataFrame }
+  trait Learner { def fit(train: DataFrame): Model }
+
+  /** Majority classifier (Orange/classification/majority.py): predicts
+    * the most frequent target value; ties → smallest label. */
+  final case class Majority(target: String) extends Learner {
+    def fit(train: DataFrame): Model = {
+      val m = train.groupBy(col(target)).count()
+        .orderBy(col("count").desc, col(target).asc).limit(1)
+        .select(col(target).as("__majority"))
+      df => df.crossJoin(broadcast(m)).withColumn("prediction", col("__majority"))
+        .drop("__majority")
+    }
+  }
+
+  /** Mean regressor (Orange/regression/mean.py). */
+  final case class MeanRegressor(target: String) extends Learner {
+    def fit(train: DataFrame): Model = {
+      val m = train.agg((sum(col(target).cast(DecimalType(38, 6)))
+        .cast(DoubleType) / count(col(target))).as("__mean"))
+      df => df.crossJoin(broadcast(m)).withColumn("prediction", col("__mean"))
+        .drop("__mean")
+    }
+  }
+
+  /** Naive Bayes over discrete features, built from contingency tables
+    * with Laplace smoothing — same construction as the reference
+    * (classification/naive_bayes.py fits from contingencies §2.4).
+    *
+    * Model = one small probability table per feature + the class prior;
+    * prediction = broadcast-join each table and argmax over summed log
+    * probabilities. log() terms are per-row doubles in a fixed order →
+    * deterministic, so this learner is oracle-verifiable end-to-end. */
+  final case class NaiveBayes(features: Seq[String], target: String)
+      extends Learner {
+
+    def fit(train: DataFrame): Model = {
+      val n = train.count().toDouble
+      val classes = train.select(col(target)).distinct()
+        .collect().map(_.get(0).toString).sorted
+      val k = classes.length
+      val prior = train.groupBy(col(target).as("__c"))
+        .agg(count(lit(1)).as("__nc"))
+      val featTables = features.map { f =>
+        val nv = train.select(col(f)).distinct().count().toDouble
+        // p(v|c) = (n_vc + 1) / (n_c + n_values)   (Laplace)
+        val vc = train.groupBy(col(f).as("__v"), col(target).as("__c"))
+          .agg(count(lit(1)).as("__nvc"))
+        f -> (vc, nv)
+      }.toMap
+      df => {
+        // join per (feature, class) log-likelihoods for every class
+        var out = df
+        val classCols = classes.zipWithIndex.map { case (c, ci) =>
+          // log p(c)
+          val pc = prior.filter(col("__c") === c)
+          out = out.crossJoin(broadcast(
+            pc.select((col("__nc") + 0.0).as(s"__nc_$ci"))))
+          var scoreExpr: Column = log((col(s"__nc_$ci")) / n)
+          features.zipWithIndex.foreach { case (f, fi) =>
+            val (vc, nv) = featTables(f)
+            val tbl = vc.filter(col("__c") === c)
+              .select(col("__v").as(s"__v_${ci}_$fi"),
+                col("__nvc").as(s"__nvc_${ci}_$fi"))
+            out = out.join(broadcast(tbl),
+              out(f) === col(s"__v_${ci}_$fi"), "left_outer")
+            scoreExpr = scoreExpr + log(
+              (coalesce(col(s"__nvc_${ci}_$fi"), lit(0L)) + 1.0) /
+                (col(s"__nc_$ci") + nv))
+          }
+          scoreExpr.as(s"__score_$ci")
+        }
+        val withScores = out.select(out.columns.map(col).toIndexedSeq ++ classCols: _*)
+        // argmax with ties → first (classes sorted asc)
+        val best = classes.indices.map(ci => col(s"__score_$ci"))
+          .reduce((a, b) => greatest(a, b))
+        val pred = classes.zipWithIndex.reverse
+          .foldLeft(lit(null).cast("string")) { case (els, (c, ci)) =>
+            when(col(s"__score_$ci") === best, c).otherwise(els)
+          }
+        withScores.withColumn("prediction", pred)
+          .drop(withScores.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
+      }
+    }
+  }
+
+  // --- Evaluation (Orange/evaluation/scoring.py) -------------------------
+
+  object Scoring {
+    /** Classification accuracy (scoring.py:156). */
+    def ca(actual: Column, pred: Column): Column =
+      sum(when(actual === pred, 1L).otherwise(0L)).cast(DoubleType) / count(lit(1))
+
+    /** Per-class precision/recall/F1 from counts (scoring.py:207-225). */
+    def precision(actual: Column, pred: Column, cls: String): Column =
+      sum(when(pred === cls && actual === cls, 1L).otherwise(0L)).cast(DoubleType) /
+        sum(when(pred === cls, 1L).otherwise(0L))
+    def recall(actual: Column, pred: Column, cls: String): Column =
+      sum(when(pred === cls && actual === cls, 1L).otherwise(0L)).cast(DoubleType) /
+        sum(when(actual === cls, 1L).otherwise(0L))
+
+    /** Regression metrics (scoring.py:403-461) via exact decimal sums. */
+    private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+    def mse(actual: Column, pred: Column): Column =
+      dsum((actual - pred) * (actual - pred)) / count(lit(1))
+    def rmse(actual: Column, pred: Column): Column = sqrt(mse(actual, pred))
+    def mae(actual: Column, pred: Column): Column =
+      dsum(abs(actual - pred)) / count(lit(1))
+    def r2(actual: Column, pred: Column): Column = {
+      val ssRes = dsum((actual - pred) * (actual - pred))
+      val ssTot = dsum(actual * actual) - dsum(actual) * dsum(actual) / count(lit(1))
+      lit(1.0) - ssRes / ssTot
+    }
+  }
+
+  /** Hash-based k-fold assignment (Orange CrossValidation,
+    * evaluation/testing.py:568): deterministic, distributed, no sort. */
+  def foldOf(key: Column, k: Int): Column = pmod(key, lit(k.toLong))
+
+  /** k-fold CV of a learner: per fold, fit on the other folds, score CA
+    * on the held-out fold. Aggregation-based learners only (each fold
+    * fit is a couple of small aggregations). */
+  def crossValidateCA(df: DataFrame, learnerOf: () => Learner,
+                      target: String, foldKey: Column, k: Int): DataFrame = {
+    val withFold = df.withColumn("__fold", foldOf(foldKey, k))
+    val perFold = (0 until k).map { f =>
+      val train = withFold.filter(col("__fold") =!= f)
+      val test = withFold.filter(col("__fold") === f)
+      val model = learnerOf().fit(train)
+      model.predict(test)
+        .agg(lit(f).as("fold"),
+          Scoring.ca(col(target), col("prediction")).as("ca"),
+          count(lit(1)).as("n_test"))
+    }
+    perFold.reduce(_.unionByName(_))
+  }
+
+  // Model as SAM for concise learner bodies
+  import scala.language.implicitConversions
+  implicit def fnToModel(f: DataFrame => DataFrame): Model = new Model {
+    def predict(df: DataFrame): DataFrame = f(df)
+  }
+}

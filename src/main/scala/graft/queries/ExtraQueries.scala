@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.core.Tables
+import graft.core.Tables._
+import graft.queries.SqlGen._
+
+/** Remaining SURVEY §2 widget-operators: Purge (remove constant/unused),
+  * Randomize (column shuffle), Create Instance, Rank / SelectBestFeatures. */
+object ExtraQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+
+  /** Deterministic per-feature info gain vs a target, all contingencies in
+    * per-feature aggregations, entropy terms summed order-independently. */
+  private def infoGainFor(df: DataFrame, feature: String, target: String) = {
+    val detSum = (c: org.apache.spark.sql.Column) =>
+      sum(round(c, 12).cast(DecimalType(38, 14))).cast(DoubleType)
+    val cont = df.groupBy(col(feature).as("f"), col(target).as("c"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cont.agg(sum("n").as("total"))
+    val byF = cont.groupBy(col("f")).agg(sum("n").as("nf"))
+    val byC = cont.groupBy(col("c")).agg(sum("n").as("nc"))
+    val hC = byC.crossJoin(tot).agg(
+      detSum(-(col("nc") / col("total")) * log2(col("nc") / col("total"))).as("h_class"))
+    val hCond = cont.join(byF, "f").crossJoin(tot).agg(
+      detSum((col("nf") / col("total")) *
+        (-(col("n") / col("nf")) * log2(col("n") / col("nf")))).as("h_cond"))
+    hC.crossJoin(hCond)
+      .select(lit(feature).as("feature"),
+        round(col("h_class") - col("h_cond"), 6).as("info_gain"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("purge_remove_constant", // preprocess/remove.py:13-120 RemoveConstant:
+      // per-column distinct/null profile → drop decision, one agg pass.
+      (s, d) => {
+        val p = Tables.load(s, d, "part")
+        val cols = Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        val aggs = cols.flatMap { c => Seq(
+          countDistinct(col(c)).as(s"${c}_distinct"),
+          (count(lit(1)) - count(col(c))).as(s"${c}_nulls"))
+        }
+        val wide = p.agg(aggs.head, aggs.tail: _*)
+        // long form: (column, n_distinct, n_nulls, keep)
+        val rows = cols.map { c =>
+          wide.select(lit(c).as("column_name"),
+            col(s"${c}_distinct").as("n_distinct"),
+            col(s"${c}_nulls").as("n_nulls"),
+            (col(s"${c}_distinct") > 1).as("keep"))
+        }
+        rows.reduce(_.union(_)).orderBy(col("column_name"))
+      },
+      Some {
+        val cols = Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        cols.map { c =>
+          s"""SELECT '$c' AS column_name, COUNT(DISTINCT $c) AS n_distinct,
+             |COUNT(*) - COUNT($c) AS n_nulls,
+             |COUNT(DISTINCT $c) > 1 AS keep FROM part""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }),
+
+    Q("randomize_shuffle", // owrandomize.py: permute a column independently
+      // of the rest — deterministic permutation via two row_number orders.
+      (s, d) => {
+        val base = cust(s, d)
+        val left = base.select(col("c_custkey"), col("c_mktsegment"))
+          .withColumn("__rn", row_number().over(Window.orderBy(col("c_custkey"))))
+        val perm = base.select(col("c_acctbal"))
+          .withColumn("__rn", row_number().over(
+            Window.orderBy(md5(col("c_acctbal").cast("string")), col("c_acctbal"))))
+        left.join(perm, "__rn")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").as("shuffled_acctbal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, shuffled_acctbal FROM (
+             |  SELECT c_custkey, c_mktsegment,
+             |    ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn
+             |  FROM customer) a
+             |JOIN (
+             |  SELECT c_acctbal AS shuffled_acctbal,
+             |    ROW_NUMBER() OVER (ORDER BY md5(CAST(c_acctbal AS VARCHAR)),
+             |                                c_acctbal) AS rn
+             |  FROM customer) b USING (rn)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("create_instance", // owcreateinstance.py: synthesize a mean/median row
+      (s, d) => {
+        val c = cust(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val synth = cust(s, d).agg(
+          lit(-1L).as("c_custkey"), lit("synthetic#mean").as("c_name"),
+          exactMean(col("c_acctbal")).as("c_acctbal"))
+        c.unionByName(synth).orderBy(col("c_custkey"))
+      },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal FROM customer
+              |UNION ALL
+              |SELECT -1 AS c_custkey, 'synthetic#mean' AS c_name,
+              |  ${sqlMean("c_acctbal")} AS c_acctbal FROM customer
+              |ORDER BY c_custkey""".stripMargin)),
+
+    Q("rank_features", // owrank.py + SelectBestFeatures (fss.py:16-104):
+      // info gain of each discretized feature vs l_linestatus, ranked.
+      (s, d) => {
+        val base = li(s, d)
+          .withColumn("qty_bin", floor(col("l_quantity") / 10).cast("int").cast("string"))
+          .withColumn("disc_bin", floor(col("l_discount") * 50).cast("int").cast("string"))
+        val feats = Seq("l_returnflag", "qty_bin", "disc_bin")
+        val scores = feats.map(f => infoGainFor(base, f, "l_linestatus"))
+          .reduce(_.union(_))
+        scores.withColumn("rank",
+            row_number().over(Window.orderBy(col("info_gain").desc, col("feature"))))
+          .orderBy(col("rank"))
+      },
+      Some {
+        def ig(fexpr: String, fname: String) =
+          s"""SELECT '$fname' AS feature, ROUND(h_class - h_cond, 6) AS info_gain
+             |FROM
+             |  (SELECT CAST(SUM(CAST(ROUND(-(nc * 1.0 / total) * log2(nc * 1.0 / total), 12) AS DECIMAL(38,14))) AS DOUBLE) AS h_class
+             |   FROM (SELECT l_linestatus AS c, COUNT(*) AS nc FROM lineitem GROUP BY 1)
+             |   CROSS JOIN (SELECT COUNT(*) AS total FROM lineitem)) hc
+             |CROSS JOIN
+             |  (SELECT CAST(SUM(CAST(ROUND((nf * 1.0 / total) * (-(n * 1.0 / nf) * log2(n * 1.0 / nf)), 12) AS DECIMAL(38,14))) AS DOUBLE) AS h_cond
+             |   FROM (SELECT $fexpr AS f, l_linestatus AS c, COUNT(*) AS n
+             |         FROM lineitem GROUP BY 1, 2) cont
+             |   JOIN (SELECT $fexpr AS f, COUNT(*) AS nf FROM lineitem GROUP BY 1) byf
+             |     USING (f)
+             |   CROSS JOIN (SELECT COUNT(*) AS total FROM lineitem)) hcond""".stripMargin
+        val parts = Seq(
+          ig("l_returnflag", "l_returnflag"),
+          ig("CAST(CAST(FLOOR(l_quantity / 10) AS INT) AS VARCHAR)", "qty_bin"),
+          ig("CAST(CAST(FLOOR(l_discount * 50) AS INT) AS VARCHAR)", "disc_bin"))
+        s"""SELECT feature, info_gain,
+           |  ROW_NUMBER() OVER (ORDER BY info_gain DESC, feature) AS rank
+           |FROM (${parts.mkString("\nUNION ALL\n")})
+           |ORDER BY rank""".stripMargin
+      })
+  )
+}

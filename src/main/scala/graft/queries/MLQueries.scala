@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Tables._
+import graft.ml.{Learners, MLlibLearners}
+import graft.queries.SqlGen._
+
+/** Learner/evaluation queries (SURVEY §2.11). Aggregation-based learners
+  * (NaiveBayes-from-contingencies, Majority, MeanRegressor) and metric
+  * computations are deterministic → SQL oracles. Iterative MLlib fits
+  * (logreg/kmeans/pca) are seeded but oracle-free (rows-only checks). */
+object MLQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  val all: Seq[Q] = Seq(
+
+    Q("ml_naive_bayes", // NB from contingencies (classification/naive_bayes.py)
+      (s, d) => {
+        val base = li(s, d)
+          .withColumn("qty_bin",
+            floor(col("l_quantity") / 10).cast("int").cast("string"))
+        val model = Learners.NaiveBayes(
+          Seq("l_returnflag", "qty_bin"), "l_linestatus").fit(base)
+        model.predict(base)
+          .groupBy(col("l_returnflag"), col("qty_bin"), col("prediction"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"), col("qty_bin"), col("prediction"))
+      },
+      Some {
+        // log p(c) + Σ log((n_vc+1)/(n_c+|V_f|)), argmax (tie → asc class)
+        s"""WITH base AS (
+           |  SELECT l_returnflag AS f1,
+           |         CAST(CAST(FLOOR(l_quantity / 10) AS INT) AS VARCHAR) AS f2,
+           |         l_linestatus AS c
+           |  FROM lineitem),
+           |n AS (SELECT COUNT(*) AS n FROM base),
+           |prior AS (SELECT c, COUNT(*) AS nc FROM base GROUP BY c),
+           |nv1 AS (SELECT COUNT(DISTINCT f1) AS nv FROM base),
+           |nv2 AS (SELECT COUNT(DISTINCT f2) AS nv FROM base),
+           |t1 AS (SELECT f1, c, COUNT(*) AS nvc FROM base GROUP BY f1, c),
+           |t2 AS (SELECT f2, c, COUNT(*) AS nvc FROM base GROUP BY f2, c),
+           |combos AS (SELECT DISTINCT f1, f2 FROM base),
+           |scored AS (
+           |  SELECT combos.f1, combos.f2, prior.c,
+           |    LN(prior.nc * 1.0 / n.n)
+           |    + LN((COALESCE(t1.nvc, 0) + 1.0) / (prior.nc + nv1.nv))
+           |    + LN((COALESCE(t2.nvc, 0) + 1.0) / (prior.nc + nv2.nv)) AS score
+           |  FROM combos CROSS JOIN prior CROSS JOIN n CROSS JOIN nv1 CROSS JOIN nv2
+           |  LEFT JOIN t1 ON t1.f1 = combos.f1 AND t1.c = prior.c
+           |  LEFT JOIN t2 ON t2.f2 = combos.f2 AND t2.c = prior.c),
+           |pred AS (
+           |  SELECT f1, f2, c AS prediction,
+           |    ROW_NUMBER() OVER (PARTITION BY f1, f2
+           |                       ORDER BY score DESC, c ASC) AS rn
+           |  FROM scored)
+           |SELECT base.f1 AS l_returnflag, base.f2 AS qty_bin,
+           |       pred.prediction, COUNT(*) AS n
+           |FROM base JOIN pred ON pred.f1 = base.f1 AND pred.f2 = base.f2
+           |WHERE pred.rn = 1
+           |GROUP BY base.f1, base.f2, pred.prediction
+           |ORDER BY l_returnflag, qty_bin, prediction""".stripMargin
+      }),
+
+    Q("ml_eval_classification", // CA/precision/recall/F1/MCC from a
+      // deterministic rule classifier's confusion counts (scoring.py).
+      (s, d) => {
+        val pred = when(col("l_shipdate") < lit("1998-07-01").cast("timestamp"), "F")
+          .otherwise("O")
+        val S = Learners.Scoring
+        li(s, d).select(col("l_linestatus").as("actual"), pred.as("pred"))
+          .agg(
+            round(S.ca(col("actual"), col("pred")), 6).as("ca"),
+            round(S.precision(col("actual"), col("pred"), "F"), 6).as("precision_f"),
+            round(S.recall(col("actual"), col("pred"), "F"), 6).as("recall_f"))
+      },
+      Some("""SELECT
+             |  ROUND(SUM(CASE WHEN actual = pred THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS ca,
+             |  ROUND(SUM(CASE WHEN pred = 'F' AND actual = 'F' THEN 1 ELSE 0 END) * 1.0
+             |    / SUM(CASE WHEN pred = 'F' THEN 1 ELSE 0 END), 6) AS precision_f,
+             |  ROUND(SUM(CASE WHEN pred = 'F' AND actual = 'F' THEN 1 ELSE 0 END) * 1.0
+             |    / SUM(CASE WHEN actual = 'F' THEN 1 ELSE 0 END), 6) AS recall_f
+             |FROM (SELECT l_linestatus AS actual,
+             |        CASE WHEN l_shipdate < TIMESTAMP '1998-07-01' THEN 'F' ELSE 'O' END AS pred
+             |      FROM lineitem)""".stripMargin)),
+
+    Q("ml_eval_regression", // MSE/RMSE/MAE/R2 of the mean regressor
+      (s, d) => {
+        val S = Learners.Scoring
+        val model = Learners.MeanRegressor("o_totalprice").fit(ord(s, d))
+        model.predict(ord(s, d))
+          .agg(
+            round(S.mse(col("o_totalprice"), col("prediction")), 4).as("mse"),
+            round(S.rmse(col("o_totalprice"), col("prediction")), 6).as("rmse"),
+            round(S.mae(col("o_totalprice"), col("prediction")), 6).as("mae"),
+            // + 0.0 normalizes IEEE -0.0 (R² of the mean predictor is
+            // exactly zero; the engines disagree on the sign bit)
+            (round(S.r2(col("o_totalprice"), col("prediction")), 6) + 0.0).as("r2"))
+      },
+      Some {
+        val m = sqlMean("o_totalprice")
+        val dsum = (x: String) => sqlSum(x)
+        s"""SELECT
+           |  ROUND(${dsum("(o_totalprice - m) * (o_totalprice - m)")} / COUNT(*), 4) AS mse,
+           |  ROUND(SQRT(${dsum("(o_totalprice - m) * (o_totalprice - m)")} / COUNT(*)), 6) AS rmse,
+           |  ROUND(${dsum("ABS(o_totalprice - m)")} / COUNT(*), 6) AS mae,
+           |  ROUND(1.0 - ${dsum("(o_totalprice - m) * (o_totalprice - m)")} /
+           |    (${dsum("o_totalprice * o_totalprice")} - ${dsum("o_totalprice")} * ${dsum("o_totalprice")} / COUNT(*)), 6) + 0.0 AS r2
+           |FROM orders CROSS JOIN (SELECT $m AS m FROM orders)""".stripMargin
+      }),
+
+    Q("ml_crossval_majority", // 3-fold CV of the majority classifier
+      (s, d) => Learners.crossValidateCA(
+          ord(s, d), () => Learners.Majority("o_orderstatus"),
+          "o_orderstatus", col("o_orderkey"), 3)
+        .select(col("fold"), round(col("ca"), 6).as("ca"), col("n_test"))
+        .orderBy(col("fold")),
+      Some("""WITH folds AS (
+             |  SELECT o_orderstatus, o_orderkey % 3 AS fold FROM orders),
+             |maj AS (
+             |  SELECT t.fold,
+             |    (SELECT o_orderstatus FROM folds f
+             |     WHERE f.fold <> t.fold
+             |     GROUP BY o_orderstatus
+             |     ORDER BY COUNT(*) DESC, o_orderstatus ASC LIMIT 1) AS m
+             |  FROM (SELECT DISTINCT fold FROM folds) t)
+             |SELECT fold,
+             |  ROUND(SUM(CASE WHEN o_orderstatus = m THEN 1 ELSE 0 END) * 1.0
+             |        / COUNT(*), 6) AS ca,
+             |  COUNT(*) AS n_test
+             |FROM folds JOIN maj USING (fold)
+             |GROUP BY fold ORDER BY fold""".stripMargin)),
+
+    Q("ml_logreg_embeddings", // MLlib logistic regression (rows-only)
+      (s, d) => MLlibLearners.logisticOnEmbeddings(
+        emb(s, d), "embedding", "label"), None),
+
+    Q("ml_kmeans_embeddings", // MLlib seeded KMeans (rows-only)
+      (s, d) => MLlibLearners.kmeansOnEmbeddings(
+        emb(s, d), "embedding", 5), None),
+
+    Q("ml_pca_embeddings", // MLlib PCA explained variance (rows-only)
+      (s, d) => MLlibLearners.pcaExplainedVariance(
+        emb(s, d), "embedding", 5), None)
+  )
+}
