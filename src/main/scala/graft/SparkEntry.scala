@@ -28,7 +28,7 @@ object SparkEntry {
   private lazy val allQ: Seq[Q] =
     RelationalQueries.all ++ PreprocessQueries.all ++ AnalyticsQueries.all ++
     TextQueries.all ++ SimilarityQueries.all ++ StreamingQueries.all ++
-    ExtraQueries.all ++ MLQueries.all
+    ExtraQueries.all ++ MLQueries.all ++ ScoringQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQ.map(q => q.name -> q.build).toMap

@@ -81,6 +81,14 @@ object Tables {
     (sxy - sx * sy / n) / (n - lit(1))
   }
 
+  /** Order-independent sum of small double terms: round each term to 12
+    * decimals, sum as DECIMAL — deterministic across engines up to the
+    * per-term libm ulp (absorbed by the rounding). Used wherever a sum of
+    * *derived* doubles (entropy terms, distances, densities) feeds an
+    * oracle-compared result. */
+  def detSum(term: Column): Column =
+    sum(round(term, 12).cast(DecimalType(38, 14))).cast(DoubleType)
+
   // ---------------------------------------------------------------------
   // Portable string hash (same value in Spark and in DuckDB oracle SQL)
   // ---------------------------------------------------------------------

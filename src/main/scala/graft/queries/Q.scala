@@ -31,6 +31,9 @@ object SqlGen {
     val n = s"CAST(COUNT(${x}) AS DOUBLE)"
     s"(${sqlSum(s"($x)*($y)")} - ${sqlSum(x)} * ${sqlSum(y)} / $n) / ($n - 1)"
   }
+  /** SQL twin of Tables.detSum: order-independent sum of derived doubles. */
+  def sqlDetSum(term: String): String =
+    s"CAST(SUM(CAST(ROUND($term, 12) AS DECIMAL(38,14))) AS DOUBLE)"
   /** 32-bit int from first 8 hex chars of md5 — twin of Tables.hashVal32. */
   def sqlHash32(s: String): String =
     (1 to 8).map { i =>

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{ReliefF, ScoreOps}
+import graft.operators.OutlierOps
+import graft.preprocess.EntropyMDL
+import graft.queries.SqlGen._
+
+/** Round-1 completion of SURVEY §2.10 (Chi2 / ANOVA / FCBF / ReliefF /
+  * LOF), §2.9 Bhattacharyya, and the §2.8 EntropyMDL discretizer. */
+object ScoringQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+  private def sup(s: SparkSession, d: String) = Tables.load(s, d, "supplier")
+
+  /** SQL block computing (su, info_gain) of one feature vs class on
+    * lineitem — twin of ScoreOps.symmetricUncertainty. `f` is any SQL
+    * expression; `fName` labels the output row. */
+  private def suSql(f: String, fName: String, c: String): String =
+    s"""SELECT '$fName' AS feature,
+       |  ROUND(2.0 * (h_c - h_cond) / (h_f + h_c), 6) AS su,
+       |  ROUND(h_c - h_cond, 6) AS info_gain
+       |FROM (
+       |  WITH cont AS (SELECT $f AS fv, $c AS cv, COUNT(*) AS n
+       |                FROM lineitem WHERE $f IS NOT NULL AND $c IS NOT NULL
+       |                GROUP BY 1, 2),
+       |  tot AS (SELECT SUM(n) AS total FROM cont),
+       |  byf AS (SELECT fv, SUM(n) AS nf FROM cont GROUP BY fv),
+       |  byc AS (SELECT cv, SUM(n) AS nc FROM cont GROUP BY cv)
+       |  SELECT
+       |    (SELECT ${sqlDetSum("-(nf / (total * 1.0)) * log2(nf / (total * 1.0))")}
+       |     FROM byf CROSS JOIN tot) AS h_f,
+       |    (SELECT ${sqlDetSum("-(nc / (total * 1.0)) * log2(nc / (total * 1.0))")}
+       |     FROM byc CROSS JOIN tot) AS h_c,
+       |    (SELECT ${sqlDetSum("(nf / (total * 1.0)) * (-(n / (nf * 1.0)) * log2(n / (nf * 1.0)))")}
+       |     FROM cont JOIN byf USING (fv) CROSS JOIN tot) AS h_cond)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("score_chi2", // Chi2 feature scoring (score.py:107-157)
+      (s, d) => ScoreOps.chi2(ord(s, d), "o_orderpriority", "o_orderstatus"),
+      Some(s"""WITH cont AS (
+              |  SELECT o_orderpriority AS fv, o_orderstatus AS cv, COUNT(*) AS n
+              |  FROM orders
+              |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+              |  GROUP BY 1, 2),
+              |byf AS (SELECT fv, SUM(n) AS nf FROM cont GROUP BY fv),
+              |byc AS (SELECT cv, SUM(n) AS nc FROM cont GROUP BY cv),
+              |tot AS (SELECT SUM(n) AS total FROM cont),
+              |cells AS (
+              |  SELECT g.fv, g.cv, g.nf, g.nc, g.total, cont.n
+              |  FROM (SELECT * FROM byf CROSS JOIN byc CROSS JOIN tot) g
+              |  LEFT JOIN cont ON cont.fv = g.fv AND cont.cv = g.cv)
+              |SELECT
+              |  ROUND(${sqlDetSum("(COALESCE(n, 0) - (nf * nc) / (total * 1.0)) * (COALESCE(n, 0) - (nf * nc) / (total * 1.0)) / ((nf * nc) / (total * 1.0))")}, 6) AS chi2,
+              |  (COUNT(DISTINCT fv) - 1) * (COUNT(DISTINCT cv) - 1) AS dof
+              |FROM cells""".stripMargin)),
+
+    Q("score_anova", // one-way ANOVA F (score.py:107-157)
+      (s, d) => ScoreOps.anovaF(li(s, d), "l_quantity", "l_returnflag"),
+      Some(s"""WITH grp AS (
+              |  SELECT l_returnflag AS g, ${sqlSum("l_quantity")} AS sg,
+              |         ${sqlSum("l_quantity * l_quantity")} AS ssg,
+              |         COUNT(*) AS ng
+              |  FROM lineitem
+              |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+              |  GROUP BY 1),
+              |agg AS (
+              |  SELECT ${sqlDetSum("sg * sg / ng")} AS sb,
+              |         ${sqlSum("sg")} AS s, ${sqlSum("ssg")} AS ss,
+              |         SUM(ng) AS n, COUNT(*) AS k
+              |  FROM grp)
+              |SELECT ROUND(((sb - s * s / n) / (k - 1)) / ((ss - sb) / (n - k)), 6) AS f_stat,
+              |       (k - 1) AS df_between, (n - k) AS df_within
+              |FROM agg""".stripMargin)),
+
+    Q("score_fcbf_su", // FCBF symmetric uncertainty (score.py:252-297);
+      // continuous features enter pre-discretized, as in the reference.
+      (s, d) => Seq[(org.apache.spark.sql.Column, String)](
+          (col("l_returnflag"), "l_returnflag"),
+          (floor(col("l_quantity") / 10), "qty_bin"),
+          (floor(col("l_discount") * 20), "disc_bin"))
+        .map { case (f, n) =>
+          ScoreOps.symmetricUncertainty(li(s, d), f, n, "l_linestatus") }
+        .reduce(_.unionByName(_))
+        .orderBy(col("feature")),
+      Some(Seq(
+          ("l_returnflag", "l_returnflag"),
+          ("FLOOR(l_quantity / 10)", "qty_bin"),
+          ("FLOOR(l_discount * 20)", "disc_bin"))
+        .map { case (f, n) => suSql(f, n, "l_linestatus") }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY feature"))),
+
+    Q("dist_bhattacharyya", // distance.py:788-806 between class-conditional
+      // distributions of binned quantity for return flags R vs A.
+      (s, d) => ScoreOps.bhattacharyya(li(s, d),
+        floor(col("l_quantity") / 5), "l_returnflag", "R", "A"),
+      Some(s"""WITH binned AS (
+              |  SELECT CAST(FLOOR(l_quantity / 5) AS BIGINT) AS b, l_returnflag AS c
+              |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+              |counts AS (SELECT b, c, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+              |totals AS (SELECT c, SUM(n) AS nc FROM counts GROUP BY c),
+              |p AS (SELECT b, c, n / (nc * 1.0) AS p
+              |      FROM counts JOIN totals USING (c))
+              |SELECT ROUND(-LN(${sqlDetSum("SQRT(pa.p * pb.p)")}), 6) AS bhattacharyya
+              |FROM (SELECT b, p FROM p WHERE c = 'R') pa
+              |JOIN (SELECT b, p FROM p WHERE c = 'A') pb USING (b)""".stripMargin)),
+
+    Q("score_relieff", // ReliefF (score.py:338-420): m=100 deterministic
+      // references, k=3 hits/misses, span-normalized Manhattan.
+      (s, d) => ReliefF.weights(cust(s, d), "c_custkey",
+        Seq("c_acctbal", "c_nationkey"), "c_mktsegment",
+        col("c_custkey") <= 100, 3),
+      Some(s"""WITH spans AS (
+              |  SELECT MAX(c_acctbal) - MIN(c_acctbal) AS span_a,
+              |         MAX(c_nationkey) - MIN(c_nationkey) AS span_n
+              |  FROM customer),
+              |refs AS (SELECT c_custkey AS rid, c_mktsegment AS rclass,
+              |                c_acctbal AS ra, c_nationkey AS rk
+              |         FROM customer WHERE c_custkey <= 100),
+              |pairs AS (
+              |  SELECT rid, o.c_custkey AS oid,
+              |    CASE WHEN rclass = o.c_mktsegment THEN 1 ELSE 0 END AS hit,
+              |    ABS(ra - o.c_acctbal) / span_a AS da,
+              |    ABS(rk - o.c_nationkey) / span_n AS dn,
+              |    ABS(ra - o.c_acctbal) / span_a + ABS(rk - o.c_nationkey) / span_n AS dist
+              |  FROM refs CROSS JOIN spans
+              |  JOIN customer o ON o.c_custkey <> rid),
+              |topk AS (
+              |  SELECT * FROM (
+              |    SELECT pairs.*, ROW_NUMBER() OVER (
+              |      PARTITION BY rid, hit ORDER BY dist ASC, oid ASC) AS rnk
+              |    FROM pairs)
+              |  WHERE rnk <= 3),
+              |perref AS (
+              |  SELECT rid, hit, ${sqlDetSum("da")} AS d_a,
+              |         ${sqlDetSum("dn")} AS d_n, COUNT(*) AS cnt
+              |  FROM topk GROUP BY rid, hit),
+              |folded AS (
+              |  SELECT rid,
+              |    ${sqlDetSum("CASE WHEN hit = 0 THEN d_a / cnt ELSE -d_a / cnt END")} AS t_a,
+              |    ${sqlDetSum("CASE WHEN hit = 0 THEN d_n / cnt ELSE -d_n / cnt END")} AS t_n
+              |  FROM perref GROUP BY rid),
+              |m AS (SELECT COUNT(*) AS m FROM refs),
+              |agg AS (SELECT ${sqlDetSum("t_a")} AS w_a, ${sqlDetSum("t_n")} AS w_n
+              |        FROM folded)
+              |SELECT 'c_acctbal' AS feature, ROUND(w_a / m, 6) AS weight
+              |FROM agg CROSS JOIN m
+              |UNION ALL
+              |SELECT 'c_nationkey' AS feature, ROUND(w_n / m, 6) AS weight
+              |FROM agg CROSS JOIN m
+              |ORDER BY feature""".stripMargin)),
+
+    Q("outliers_lof", // Local Outlier Factor, k=3 (outlier_detection.py)
+      (s, d) => OutlierOps.lof1d(sup(s, d), "s_suppkey", "s_acctbal", 3)
+        .orderBy(col("a_id")),
+      Some(s"""WITH pairs AS (
+              |  SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+              |         ABS(a.s_acctbal - b.s_acctbal) AS dist
+              |  FROM supplier a JOIN supplier b ON a.s_suppkey <> b.s_suppkey),
+              |kd AS (
+              |  SELECT a_id, dist AS kdist FROM (
+              |    SELECT pairs.*, ROW_NUMBER() OVER (
+              |      PARTITION BY a_id ORDER BY dist ASC, b_id ASC) AS rnk
+              |    FROM pairs)
+              |  WHERE rnk = 3),
+              |nbr AS (
+              |  SELECT p.a_id, p.b_id, p.dist
+              |  FROM pairs p JOIN kd ON kd.a_id = p.a_id
+              |  WHERE p.dist <= kd.kdist),
+              |reach AS (
+              |  SELECT n.a_id, n.b_id, GREATEST(kb.kdist, n.dist, 1e-9) AS reach
+              |  FROM nbr n JOIN kd kb ON kb.a_id = n.b_id),
+              |lrd AS (SELECT a_id, COUNT(*) / ${sqlDetSum("reach")} AS lrd
+              |        FROM reach GROUP BY a_id),
+              |num AS (
+              |  SELECT n.a_id, ${sqlDetSum("lb.lrd")} / COUNT(*) AS mean_lrd_b
+              |  FROM nbr n JOIN lrd lb ON lb.a_id = n.b_id GROUP BY n.a_id)
+              |SELECT num.a_id AS a_id, ROUND(mean_lrd_b / lrd.lrd, 6) AS lof
+              |FROM num JOIN lrd ON lrd.a_id = num.a_id
+              |ORDER BY num.a_id""".stripMargin)),
+
+    Q("discretize_entropy_mdl", // Fayyad–Irani MDL splits (discretize.py:695)
+      // Recursive MDL acceptance is not SQL-expressible → rows-only check;
+      // the ScalaTest spec asserts the cut semantics.
+      (s, d) => EntropyMDL.discretize(li(s, d), "l_quantity", "l_returnflag",
+          "mdl_bin")
+        .groupBy(col("mdl_bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+        .orderBy(col("mdl_bin")),
+      None)
+  )
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ScoreOps
+import graft.operators.OutlierOps
+import graft.preprocess.EntropyMDL
+
+/** Semantics tests for the §2.10 scorers and the EntropyMDL discretizer
+  * (the one §2.8 strategy with no SQL oracle — rows-only in the driver,
+  * so its behavior is pinned here instead). */
+class ScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("EntropyMDL finds the separating cut on separable data") {
+    // class flips exactly at x=10: MDL must accept one cut near 10
+    val df = ((1 to 10).map(i => (i.toDouble, "a")) ++
+      (11 to 20).map(i => (i.toDouble, "b"))).toDF("x", "y")
+    val cuts = EntropyMDL.cuts(df, "x", "y")
+    assert(cuts.length == 1)
+    assert(cuts.head == 10.5)
+  }
+
+  test("EntropyMDL yields no cut when feature is uninformative") {
+    // class independent of x → every candidate split fails MDL
+    val df = (1 to 40).map(i => (i.toDouble, if (i % 2 == 0) "a" else "b"))
+      .toDF("x", "y")
+    assert(EntropyMDL.cuts(df, "x", "y").isEmpty)
+  }
+
+  test("EntropyMDL recurses: two class changes → two cuts") {
+    val df = ((1 to 10).map(i => (i.toDouble, "a")) ++
+      (11 to 20).map(i => (i.toDouble, "b")) ++
+      (21 to 30).map(i => (i.toDouble, "c"))).toDF("x", "y")
+    val cuts = EntropyMDL.cuts(df, "x", "y")
+    assert(cuts == Seq(10.5, 20.5))
+  }
+
+  test("EntropyMDL.discretize bins by the fitted cuts") {
+    val df = ((1 to 10).map(i => (i.toDouble, "a")) ++
+      (11 to 20).map(i => (i.toDouble, "b"))).toDF("x", "y")
+    val bins = EntropyMDL.discretize(df, "x", "y", "bin")
+      .groupBy("bin").count().orderBy("bin")
+      .as[(Int, Long)].collect()
+    assert(bins.toSeq == Seq((0, 10L), (1, 10L)))
+  }
+
+  test("chi2 is ~0 for independent feature and grows with dependence") {
+    val ind = (1 to 400).map(i => (s"f${i % 2}", s"c${i % 4 / 2}"))
+      .toDF("f", "c")
+    val chiInd = ScoreOps.chi2(ind, "f", "c").head()
+    assert(math.abs(chiInd.getDouble(0)) < 1e-9)
+    assert(chiInd.getLong(1) == 1L) // (2-1)*(2-1)
+    val dep = (1 to 400).map(i => (s"f${i % 2}", s"c${i % 2}")).toDF("f", "c")
+    assert(ScoreOps.chi2(dep, "f", "c").head().getDouble(0) > 100)
+  }
+
+  test("ANOVA F separates shifted groups") {
+    val df = ((1 to 50).map(i => (i % 7 * 0.1, "a")) ++
+      (1 to 50).map(i => (5.0 + i % 7 * 0.1, "b"))).toDF("x", "g")
+    val r = ScoreOps.anovaF(df, "x", "g").head()
+    assert(r.getDouble(0) > 1000) // huge between-group variance
+    assert(r.getLong(1) == 1L && r.getLong(2) == 98L)
+  }
+
+  test("symmetric uncertainty is 1 for a perfect predictor, ~0 for noise") {
+    val perfect = (1 to 100).map(i => (s"v${i % 3}", s"v${i % 3}"))
+      .toDF("f", "c")
+    val su = ScoreOps.symmetricUncertainty(perfect, col("f"), "f", "c").head()
+    assert(math.abs(su.getDouble(1) - 1.0) < 1e-9)
+    val noise = (1 to 360).map(i => (s"f${i % 3}", s"c${i % 4 / 2}"))
+      .toDF("f", "c")
+    val su2 = ScoreOps.symmetricUncertainty(noise, col("f"), "f", "c").head()
+    assert(math.abs(su2.getDouble(1)) < 1e-6)
+  }
+
+  test("LOF flags an isolated point higher than cluster members") {
+    val df = ((1 to 20).map(i => (i, i * 0.01)) :+ ((21, 100.0)))
+      .toDF("id", "v")
+    val lof = OutlierOps.lof1d(df, "id", "v", 3)
+      .orderBy(desc("lof")).as[(Int, Double)].collect()
+    assert(lof.head._1 == 21)      // the outlier has the top LOF
+    assert(lof.head._2 > 10)
+    assert(lof.last._2 < 2)        // deep cluster members near 1
+  }
+}
