@@ -2,11 +2,12 @@ package graft.ml
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{PCA, StandardScaler}
+import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier, LinearSVC, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.clustering.{BisectingKMeans, KMeans}
+import org.apache.spark.ml.feature.{PCA, StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.regression.LinearRegression
 
 /** MLlib adapters for the reference's learner inventory (SURVEY §2.11):
   * distributed training equivalents of Orange's sklearn-backed learners.
@@ -42,6 +43,89 @@ object MLlibLearners {
                          seed: Long = 42L): DataFrame = {
     val data = withFeatures(df, arrayCol)
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(data)
+    model.transform(data)
+      .groupBy(col("prediction").as("cluster"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Tabular features → vector + 0-based label index (alphabetical, so
+    * deterministic — StringIndexer by alphabetDesc would flip; use
+    * alphabetAsc). Shared prep for the tree-family learners. */
+  private def assembled(df: DataFrame, features: Seq[String],
+                        labelCol: String): DataFrame = {
+    val vec = new VectorAssembler().setInputCols(features.toArray)
+      .setOutputCol("features").transform(df)
+    new StringIndexer().setInputCol(labelCol).setOutputCol("label")
+      .setStringOrderType("alphabetAsc").fit(vec).transform(vec)
+  }
+
+  private def confusion(scored: DataFrame): DataFrame =
+    scored.groupBy(col("label"), col("prediction"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("prediction"))
+
+  /** DecisionTreeClassifier (reference Orange/classification/tree.py →
+    * MLlib distributed CART): confusion counts on the training set. */
+  def decisionTree(df: DataFrame, features: Seq[String], labelCol: String,
+                   maxDepth: Int = 5, seed: Long = 42L): DataFrame = {
+    val data = assembled(df, features, labelCol)
+    val model = new DecisionTreeClassifier()
+      .setMaxDepth(maxDepth).setSeed(seed).fit(data)
+    confusion(model.transform(data))
+  }
+
+  /** RandomForestClassifier (random_forest.py → MLlib). */
+  def randomForest(df: DataFrame, features: Seq[String], labelCol: String,
+                   numTrees: Int = 20, seed: Long = 42L): DataFrame = {
+    val data = assembled(df, features, labelCol)
+    val model = new RandomForestClassifier()
+      .setNumTrees(numTrees).setMaxDepth(5).setSeed(seed).fit(data)
+    confusion(model.transform(data))
+  }
+
+  /** GBTClassifier (gb.py/xgb → MLlib gradient-boosted trees); binary
+    * labels only. */
+  def gbt(df: DataFrame, features: Seq[String], labelCol: String,
+          maxIter: Int = 10, seed: Long = 42L): DataFrame = {
+    val data = assembled(df, features, labelCol)
+    val model = new GBTClassifier()
+      .setMaxIter(maxIter).setMaxDepth(3).setSeed(seed).fit(data)
+    confusion(model.transform(data))
+  }
+
+  /** LinearSVC (svm.py → MLlib linear SVM); binary labels only. */
+  def linearSvc(df: DataFrame, features: Seq[String],
+                labelCol: String): DataFrame = {
+    val data = assembled(df, features, labelCol)
+    val model = new LinearSVC().setMaxIter(30).setRegParam(0.01).fit(data)
+    confusion(model.transform(data))
+  }
+
+  /** LinearRegression (regression/linear.py → MLlib): returns the fitted
+    * coefficients + intercept + training RMSE, rounded — the normal-
+    * equation solver is deterministic for small feature counts. */
+  def linearRegression(df: DataFrame, features: Seq[String],
+                       labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = new VectorAssembler().setInputCols(features.toArray)
+      .setOutputCol("features")
+      .transform(df.withColumn("label", col(labelCol).cast("double")))
+    val model = new LinearRegression().setSolver("normal").fit(data)
+    val coefs = features.zip(model.coefficients.toArray)
+      .map { case (f, c) => (f, math.rint(c * 1e6) / 1e6) }
+    (coefs :+ (("__intercept", math.rint(model.intercept * 1e6) / 1e6))
+           :+ (("__rmse", math.rint(model.summary.rootMeanSquaredError * 1e4) / 1e4)))
+      .toDF("term", "value")
+  }
+
+  /** BisectingKMeans — MLlib's scalable divisive-hierarchical clustering,
+    * the distributed analogue of Orange/clustering/hierarchical.py. */
+  def bisectingKmeansOnEmbeddings(df: DataFrame, arrayCol: String, k: Int,
+                                  seed: Long = 42L): DataFrame = {
+    val data = withFeatures(df, arrayCol)
+    val model = new BisectingKMeans().setK(k).setSeed(seed).fit(data)
     model.transform(data)
       .groupBy(col("prediction").as("cluster"))
       .agg(count(lit(1)).as("size"))

@@ -102,6 +102,45 @@ object PreprocessOps {
     df.withColumn(s"${c}_defined", col(c).isNotNull.cast("int"))
       .withColumn(c, coalesce(col(c).cast("string"), lit(token)))
 
+  /** Model-based imputation (impute.py:176-260): a learner predicts the
+    * missing value from other columns; here the fitted model is the
+    * per-group conditional mean (Orange's default tree/majority learners
+    * reduce to exactly this for a single discrete predictor). Broadcast
+    * join of the tiny fitted table + coalesce — no shuffle of the fact
+    * side at scale. */
+  def imputeModelGroupMean(df: DataFrame, c: String, by: String,
+                           out: String): DataFrame = {
+    val fitted = df.groupBy(col(by))
+      .agg(exactMean(col(c)).as("__pred"))
+    df.join(broadcast(fitted), Seq(by), "left")
+      .withColumn(out, coalesce(col(c), col("__pred")))
+      .drop("__pred")
+  }
+
+  /** Random imputation (impute.py:325-390): missing values drawn from the
+    * column's empirical distribution — seeded inverse-CDF: u =
+    * hash32(key)/2³², pick the ⌈u·n⌉-th defined value in sorted order.
+    * The global row_number over defined values is the fixture-scale CDF;
+    * at 100 TB the same contract is served by an approx-quantile sketch
+    * (percentile_approx) instead of the exact ranking. */
+  def imputeRandom(df: DataFrame, c: String, key: Column,
+                   out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val defined = df.filter(col(c).isNotNull)
+      .select(col(c).as("__dv"), key.as("__dk"))
+      .withColumn("__idx",
+        row_number().over(Window.orderBy(col("__dv").asc, col("__dk").asc)))
+    val n = defined.agg(count(lit(1)).as("__ndef"))
+    val u = (hashVal32(concat(lit("imp_"), key)) + 0.5) / 4294967296.0
+    df.crossJoin(broadcast(n))
+      .withColumn("__pick",
+        when(col(c).isNull, floor(u * col("__ndef")).cast("long") + 1))
+      .join(broadcast(defined.select(col("__idx"), col("__dv"))),
+        col("__pick") === col("__idx"), "left")
+      .withColumn(out, coalesce(col(c), col("__dv")))
+      .drop("__pick", "__idx", "__dv", "__ndef")
+  }
+
   // --- Normalize / Scale (normalize.py, preprocess.py:261-356,467-545) ---
 
   /** Z-score standardization (center by mean, scale by sample SD). */

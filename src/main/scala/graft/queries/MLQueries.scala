@@ -145,6 +145,36 @@ object MLQueries {
 
     Q("ml_pca_embeddings", // MLlib PCA explained variance (rows-only)
       (s, d) => MLlibLearners.pcaExplainedVariance(
+        emb(s, d), "embedding", 5), None),
+
+    Q("ml_decision_tree", // tree.py → distributed CART (rows-only)
+      (s, d) => MLlibLearners.decisionTree(li(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        "l_linestatus"), None),
+
+    Q("ml_random_forest", // random_forest.py → MLlib RF (rows-only)
+      (s, d) => MLlibLearners.randomForest(li(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        "l_linestatus"), None),
+
+    Q("ml_gbt", // gb.py → MLlib gradient-boosted trees (rows-only)
+      (s, d) => MLlibLearners.gbt(li(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        "l_linestatus"), None),
+
+    Q("ml_linear_svc", // svm.py → MLlib linear SVM (rows-only)
+      (s, d) => MLlibLearners.linearSvc(li(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        "l_linestatus"), None),
+
+    Q("ml_linear_regression", // regression/linear.py → MLlib, normal-
+      // equation solver (deterministic); coefficients + RMSE (rows-only)
+      (s, d) => MLlibLearners.linearRegression(li(s, d),
+        Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice"), None),
+
+    Q("ml_bisecting_kmeans", // hierarchical.py → MLlib divisive
+      // hierarchical clustering over embeddings (rows-only)
+      (s, d) => MLlibLearners.bisectingKmeansOnEmbeddings(
         emb(s, d), "embedding", 5), None)
   )
 }

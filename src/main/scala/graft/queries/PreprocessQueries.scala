@@ -119,6 +119,58 @@ object PreprocessQueries {
              |  CASE WHEN o_orderstatus = 'P' THEN 0 ELSE 1 END AS status_defined
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    Q("impute_model", // Model-based impute (impute.py:176-260): the
+      // fitted model is the per-returnflag conditional mean.
+      (s, d) => {
+        val withNulls = li(s, d).withColumn("v",
+          when(col("l_tax") > 0.05, null).otherwise(col("l_discount")))
+        PreprocessOps.imputeModelGroupMean(withNulls, "v", "l_returnflag",
+            "imputed")
+          .select(col("l_orderkey"), col("l_linenumber"), col("imputed"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("imputed"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT l_orderkey, l_linenumber, l_returnflag,
+              |    CASE WHEN l_tax > 0.05 THEN NULL ELSE l_discount END AS v
+              |  FROM lineitem),
+              |fitted AS (SELECT l_returnflag, ${sqlMean("v")} AS p
+              |           FROM base GROUP BY 1)
+              |SELECT l_orderkey, l_linenumber, COALESCE(v, p) AS imputed
+              |FROM base JOIN fitted USING (l_returnflag)
+              |ORDER BY l_orderkey, l_linenumber, imputed""".stripMargin)),
+
+    Q("impute_random", // Random impute (impute.py:325-390): seeded draw
+      // from the empirical distribution via inverse CDF.
+      (s, d) => {
+        val withNulls = ord(s, d).withColumn("v",
+          when(col("o_orderstatus") === "P", null).otherwise(col("o_totalprice")))
+        PreprocessOps.imputeRandom(withNulls, "v", col("o_orderkey"),
+            "imputed")
+          .select(col("o_orderkey"), col("imputed"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some {
+        val h = hashVal32Sql("CONCAT('imp_', o_orderkey)")
+        s"""WITH base AS (
+           |  SELECT o_orderkey,
+           |    CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS v
+           |  FROM orders),
+           |defined AS (
+           |  SELECT v AS dv,
+           |    ROW_NUMBER() OVER (ORDER BY v ASC, o_orderkey ASC) AS idx
+           |  FROM base WHERE v IS NOT NULL),
+           |n AS (SELECT COUNT(*) AS ndef FROM defined),
+           |picked AS (
+           |  SELECT o_orderkey, v,
+           |    CASE WHEN v IS NULL THEN
+           |      CAST(FLOOR((($h + 0.5) / 4294967296.0) * ndef) AS BIGINT) + 1
+           |    END AS pick
+           |  FROM base CROSS JOIN n)
+           |SELECT p.o_orderkey, COALESCE(p.v, d.dv) AS imputed
+           |FROM picked p LEFT JOIN defined d ON d.idx = p.pick
+           |ORDER BY o_orderkey""".stripMargin
+      }),
+
     Q("normalize_zscore", // Normalize by SD (normalize.py:11-110)
       (s, d) => PreprocessOps.normalizeBySD(cust(s, d), "c_acctbal", "z")
         .select(col("c_custkey"), col("z"))

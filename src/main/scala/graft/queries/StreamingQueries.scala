@@ -95,6 +95,55 @@ object StreamingQueries {
       Some(s"""SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket_start,
               |  event_type, COUNT(*) AS n, ${sqlSum("value")} AS total_value
               |FROM events GROUP BY 1, 2
-              |ORDER BY bucket_start, event_type""".stripMargin))
+              |ORDER BY bucket_start, event_type""".stripMargin)),
+
+    Q("events_sliding_batch", // 10-min windows sliding by 5 min, batch
+      // plan: each event explodes into its size/slide = 2 windows.
+      (s, d) => {
+        val b = tsSec.cast("long") - pmod(tsSec, lit(300L))
+        ev(s, d).select(b.as("b"), col("event_type"), col("value"))
+          .withColumn("off", explode(array(lit(0L), lit(300L))))
+          .groupBy((col("b") - col("off")).as("bucket_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total_value"))
+          .orderBy(col("bucket_start"), col("event_type"))
+      },
+      Some(s"""SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 300) * 300 AS BIGINT) - s.off AS bucket_start,
+              |  event_type, COUNT(*) AS n, ${sqlSum("value")} AS total_value
+              |FROM events CROSS JOIN (VALUES (0), (300)) s(off)
+              |GROUP BY 1, 2
+              |ORDER BY bucket_start, event_type""".stripMargin)),
+
+    Q("stream_sliding_window", // Structured Streaming sliding window —
+      // same overlapping-window semantics via window(ts, size, slide).
+      (s, d) => graft.streaming.StreamOps
+        .slidingWindowAgg(s, d, "10 minutes", "5 minutes",
+          "stream_sliding_sink")
+        .orderBy(col("bucket_start"), col("event_type")),
+      Some(s"""SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 300) * 300 AS BIGINT) - s.off AS bucket_start,
+              |  event_type, COUNT(*) AS n, ${sqlSum("value")} AS total_value
+              |FROM events CROSS JOIN (VALUES (0), (300)) s(off)
+              |GROUP BY 1, 2
+              |ORDER BY bucket_start, event_type""".stripMargin)),
+
+    Q("stream_stateful_user_stats", // mapGroupsWithState custom state:
+      // per-user running count / exact total / max inter-event gap.
+      // Oracle = batch SQL twin (stream-batch equivalence).
+      (s, d) => graft.streaming.StreamOps
+        .statefulUserStats(s, d, "stream_stateful_sink")
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, value,
+             |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec
+             |  FROM events),
+             |w AS (
+             |  SELECT user_id, value,
+             |    tsec - LAG(tsec) OVER (PARTITION BY user_id
+             |      ORDER BY tsec ASC, event_id ASC) AS gap
+             |  FROM e)
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+             |  COALESCE(MAX(gap), 0) AS max_gap_s
+             |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -2,7 +2,18 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.core.Tables._
+
+/** Row/state types for StreamOps.statefulUserStats — top-level (not
+  * nested private) so Catalyst's generated encoders can reach them. */
+case class Ev(event_id: Long, user_id: Long, tsec: Long, value: Double)
+/** Per-key state: counts, exact decimal total (scale 6, mirroring
+  * Tables.exactSum), max gap, and the last event time so gaps span
+  * micro-batch boundaries. */
+case class UserState(n: Long, total: BigDecimal, maxGap: Long, lastT: Long)
+case class UserAgg(user_id: Long, n_events: Long, total_value: Double,
+                   max_gap_s: Long)
 
 /** Structured Streaming versions of the engine's aggregation operators
   * (SURVEY §2.12 — additive over the reference, which has no streaming).
@@ -39,6 +50,78 @@ object StreamOps {
               col("event_type"), col("n"), col("total_value"))
     val q = stream.writeStream
       .format("memory").queryName(sinkName).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
+  /** Overlapping sliding windows (size > slide ⇒ each event lands in
+    * size/slide windows). Same drain-to-memory harness as above; the
+    * oracle checks the equivalent batch explode. */
+  def slidingWindowAgg(spark: SparkSession, sfDir: String,
+                       size: String, slide: String,
+                       sinkName: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+              col("event_type"), col("n"), col("total_value"))
+    val q = stream.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
+
+  /** Arbitrary stateful aggregation via mapGroupsWithState (SURVEY §2.12,
+    * KeyValueGroupedDataset custom state): per-user running event count,
+    * value total, and max inter-event gap. State is one small record per
+    * key — at scale it lives in the state store, partitioned by user_id,
+    * evicted by timeout; the batch fixture drains in one trigger so each
+    * key emits exactly one final row. The oracle is the batch SQL twin
+    * (stream-batch equivalence). Values are summed in event-time order
+    * inside each group (sorted in-memory per key per batch), so the
+    * double total is deterministic; gaps are exact integer seconds. */
+  def statefulUserStats(spark: SparkSession, sfDir: String,
+                        sinkName: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("tsec"), col("value"))
+      .as[Ev]
+
+    val updated = events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserAgg](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[UserState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsec, e.event_id))
+          val prev = state.getOption
+            .getOrElse(UserState(0L, BigDecimal(0), 0L, -1L))
+          var n = prev.n
+          var tot = prev.total
+          var maxGap = prev.maxGap
+          var lastT = prev.lastT
+          sorted.foreach { e =>
+            if (lastT >= 0 && e.tsec - lastT > maxGap) maxGap = e.tsec - lastT
+            lastT = e.tsec
+            n += 1
+            // per-event DECIMAL(38,6) rounding = exactSum's semantics
+            tot += BigDecimal(e.value)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          }
+          state.update(UserState(n, tot, maxGap, lastT))
+          UserAgg(uid, n, tot.toDouble, maxGap)
+      }
+
+    val q = updated.toDF().writeStream
+      .format("memory").queryName(sinkName).outputMode(OutputMode.Update())
+      .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(sinkName)
   }
