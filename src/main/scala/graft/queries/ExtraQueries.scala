@@ -139,6 +139,69 @@ object ExtraQueries {
            |  ROW_NUMBER() OVER (ORDER BY info_gain DESC, feature) AS rank
            |FROM (${parts.mkString("\nUNION ALL\n")})
            |ORDER BY rank""".stripMargin
-      })
+      }),
+
+    Q("edit_domain_recode", // oweditdomain.py: rename variable + recode
+      // values via the compute_value Mapping transform.
+      (s, d) => {
+        import graft.core.ComputeValue._
+        val ord = Tables.load(s, d, "orders")
+        domainTransform(ord, Seq(
+            Derived("okey", Identity("o_orderkey")),
+            Derived("priority", Mapping("o_orderpriority", Map(
+              "1-URGENT" -> "urgent", "2-HIGH" -> "high",
+              "3-MEDIUM" -> "medium"), Some("other")))))
+          .groupBy(col("priority")).agg(count(lit(1)).as("n"),
+            min(col("okey")).as("min_key"))
+          .orderBy(col("priority"))
+      },
+      Some("""SELECT CASE o_orderpriority
+             |  WHEN '1-URGENT' THEN 'urgent' WHEN '2-HIGH' THEN 'high'
+             |  WHEN '3-MEDIUM' THEN 'medium' ELSE 'other' END AS priority,
+             |  COUNT(*) AS n, MIN(o_orderkey) AS min_key
+             |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin)),
+
+    Q("correlation_tstat", // owcorrelations.py:266 pairwise Pearson + the
+      // t statistic t = r·sqrt((n−2)/(1−r²)) feeding its p-values.
+      (s, d) => {
+        val pairs = Seq(
+          ("l_quantity", "l_extendedprice"),
+          ("l_quantity", "l_discount"),
+          ("l_extendedprice", "l_tax"))
+        pairs.map { case (x, y) =>
+          li(s, d).agg(
+            lit(s"$x~$y").as("pair"),
+            round(exactCorr(col(x), col(y)), 6).as("r"),
+            round(exactCorr(col(x), col(y)) *
+              sqrt((count(lit(1)) - 2) /
+                (lit(1.0) - exactCorr(col(x), col(y)) * exactCorr(col(x), col(y)))),
+              4).as("t_stat"))
+        }.reduce(_.unionByName(_)).orderBy(col("pair"))
+      },
+      Some {
+        def block(x: String, y: String) =
+          s"""SELECT '$x~$y' AS pair,
+             |  ROUND(${sqlCorr(x, y)}, 6) AS r,
+             |  ROUND(${sqlCorr(x, y)} * SQRT((COUNT(*) - 2) /
+             |    (1.0 - ${sqlCorr(x, y)} * ${sqlCorr(x, y)})), 4) AS t_stat
+             |FROM lineitem""".stripMargin
+        Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+          ("l_extendedprice", "l_tax"))
+          .map { case (x, y) => block(x, y) }
+          .mkString("", "\nUNION ALL\n", "\nORDER BY pair")
+      }),
+
+    Q("outliers_isolation_forest", // outlier_detection.py IsolationForest:
+      // driver fit on ψ-subsamples (the algorithm's own design),
+      // broadcast ensemble, distributed scoring. RNG-dependent → rows-only;
+      // semantics pinned in ScoringSpec.
+      (s, d) => graft.ml.IsolationForest.scoreColumn(
+          li(s, d), Seq("l_quantity", "l_extendedprice"), "l_orderkey",
+          "if_score")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("if_score"), 6).as("if_score"))
+        .orderBy(col("if_score").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20),
+      None)
   )
 }

@@ -126,6 +126,15 @@ object StreamingQueries {
               |GROUP BY 1, 2
               |ORDER BY bucket_start, event_type""".stripMargin)),
 
+    Q("stream_dedup_distinct", // streaming dropDuplicates state →
+      // distinct users per event type; oracle = batch COUNT(DISTINCT).
+      (s, d) => graft.streaming.StreamOps
+        .streamingDedupCounts(s, d, "stream_dedup_sink")
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     Q("stream_stateful_user_stats", // mapGroupsWithState custom state:
       // per-user running count / exact total / max inter-event gap.
       // Oracle = batch SQL twin (stream-batch equivalence).

@@ -77,6 +77,25 @@ object StreamOps {
   }
 
 
+  /** Streaming exact deduplication (dropDuplicates keyed state) feeding a
+    * per-type distinct-user count. At scale the dedup state is bounded by
+    * `withWatermark` + key expiry; the fixture drain keeps all state. */
+  def streamingDedupCounts(spark: SparkSession, sfDir: String,
+                           sinkName: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+    val q = stream.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** Arbitrary stateful aggregation via mapGroupsWithState (SURVEY §2.12,
     * KeyValueGroupedDataset custom state): per-user running event count,
     * value total, and max inter-event gap. State is one small record per

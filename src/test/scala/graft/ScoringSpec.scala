@@ -73,6 +73,17 @@ class ScoringSpec extends SparkSpec {
     assert(math.abs(su2.getDouble(1)) < 1e-6)
   }
 
+  test("isolation forest scores an isolated point highest") {
+    val df = ((1 to 200).map(i => (i, (i % 10) * 0.1, (i % 7) * 0.1)) :+
+      ((201, 50.0, 50.0))).toDF("id", "x", "y")
+    val scored = graft.ml.IsolationForest
+      .scoreColumn(df, Seq("x", "y"), "id", "s", nTrees = 50)
+      .orderBy(desc("s")).select("id", "s").as[(Int, Double)].collect()
+    assert(scored.head._1 == 201) // the far point isolates first
+    assert(scored.head._2 > 0.6)  // canonical outlier threshold
+    assert(scored.last._2 < 0.6)  // cluster members below it
+  }
+
   test("LOF flags an isolated point higher than cluster members") {
     val df = ((1 to 20).map(i => (i, i * 0.01)) :+ ((21, 100.0)))
       .toDF("id", "v")
