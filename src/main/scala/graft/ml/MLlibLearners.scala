@@ -77,7 +77,7 @@ object MLlibLearners {
 
   /** RandomForestClassifier (random_forest.py → MLlib). */
   def randomForest(df: DataFrame, features: Seq[String], labelCol: String,
-                   numTrees: Int = 20, seed: Long = 42L): DataFrame = {
+                   numTrees: Int = 10, seed: Long = 42L): DataFrame = {
     val data = assembled(df, features, labelCol)
     val model = new RandomForestClassifier()
       .setNumTrees(numTrees).setMaxDepth(5).setSeed(seed).fit(data)
@@ -87,7 +87,7 @@ object MLlibLearners {
   /** GBTClassifier (gb.py/xgb → MLlib gradient-boosted trees); binary
     * labels only. */
   def gbt(df: DataFrame, features: Seq[String], labelCol: String,
-          maxIter: Int = 10, seed: Long = 42L): DataFrame = {
+          maxIter: Int = 5, seed: Long = 42L): DataFrame = {
     val data = assembled(df, features, labelCol)
     val model = new GBTClassifier()
       .setMaxIter(maxIter).setMaxDepth(3).setSeed(seed).fit(data)
@@ -98,7 +98,7 @@ object MLlibLearners {
   def linearSvc(df: DataFrame, features: Seq[String],
                 labelCol: String): DataFrame = {
     val data = assembled(df, features, labelCol)
-    val model = new LinearSVC().setMaxIter(30).setRegParam(0.01).fit(data)
+    val model = new LinearSVC().setMaxIter(15).setRegParam(0.01).fit(data)
     confusion(model.transform(data))
   }
 

@@ -197,7 +197,7 @@ object ExtraQueries {
       // semantics pinned in ScoringSpec.
       (s, d) => graft.ml.IsolationForest.scoreColumn(
           li(s, d), Seq("l_quantity", "l_extendedprice"), "l_orderkey",
-          "if_score")
+          "if_score", nTrees = 50)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("if_score"), 6).as("if_score"))
         .orderBy(col("if_score").desc, col("l_orderkey"), col("l_linenumber"))

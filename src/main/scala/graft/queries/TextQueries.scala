@@ -121,6 +121,16 @@ object TextQueries {
               |WHERE n_inter >= 2
               |ORDER BY id1, id2""".stripMargin)),
 
+    Q("dedup_minhash_lsh_fast", // scale-path MinHash: xxhash64 shingle
+      // hashing (codegen-native) instead of oracle-portable md5 — same
+      // banding; rows-only (no xxhash64 in DuckDB). BENCH shows the
+      // md5-vs-xxhash64 delta directly.
+      (s, d) => DedupOps.minhashCandidates(
+          DedupOps.minhashSignaturesFast(docs(s, d), "doc_id", "text", 3),
+          "doc_id", bands = 8, rows = 2)
+        .orderBy(col("id1"), col("id2")),
+      None),
+
     Q("dedup_minhash_lsh", // MinHash signatures + LSH band candidates
       (s, d) => DedupOps.minhashCandidates(
           DedupOps.minhashSignatures(docs(s, d), "doc_id", "text", 3),

@@ -77,15 +77,29 @@ object DedupOps {
     (866421487L, 256203161L),(987514139L, 275604541L))
 
   /** Per-doc MinHash signature: k min-hash columns m0..m{k-1} in ONE
-    * aggregation over the exploded shingle table. */
-  def minhashSignatures(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    * aggregation over the exploded shingle table. `hasher` maps the
+    * shingle string to a 32-bit-range integer. */
+  def minhashSignaturesWith(df: DataFrame, id: String, text: String, n: Int,
+                            hasher: Column => Column): DataFrame = {
     val sh = shingleTable(df, id, text, n)
-      .withColumn("__h", hashVal32(col("shingle")))
+      .withColumn("__h", hasher(col("shingle")))
     val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("__h") * a + b, lit(MinhashP))).as(s"m$j")
     }
     sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Oracle-portable variant: md5-derived 32-bit hash (matches the DuckDB
+    * twin bit-for-bit, but pays md5's per-shingle cost). */
+  def minhashSignatures(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    minhashSignaturesWith(df, id, text, n, hashVal32)
+
+  /** Scale-path variant: xxhash64 (whole-stage-codegen native, no string
+    * md5) folded into the 32-bit range. Same banding downstream; not
+    * SQL-oracle-portable (DuckDB has no xxhash64) → rows-only check. */
+  def minhashSignaturesFast(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    minhashSignaturesWith(df, id, text, n,
+      c => pmod(xxhash64(c), lit(4294967296L)))
 
   /** LSH banding: b bands × r rows (b·r = 16). Docs sharing any band
     * signature become candidate pairs. Returns distinct (id1 < id2).
