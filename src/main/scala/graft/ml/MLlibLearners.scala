@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier, LinearSVC, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier, LinearSVC, LogisticRegression, MultilayerPerceptronClassifier, RandomForestClassifier}
 import org.apache.spark.ml.clustering.{BisectingKMeans, KMeans}
 import org.apache.spark.ml.feature.{PCA, StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.ml.functions.array_to_vector
@@ -118,6 +118,20 @@ object MLlibLearners {
     (coefs :+ (("__intercept", math.rint(model.intercept * 1e6) / 1e6))
            :+ (("__rmse", math.rint(model.summary.rootMeanSquaredError * 1e4) / 1e4)))
       .toDF("term", "value")
+  }
+
+  /** MultilayerPerceptronClassifier (neural_network.py MLP → MLlib):
+    * input width read from the data, hidden layers as given. */
+  def mlpOnEmbeddings(df: DataFrame, arrayCol: String, labelCol: String,
+                      hidden: Seq[Int], seed: Long = 42L): DataFrame = {
+    val data = withFeatures(df, arrayCol)
+      .withColumn("label", col(labelCol).cast("double"))
+    val nIn = data.select("features").head.getAs[Vector](0).size
+    val nOut = data.select(countDistinct(col("label"))).head.getLong(0).toInt
+    val layers = (nIn +: hidden :+ nOut).toArray
+    val model = new MultilayerPerceptronClassifier()
+      .setLayers(layers).setSeed(seed).setMaxIter(30).fit(data)
+    confusion(model.transform(data))
   }
 
   /** BisectingKMeans — MLlib's scalable divisive-hierarchical clustering,

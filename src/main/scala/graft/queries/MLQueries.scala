@@ -175,6 +175,94 @@ object MLQueries {
     Q("ml_bisecting_kmeans", // hierarchical.py → MLlib divisive
       // hierarchical clustering over embeddings (rows-only)
       (s, d) => MLlibLearners.bisectingKmeansOnEmbeddings(
-        emb(s, d), "embedding", 5), None)
+        emb(s, d), "embedding", 5), None),
+
+    Q("ml_mlp_embeddings", // neural_network.py MLP → MLlib (rows-only)
+      (s, d) => MLlibLearners.mlpOnEmbeddings(
+        emb(s, d), "embedding", "label", Seq(16)), None),
+
+    Q("ml_dbscan_1d", // clustering/dbscan.py — exact 1-D DBSCAN as
+      // range-frame window algebra (no pair join); eps=10, minPts=3.
+      (s, d) => graft.ml.Clustering
+        .dbscan1d(Tables.load(s, d, "customer").select(
+          col("c_custkey").as("id"), col("c_acctbal").as("v")),
+          "id", "v", 10.0, 3)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"), sum(col("is_core")).as("n_core"))
+        .orderBy(col("cluster")),
+      Some("""WITH base AS (SELECT c_custkey AS id, c_acctbal AS v FROM customer),
+             |f AS (SELECT id, v,
+             |  COUNT(*) OVER (ORDER BY v RANGE BETWEEN 10.0 PRECEDING
+             |                 AND 10.0 FOLLOWING) AS n_nbr
+             |  FROM base),
+             |g AS (SELECT id, v, n_nbr,
+             |  CASE WHEN n_nbr >= 3 THEN 1 ELSE 0 END AS is_core,
+             |  LAST_VALUE(CASE WHEN n_nbr >= 3 THEN v END IGNORE NULLS) OVER
+             |    (ORDER BY v ASC, id ASC
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pcb
+             |  FROM f),
+             |h AS (SELECT *, CASE WHEN is_core = 1
+             |    AND (pcb IS NULL OR v - pcb > 10.0) THEN 1 ELSE 0 END AS brk
+             |  FROM g),
+             |i AS (SELECT *, CASE WHEN is_core = 1 THEN
+             |    SUM(brk) OVER (ORDER BY v ASC, id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+             |  END AS core_cluster FROM h),
+             |j AS (SELECT *,
+             |  LAST_VALUE(CASE WHEN is_core = 1 THEN v END IGNORE NULLS) OVER wp AS prev_v,
+             |  LAST_VALUE(core_cluster IGNORE NULLS) OVER wp AS prev_cl,
+             |  FIRST_VALUE(CASE WHEN is_core = 1 THEN v END IGNORE NULLS) OVER wn AS next_v,
+             |  FIRST_VALUE(core_cluster IGNORE NULLS) OVER wn AS next_cl
+             |  FROM i
+             |  WINDOW wp AS (ORDER BY v ASC, id ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wn AS (ORDER BY v ASC, id ASC
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+             |assigned AS (SELECT v, is_core,
+             |  CASE WHEN is_core = 1 THEN core_cluster
+             |    WHEN prev_v IS NOT NULL AND v - prev_v <= 10.0
+             |      AND (next_v IS NULL OR next_v - v > 10.0
+             |           OR v - prev_v <= next_v - v) THEN prev_cl
+             |    WHEN next_v IS NOT NULL AND next_v - v <= 10.0 THEN next_cl
+             |    ELSE -1 END AS cluster
+             |  FROM j)
+             |SELECT cluster, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi,
+             |  SUM(is_core) AS n_core
+             |FROM assigned GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    Q("ml_cn2_best_rule", // rules.py CN2: Laplace-accuracy evaluation of
+      // every single-condition rule, top-5.
+      (s, d) => graft.ml.Rules.bestRules(
+        li(s, d).withColumn("qty_bin",
+          floor(col("l_quantity") / 10).cast("string")),
+        Seq("l_returnflag", "qty_bin"), "l_linestatus", 5),
+      Some("""WITH base AS (
+             |  SELECT l_returnflag AS f1,
+             |    CAST(CAST(FLOOR(l_quantity / 10) AS BIGINT) AS VARCHAR) AS f2,
+             |    l_linestatus AS c
+             |  FROM lineitem),
+             |kc AS (SELECT COUNT(DISTINCT c) AS k_cls FROM base),
+             |cand AS (
+             |  SELECT 'l_returnflag' AS feature, f1 AS value, c, COUNT(*) AS nc
+             |  FROM base GROUP BY 2, 3
+             |  UNION ALL
+             |  SELECT 'qty_bin', f2, c, COUNT(*) FROM base GROUP BY 2, 3),
+             |scored AS (
+             |  SELECT feature, value, c, nc,
+             |    CAST(SUM(nc) OVER (PARTITION BY feature, value) AS BIGINT) AS covered,
+             |    ROW_NUMBER() OVER (PARTITION BY feature, value
+             |      ORDER BY nc DESC, c ASC) AS rn
+             |  FROM cand),
+             |rules AS (
+             |  SELECT feature, value, c AS predicted, nc AS n_correct, covered,
+             |    ROUND((nc + 1) / ((covered + k_cls) * 1.0), 6) AS laplace
+             |  FROM scored CROSS JOIN kc WHERE rn = 1)
+             |SELECT * FROM (
+             |  SELECT feature, value, predicted, n_correct, covered, laplace,
+             |    ROW_NUMBER() OVER (ORDER BY laplace DESC, feature ASC,
+             |      value ASC) AS rank
+             |  FROM rules)
+             |WHERE rank <= 5 ORDER BY rank""".stripMargin))
   )
 }

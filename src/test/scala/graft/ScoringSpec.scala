@@ -84,6 +84,19 @@ class ScoringSpec extends SparkSpec {
     assert(scored.last._2 < 0.6)  // cluster members below it
   }
 
+  test("1-D DBSCAN separates two dense blobs and marks isolated noise") {
+    // blob A: 1.0–1.9 (10 pts), blob B: 50.0–50.9 (10 pts), noise: 200.0
+    val pts = (1 to 10).map(i => (i, 1.0 + i * 0.1)) ++
+      (11 to 20).map(i => (i, 50.0 + (i - 10) * 0.1)) :+ ((21, 200.0))
+    val out = graft.ml.Clustering
+      .dbscan1d(pts.toDF("id", "v"), "id", "v", eps = 1.0, minPts = 3)
+      .select("id", "cluster").as[(Int, Long)].collect().toMap
+    assert(out(1) == out(10) && out(1) >= 0)    // blob A one cluster
+    assert(out(11) == out(20) && out(11) >= 0)  // blob B one cluster
+    assert(out(1) != out(11))                   // distinct clusters
+    assert(out(21) == -1)                       // isolated point = noise
+  }
+
   test("LOF flags an isolated point higher than cluster members") {
     val df = ((1 to 20).map(i => (i, i * 0.01)) :+ ((21, 100.0)))
       .toDF("id", "v")
