@@ -231,6 +231,50 @@ object MLQueries {
              |  SUM(is_core) AS n_core
              |FROM assigned GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
+    Q("ml_lda_projection", // projection/lda.py — Fisher discriminant,
+      // 2-class closed form from one conditional-aggregation pass.
+      (s, d) => graft.ml.LDA2.fisher2(
+        Tables.load(s, d, "customer"), "c_acctbal", "c_nationkey",
+        "c_mktsegment", "AUTOMOBILE", "BUILDING"),
+      Some {
+        def cs(cls: String, v: String) =
+          sqlSum(s"CASE WHEN c_mktsegment = '$cls' THEN $v END")
+        def cn(cls: String) =
+          s"COUNT(CASE WHEN c_mktsegment = '$cls' THEN 1 END)"
+        s"""WITH stats AS (SELECT
+           |  ${cs("AUTOMOBILE", "c_acctbal")} AS sxa,
+           |  ${cs("AUTOMOBILE", "c_nationkey")} AS sya,
+           |  ${cs("AUTOMOBILE", "c_acctbal * c_acctbal")} AS sxxa,
+           |  ${cs("AUTOMOBILE", "c_acctbal * c_nationkey")} AS sxya,
+           |  ${cs("AUTOMOBILE", "c_nationkey * c_nationkey")} AS syya,
+           |  ${cn("AUTOMOBILE")} AS na,
+           |  ${cs("BUILDING", "c_acctbal")} AS sxb,
+           |  ${cs("BUILDING", "c_nationkey")} AS syb,
+           |  ${cs("BUILDING", "c_acctbal * c_acctbal")} AS sxxb,
+           |  ${cs("BUILDING", "c_acctbal * c_nationkey")} AS sxyb,
+           |  ${cs("BUILDING", "c_nationkey * c_nationkey")} AS syyb,
+           |  ${cn("BUILDING")} AS nb
+           |  FROM customer
+           |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),
+           |m AS (SELECT *,
+           |  sxa / na AS muax, sya / na AS muay,
+           |  sxb / nb AS mubx, syb / nb AS muby,
+           |  (sxxa - sxa * sxa / na) + (sxxb - sxb * sxb / nb) AS sxx,
+           |  (sxya - sxa * sya / na) + (sxyb - sxb * syb / nb) AS sxy,
+           |  (syya - sya * sya / na) + (syyb - syb * syb / nb) AS syy
+           |  FROM stats),
+           |w AS (SELECT *, sxx * syy - sxy * sxy AS det,
+           |  mubx - muax AS d1, muby - muay AS d2 FROM m),
+           |f AS (SELECT *,
+           |  (syy * d1 - sxy * d2) / det AS w1,
+           |  (sxx * d2 - sxy * d1) / det AS w2 FROM w)
+           |SELECT ROUND(w1, 8) AS w1, ROUND(w2, 8) AS w2,
+           |  ROUND(w1 * muax + w2 * muay, 6) AS proj_a,
+           |  ROUND(w1 * mubx + w2 * muby, 6) AS proj_b,
+           |  ROUND(w1 * d1 + w2 * d2, 6) AS separation
+           |FROM f""".stripMargin
+      }),
+
     Q("ml_cn2_best_rule", // rules.py CN2: Laplace-accuracy evaluation of
       // every single-condition rule, top-5.
       (s, d) => graft.ml.Rules.bestRules(
