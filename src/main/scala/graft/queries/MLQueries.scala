@@ -231,6 +231,17 @@ object MLQueries {
              |  SUM(is_core) AS n_core
              |FROM assigned GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
+    Q("ml_mds_sampled", // manifold.py:119 MDS — classical scaling on a
+      // deterministic 200-point sample (survey: driver-side, sampled,
+      // non-goal at full scale). Rows-only: eigensolver output.
+      (s, d) => graft.ml.Manifold.mdsSampled(
+        emb(s, d), "vec_id", "embedding", 200), None),
+
+    Q("ml_cur_leverage", // cur.py:13 — CUR column selection via PCA
+      // leverage scores (MLlib covariance/PCA distributed). Rows-only.
+      (s, d) => graft.ml.Manifold.curLeverage(
+        emb(s, d), "embedding", 5), None),
+
     Q("ml_lda_projection", // projection/lda.py — Fisher discriminant,
       // 2-class closed form from one conditional-aggregation pass.
       (s, d) => graft.ml.LDA2.fisher2(

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: the properties the 100 TB configuration
+  * depends on — pushdown, pruning, broadcast joins, partial aggregation —
+  * asserted on the executed plans so a refactor can't silently trade
+  * them away. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    // other suites may have cached fixture tables (turning scans into
+    // InMemoryTableScan); these assertions are about the cold plan
+    spark.catalog.clearCache()
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  test("flagship entry: filter pushed to parquet scan + pruned schema") {
+    spark.catalog.clearCache()
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,5.0)]"))
+    // only the 5 needed columns are read, not all 11 (plan text truncates
+    // the schema string, so check the prefix + absence of pruned cols)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double"))
+    assert(!p.contains("l_orderkey") && !p.contains("l_shipdate"))
+  }
+
+  test("3-way join broadcasts both dimension sides (no fact shuffle)") {
+    val p = plan("join_inner_3way")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("group-by aggregations are partial (map-side combine)") {
+    val p = plan("groupby_17agg")
+    assert(p.contains("partial_"))
+  }
+
+  test("neighbors join broadcasts the small query side") {
+    val p = plan("neighbors_knn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("filter tree reaches the scan as pushed predicates") {
+    val p = plan("filter_continuous")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan"))
+  }
+}
