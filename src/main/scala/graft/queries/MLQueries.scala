@@ -231,6 +231,20 @@ object MLQueries {
              |  SUM(is_core) AS n_core
              |FROM assigned GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
+    Q("ml_louvain_lpa", // louvain.py:103 — kNN graph from embeddings +
+      // label-propagation communities (modularity refinement round 2).
+      // Deterministic but 5-round-iterative → rows-only; CommunitySpec
+      // pins the semantics.
+      (s, d) => {
+        val e = emb(s, d).filter(col("vec_id") < 500)
+        val graph = graft.ml.Community.knnGraph(e, "vec_id", "embedding", 5)
+        graft.ml.Community.labelPropagation(graph, "src", "dst", 5)
+          .groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("size"))
+          .filter(col("size") >= 3)
+          .orderBy(col("community"))
+      }, None),
+
     Q("ml_mds_sampled", // manifold.py:119 MDS — classical scaling on a
       // deterministic 200-point sample (survey: driver-side, sampled,
       // non-goal at full scale). Rows-only: eigensolver output.
