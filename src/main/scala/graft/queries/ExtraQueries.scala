@@ -141,6 +141,41 @@ object ExtraQueries {
            |ORDER BY rank""".stripMargin
       }),
 
+    Q("groupby_weighted", // §1.1 weights W: weighted mean/sum/count per
+      // group (statistics/util.py weighted kernels; W = l_quantity here).
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          exactSum(col("l_extendedprice") * col("l_quantity")).as("wsum"),
+          exactSum(col("l_quantity")).as("wtotal"),
+          (exactSum(col("l_extendedprice") * col("l_quantity")) /
+            exactSum(col("l_quantity"))).as("wmean"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""SELECT l_returnflag,
+              |  ${sqlSum("l_extendedprice * l_quantity")} AS wsum,
+              |  ${sqlSum("l_quantity")} AS wtotal,
+              |  ${sqlSum("l_extendedprice * l_quantity")} / ${sqlSum("l_quantity")} AS wmean,
+              |  COUNT(*) AS n
+              |FROM lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)),
+
+    Q("hconcat_zip", // table.py:1416-1439 horizontal concat: zip columns
+      // of two equal-length tables by stable row id (here the shared key).
+      (s, d) => {
+        val left = Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("__id"), col("c_name"), col("c_acctbal"))
+        val right = Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("__id"),
+            col("c_mktsegment"), col("c_nationkey"))
+        left.join(right, "__id")
+          .orderBy(col("__id"))
+      },
+      Some("""SELECT a.c_custkey AS __id, a.c_name, a.c_acctbal,
+             |  b.c_mktsegment, b.c_nationkey
+             |FROM customer a JOIN customer b ON a.c_custkey = b.c_custkey
+             |ORDER BY __id""".stripMargin)),
+
     Q("edit_domain_recode", // oweditdomain.py: rename variable + recode
       // values via the compute_value Mapping transform.
       (s, d) => {
