@@ -69,4 +69,95 @@ object Clustering {
       .drop("core_break", "core_cluster",
         "prev_v", "prev_cl", "next_v", "next_cl")
   }
+
+  /** N-dimensional DBSCAN via grid-cell bucketing — the scale path.
+    *
+    * Cells of side eps bound the neighbor search: a point's eps-ball only
+    * intersects its 3^d adjacent cells, so the pair table is an equi-join
+    * on cell id (each point exploded to its 3^d neighbor cells, joined
+    * against points bucketed by their own cell) — candidates per point are
+    * bounded by local density, never O(n²). Core flags are one
+    * aggregation; clusters are connected components of the core-core
+    * eps-graph via min-label propagation to fixpoint (each round = one
+    * join + one aggregation, lineage cut by localCheckpoint); borders
+    * adopt the smallest core cluster within eps (the standard
+    * deterministic resolution of DBSCAN's border ambiguity).
+    *
+    * Cluster ids are min core point ids (stable, deterministic). The
+    * 1-D specialization above is the oracle-checked twin; ClusteringSpec
+    * asserts both produce the same partition on 1-D data. */
+  def dbscanGrid(df: DataFrame, id: String, features: Seq[String],
+                 eps: Double, minPts: Int): DataFrame = {
+    val pts = df.select(col(id).as("pid") +:
+      features.zipWithIndex.map { case (f, i) => col(f).as(s"x$i") }: _*)
+
+    val cellCols = features.indices.map(i =>
+      floor(col(s"x$i") / eps).cast("long").as(s"c$i"))
+    val byCell = pts.select(col("pid") +:
+      features.indices.map(i => col(s"x$i")) ++: cellCols: _*)
+
+    // explode each point to its 3^d neighbor cells
+    val offsets = features.indices.foldLeft(Seq(Seq.empty[Int])) {
+      (acc, _) => acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _)) }
+    val nbrCellRows = byCell.withColumn("__off",
+        explode(array(offsets.map(o =>
+          struct(o.zipWithIndex.map { case (d, i) =>
+            (col(s"c$i") + d).as(s"n$i") }: _*)): _*)))
+    val probe = nbrCellRows.select(
+      col("pid").as("a_id") +:
+        features.indices.map(i => col(s"x$i").as(s"a$i")) ++:
+        features.indices.map(i => col(s"__off.n$i").as(s"c$i")): _*)
+    val build = byCell.select(
+      col("pid").as("b_id") +:
+        features.indices.map(i => col(s"x$i").as(s"b$i")) ++:
+        features.indices.map(i => col(s"c$i")): _*)
+
+    val dist2 = features.indices.map(i =>
+      (col(s"a$i") - col(s"b$i")) * (col(s"a$i") - col(s"b$i")))
+      .reduce(_ + _)
+    val pairs = probe.join(build, features.indices.map(i => s"c$i"))
+      .filter(col("a_id") =!= col("b_id") && dist2 <= eps * eps)
+      .select(col("a_id"), col("b_id")).cache()
+
+    val nbrCounts = pairs.groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_other"))
+    val flags = pts.join(nbrCounts, pts("pid") === nbrCounts("a_id"), "left")
+      .select(col("pid"),
+        ((coalesce(col("n_other"), lit(0L)) + 1) >= minPts).cast("int")
+          .as("is_core")).cache()
+
+    // connected components over core-core edges: min-label propagation
+    val cores = flags.filter(col("is_core") === 1).select(col("pid"))
+    val coreEdges = pairs
+      .join(cores.withColumnRenamed("pid", "a_id"), "a_id")
+      .join(cores.withColumnRenamed("pid", "b_id"), "b_id").cache()
+    var labels = cores.withColumn("lbl", col("pid"))
+    var changed = 1L
+    while (changed > 0) {
+      val prop = coreEdges
+        .join(labels.select(col("pid").as("b_id"), col("lbl").as("nl")), "b_id")
+        .groupBy(col("a_id")).agg(min(col("nl")).as("minl"))
+      val next = labels
+        .join(prop.select(col("a_id").as("pid"), col("minl")), Seq("pid"), "left")
+        .select(col("pid"), least(col("lbl"), coalesce(col("minl"), col("lbl")))
+          .as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "pid")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+
+    // border points adopt the smallest core cluster within eps
+    val borderLbl = pairs
+      .join(labels.select(col("pid").as("b_id"), col("lbl")), "b_id")
+      .groupBy(col("a_id")).agg(min(col("lbl")).as("border_lbl"))
+    val out = flags
+      .join(labels.select(col("pid"), col("lbl")), Seq("pid"), "left")
+      .join(borderLbl.withColumnRenamed("a_id", "pid"), Seq("pid"), "left")
+      .select(col("pid").as(id), col("is_core"),
+        when(col("is_core") === 1, col("lbl"))
+          .otherwise(coalesce(col("border_lbl"), lit(-1L))).as("cluster"))
+    pairs.unpersist(); coreEdges.unpersist()
+    out
+  }
 }

@@ -300,6 +300,19 @@ object MLQueries {
            |FROM f""".stripMargin
       }),
 
+    Q("ml_dbscan_grid_2d", // N-D DBSCAN scale path: grid-cell bucketed
+      // neighbor join + min-label connected components. Iterative-to-
+      // fixpoint → rows-only; ClusteringSpec proves it partition-matches
+      // the oracle-verified 1-D window twin.
+      (s, d) => graft.ml.Clustering.dbscanGrid(
+          Tables.load(s, d, "customer").select(col("c_custkey"),
+            (col("c_acctbal") / 1000.0).as("xa"),
+            col("c_nationkey").cast("double").as("xn")),
+          "c_custkey", Seq("xa", "xn"), 1.0, 4)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("is_core")).as("n_core"))
+        .orderBy(col("cluster")), None),
+
     Q("ml_cn2_best_rule", // rules.py CN2: Laplace-accuracy evaluation of
       // every single-condition rule, top-5.
       (s, d) => graft.ml.Rules.bestRules(

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Clustering
+
+/** Grid DBSCAN (the N-D scale path) semantics, incl. the differential
+  * check against the oracle-verified 1-D window implementation. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def partition(rows: Seq[(Int, Long)]): Set[Set[Int]] =
+    rows.filter(_._2 >= 0).groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+
+  test("grid DBSCAN matches the window 1-D implementation's partition") {
+    val pts = ((1 to 10).map(i => (i, 1.0 + i * 0.1)) ++
+      (11 to 20).map(i => (i, 50.0 + (i - 10) * 0.1)) :+ ((21, 200.0)))
+      .toDF("id", "v")
+    val byWindow = Clustering.dbscan1d(pts, "id", "v", 1.0, 3)
+      .select("id", "cluster").as[(Int, Long)].collect().toSeq
+    val byGrid = Clustering.dbscanGrid(pts, "id", Seq("v"), 1.0, 3)
+      .select(col("id"), col("cluster")).as[(Int, Long)].collect().toSeq
+    assert(partition(byWindow) == partition(byGrid))
+    // identical noise set too
+    assert(byWindow.filter(_._2 == -1).map(_._1).toSet ==
+           byGrid.filter(_._2 == -1).map(_._1).toSet)
+  }
+
+  test("grid DBSCAN separates two 2-D blobs with noise") {
+    val blobA = (1 to 12).map(i => (i, (i % 4) * 0.3, (i % 3) * 0.3))
+    val blobB = (21 to 32).map(i => (i, 10.0 + (i % 4) * 0.3, 10.0 + (i % 3) * 0.3))
+    val noise = Seq((99, 100.0, -50.0))
+    val df = (blobA ++ blobB ++ noise).toDF("id", "x", "y")
+    val out = Clustering.dbscanGrid(df, "id", Seq("x", "y"), 1.0, 3)
+      .select(col("id"), col("cluster")).as[(Int, Long)].collect().toMap
+    assert(blobA.map(p => out(p._1)).distinct.size == 1)
+    assert(blobB.map(p => out(p._1)).distinct.size == 1)
+    assert(out(1) != out(21))
+    assert(out(99) == -1)
+  }
+
+  test("grid DBSCAN: cross-cell clusters chain through adjacent cells") {
+    // points spaced 0.9 apart with eps=1.0: one chain across many cells
+    val df = (1 to 15).map(i => (i, i * 0.9)).toDF("id", "v")
+    val out = Clustering.dbscanGrid(df, "id", Seq("v"), 1.0, 2)
+      .select(col("cluster")).distinct().count()
+    assert(out == 1) // single cluster, no noise
+  }
+}
