@@ -134,6 +134,11 @@ object Clustering {
     var labels = cores.withColumn("lbl", col("pid"))
     var changed = 1L
     while (changed > 0) {
+      // neighbor-min propagation; measured against a pointer-jumping
+      // variant (lbl := lbl of lbl) at sf0.1 — the extra join per round
+      // cost more than the saved rounds there. Components with large
+      // diameter (long chains) would flip that trade; at cluster scale
+      // the CC step graduates to a large-star/small-star implementation.
       val prop = coreEdges
         .join(labels.select(col("pid").as("b_id"), col("lbl").as("nl")), "b_id")
         .groupBy(col("a_id")).agg(min(col("nl")).as("minl"))
