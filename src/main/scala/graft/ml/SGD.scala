@@ -1,0 +1,81 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Gradient-descent linear classifier (reference Orange/classification/
+  * sgd.py, sklearn SGDClassifier with log loss — full-batch variant).
+  *
+  * Each iteration is ONE distributed aggregation: the logistic-loss
+  * gradient Σ (σ(w·x) − y)·x reduces map-side (detSum terms), the tiny
+  * weight vector lives on the driver — the classic Spark iterative-ML
+  * shape (same as MLlib's own optimizers).
+  *
+  * Oracle-exactness (unusual for an iterative fit): gradients go through
+  * detSum and the weights are rounded to 10 decimals after every step,
+  * which snaps Spark's and DuckDB's trajectories to the same values —
+  * the SQL twin unrolls the iterations as chained CTEs. Features should
+  * be pre-scaled to ~[0,1] so per-term libm ulp error stays far below
+  * the rounding grid.
+  */
+object SGD {
+
+  /** @param feats   (name, expression) pairs, pre-scaled to ~[0,1]
+    * @param y       0/1 label expression
+    * @return one row: final weights, intercept, training accuracy. */
+  def logRegGD(df: DataFrame, feats: Seq[(String, Column)], y: Column,
+               iterations: Int, lr: Double): DataFrame = {
+    val k = feats.size
+    var w = Array.fill(k + 1)(0.0) // weights + intercept, zero init
+    for (_ <- 1 to iterations) {
+      val z = feats.zipWithIndex.map { case ((_, f), i) => f * w(i) }
+        .reduce(_ + _) + lit(w(k))
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val aggs = feats.map { case (_, f) => detSum((p - y) * f) } :+
+        detSum(p - y) :+ count(lit(1))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(k + 1)
+      w = w.zipWithIndex.map { case (wi, i) =>
+        math.rint((wi - lr * row.getDouble(i) / n) * 1e10) / 1e10 }
+    }
+    val z = feats.zipWithIndex.map { case ((_, f), i) => f * w(i) }
+      .reduce(_ + _) + lit(w(k))
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val correct = (when(p > 0.5, 1).otherwise(0) === y).cast("int")
+    val outCols = feats.zipWithIndex.map { case ((name, _), i) =>
+      lit(w(i)).as(s"w_$name") } :+
+      lit(w(k)).as("intercept") :+
+      round(sum(correct) / count(lit(1)), 6).as("accuracy")
+    df.agg(outCols.head, outCols.tail: _*)
+  }
+
+  /** DuckDB twin of [[logRegGD]]: iterations unrolled as chained CTEs.
+    * `featsSql` = (name, sqlExpr) with the same scaling; `table`/`ySql`
+    * mirror the Spark inputs. */
+  def logRegGDSql(table: String, featsSql: Seq[(String, String)],
+                  ySql: String, iterations: Int, lr: Double): String = {
+    import graft.queries.SqlGen.sqlDetSum
+    val names = featsSql.map(_._1)
+    val wCols = names.map(n => s"w_$n") :+ "b"
+    val init = wCols.map(c => s"CAST(0.0 AS DOUBLE) AS $c").mkString(", ")
+    def z(it: String) = featsSql.map { case (n, e) =>
+      s"$it.w_$n * ($e)" }.mkString(" + ") + s" + $it.b"
+    def p(it: String) = s"(1.0 / (1.0 + EXP(-(${z(it)}))))"
+    val steps = (1 to iterations).map { i =>
+      val prev = s"it${i - 1}"
+      val upd = featsSql.map { case (n, e) =>
+        s"ROUND(MIN($prev.w_$n) - $lr * ${sqlDetSum(s"(${p(prev)} - ($ySql)) * ($e)")} / COUNT(*), 10) AS w_$n"
+      } :+
+        s"ROUND(MIN($prev.b) - $lr * ${sqlDetSum(s"${p(prev)} - ($ySql)")} / COUNT(*), 10) AS b"
+      s"it$i AS (SELECT ${upd.mkString(",\n  ")} FROM $table CROSS JOIN $prev)"
+    }
+    val last = s"it$iterations"
+    val acc = s"ROUND(SUM(CASE WHEN (CASE WHEN ${p(last)} > 0.5 THEN 1 ELSE 0 END) = ($ySql) THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)"
+    s"""WITH it0 AS (SELECT $init),
+       |${steps.mkString(",\n")}
+       |SELECT ${names.map(n => s"MIN($last.w_$n) AS w_$n").mkString(", ")},
+       |  MIN($last.b) AS intercept, $acc AS accuracy
+       |FROM $table CROSS JOIN $last""".stripMargin
+  }
+}

@@ -256,6 +256,24 @@ object MLQueries {
       (s, d) => graft.ml.Manifold.curLeverage(
         emb(s, d), "embedding", 5), None),
 
+    Q("ml_sgd_logreg", // sgd.py → from-scratch full-batch gradient
+      // descent on logistic loss: each iteration is one map-side-combined
+      // aggregation; per-step 10-decimal weight rounding pins Spark and
+      // the SQL-unrolled DuckDB twin to the same trajectory.
+      // y = (quantity > 25) is linearly separable in the scaled qty
+      // feature, so the optimizer's convergence is visible in accuracy.
+      (s, d) => graft.ml.SGD.logRegGD(
+        li(s, d),
+        Seq(("qty", col("l_quantity") / 50.0),
+            ("disc", col("l_discount") * 10.0)),
+        when(col("l_quantity") > 25, 1).otherwise(0),
+        iterations = 15, lr = 60.0),
+      Some(graft.ml.SGD.logRegGDSql(
+        "lineitem",
+        Seq(("qty", "l_quantity / 50.0"), ("disc", "l_discount * 10.0")),
+        "CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END",
+        iterations = 15, lr = 60.0))),
+
     Q("ml_lda_projection", // projection/lda.py — Fisher discriminant,
       // 2-class closed form from one conditional-aggregation pass.
       (s, d) => graft.ml.LDA2.fisher2(
