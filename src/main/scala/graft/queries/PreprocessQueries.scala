@@ -171,11 +171,13 @@ object PreprocessQueries {
            |ORDER BY o_orderkey""".stripMargin
       }),
 
-    Q("normalize_zscore", // Normalize by SD (normalize.py:11-110)
+    Q("normalize_zscore", // Normalize by SD (normalize.py:11-110).
+      // Rounded to 6 decimals: the raw quotient differs by 1 ulp between
+      // engines at sf0.1 (sqrt-of-derived-variance divisor).
       (s, d) => PreprocessOps.normalizeBySD(cust(s, d), "c_acctbal", "z")
-        .select(col("c_custkey"), col("z"))
+        .select(col("c_custkey"), round(col("z"), 6).as("z"))
         .orderBy(col("c_custkey")),
-      Some(s"""SELECT c_custkey, (c_acctbal - m) / sd AS z
+      Some(s"""SELECT c_custkey, ROUND((c_acctbal - m) / sd, 6) AS z
               |FROM customer CROSS JOIN (
               |  SELECT ${sqlMean("c_acctbal")} AS m,
               |         ${sqlStdSamp("c_acctbal")} AS sd FROM customer)
