@@ -274,6 +274,40 @@ object MLQueries {
         "CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END",
         iterations = 15, lr = 60.0))),
 
+    Q("ml_radviz", // projection family (SURVEY §2.11, widgets/visualize
+      // radviz): span-normalize each feature, place anchors on the unit
+      // circle, project each row to the normalized weighted anchor sum.
+      // Four features ⇒ axis-aligned anchors (1,0),(0,1),(−1,0),(0,−1) —
+      // exact arithmetic, no trig, oracle-exact.
+      (s, d) => {
+        val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val stats = feats.flatMap(f => Seq(
+          min(col(f)).as(s"mn_$f"), max(col(f)).as(s"mx_$f")))
+        val withS = li(s, d)
+          .crossJoin(broadcast(li(s, d).agg(stats.head, stats.tail: _*)))
+        val sCol = feats.map(f =>
+          (col(f) - col(s"mn_$f")) / (col(s"mx_$f") - col(s"mn_$f")))
+        val tot = sCol.reduce(_ + _)
+        // + 0.0 normalizes IEEE −0.0 (engines disagree on the sign bit
+        // when the rounded projection is exactly zero)
+        withS.select(col("l_orderkey"), col("l_linenumber"),
+            (round((sCol(0) - sCol(2)) / tot, 6) + 0.0).as("rx"),
+            (round((sCol(1) - sCol(3)) / tot, 6) + 0.0).as("ry"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("rx"), col("ry"))
+      },
+      Some {
+        val fs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val s = fs.map(f => s"(($f - mn_$f) / (mx_$f - mn_$f))")
+        val tot = s.mkString(" + ")
+        s"""SELECT l_orderkey, l_linenumber,
+           |  ROUND((${s(0)} - ${s(2)}) / ($tot), 6) + 0.0 AS rx,
+           |  ROUND((${s(1)} - ${s(3)}) / ($tot), 6) + 0.0 AS ry
+           |FROM lineitem CROSS JOIN (
+           |  SELECT ${fs.map(f => s"MIN($f) AS mn_$f, MAX($f) AS mx_$f").mkString(", ")}
+           |  FROM lineitem)
+           |ORDER BY l_orderkey, l_linenumber, rx, ry""".stripMargin
+      }),
+
     Q("ml_lda_projection", // projection/lda.py — Fisher discriminant,
       // 2-class closed form from one conditional-aggregation pass.
       (s, d) => graft.ml.LDA2.fisher2(
