@@ -274,6 +274,11 @@ object MLQueries {
         "CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END",
         iterations = 15, lr = 60.0))),
 
+    Q("ml_som", // projection/som.py — batch SOM, 3×3 grid over the
+      // embeddings table (deterministic init/epochs; rows-only).
+      (s, d) => graft.ml.SOM.fit(emb(s, d), "vec_id", "embedding",
+        rows = 3, cols = 3, epochs = 3, sigma = 1.0), None),
+
     Q("ml_radviz", // projection family (SURVEY §2.11, widgets/visualize
       // radviz): span-normalize each feature, place anchors on the unit
       // circle, project each row to the normalized weighted anchor sum.

@@ -38,6 +38,21 @@ class ClusteringSpec extends SparkSpec {
     assert(out(99) == -1)
   }
 
+  test("grid vs window DBSCAN agree on real fixture data") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("id"), col("c_acctbal").as("v"))
+    val byWindow = Clustering.dbscan1d(cust, "id", "v", 50.0, 3)
+      .select(col("id").cast("int"), col("cluster")).as[(Int, Long)]
+      .collect().toSeq
+    val byGrid = Clustering.dbscanGrid(cust, "id", Seq("v"), 50.0, 3)
+      .select(col("id").cast("int"), col("cluster")).as[(Int, Long)]
+      .collect().toSeq
+    assert(byWindow.size == byGrid.size)
+    assert(partition(byWindow) == partition(byGrid))
+    assert(byWindow.filter(_._2 == -1).map(_._1).toSet ==
+           byGrid.filter(_._2 == -1).map(_._1).toSet)
+  }
+
   test("grid DBSCAN: cross-cell clusters chain through adjacent cells") {
     // points spaced 0.9 apart with eps=1.0: one chain across many cells
     val df = (1 to 15).map(i => (i, i * 0.9)).toDF("id", "v")
