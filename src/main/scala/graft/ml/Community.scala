@@ -65,10 +65,15 @@ object Community {
     val nb = sqrt(aggregate(col("vb"), lit(0.0), (acc, x) => acc + x * x))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst").asc)
-    a.join(b, col("src") < col("dst"))
+    // rank each node's top-k among ALL other nodes (the reference's
+    // matrix_to_knn_graph semantics), then canonicalize each edge to
+    // (least, greatest) — labelPropagation re-symmetrizes + dedups.
+    a.join(b, col("src") =!= col("dst"))
       .withColumn("cos", dot / (na * nb))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("src"), col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
   }
 }

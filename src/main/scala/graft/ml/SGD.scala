@@ -46,23 +46,33 @@ object SGD {
 
     // order-independent gradient sums via SCALED LONGS, not decimals:
     // per-row residual r = σ(z)−y and features are bounded in [−1,1], so
-    // round(t·10¹²) is exact in a double and Σ over ≤10⁶ rows fits a
-    // long — integer addition is associative (partition-order free) and
-    // whole-stage-codegen fast, where DECIMAL(38) accumulation measured
-    // ~2 s per 600k-row pass
-    def scaledSum(c: Column) = sum(round(c * 1e12, 0).cast("long"))
+    // round(t·10¹²) is exact in a double and Σ over ≤8·10⁶ rows fits a
+    // long (8e6·1e12 ≪ 2⁶³) — integer addition is associative
+    // (partition-order free) and whole-stage-codegen fast, where
+    // DECIMAL(38) accumulation measured ~2 s per 600k-row pass.
+    // The envelope is VERIFIED, not assumed: one pre-pass checks the row
+    // count and per-feature |x| bound; outside it, gradients fall back to
+    // detSum's DECIMAL(38) accumulation (equally order-independent).
+    val pre = base.agg((count(lit(1)).as("n") +:
+      feats.map { case (n, _) => max(abs(col(s"x_$n"))).as(s"m_$n") }): _*)
+      .head()
+    val nRows = pre.getLong(0)
+    val maxAbs = (1 to k).map(i => pre.getDouble(i)).foldLeft(0.0)(math.max)
+    val scaledSafe = nRows <= 8000000L && maxAbs <= 1.0
+    def gradSum(c: Column): Column =
+      if (scaledSafe)
+        (sum(round(c * 1e12, 0).cast("long")) / lit(1e12)).cast("double")
+      else detSum(c)
 
     var w = Array.fill(k + 1)(0.0) // weights + intercept, zero init
     for (_ <- 1 to iterations) {
       val withR = base.crossJoin(broadcast(wDF(w)))
         .select(col("*"), (pOf - col("y")).as("r")) // σ evaluated once/row
       val aggs = feats.map { case (n, _) =>
-        scaledSum(col("r") * col(s"x_$n")) } :+
-        scaledSum(col("r")) :+ count(lit(1))
+        gradSum(col("r") * col(s"x_$n")) } :+ gradSum(col("r"))
       val row = withR.agg(aggs.head, aggs.tail: _*).head()
-      val n = row.getLong(k + 1)
       w = w.zipWithIndex.map { case (wi, i) =>
-        math.rint((wi - lr * (row.getLong(i) / 1e12) / n) * 1e10) / 1e10 }
+        math.rint((wi - lr * row.getDouble(i) / nRows) * 1e10) / 1e10 }
     }
     val correct = (when(pOf > 0.5, 1).otherwise(0) === col("y")).cast("int")
     val outCols = feats.zipWithIndex.map { case ((name, _), i) =>

@@ -52,7 +52,10 @@ object SOM {
       // per-BMU vector sums + counts in one aggregation
       val sums = assigned
         .select(col("bmu"), posexplode(col("x")).as(Seq("dim", "v")))
-        .groupBy(col("bmu"), col("dim")).agg(sum(col("v")).as("s"))
+        .groupBy(col("bmu"), col("dim"))
+        // order-independent accumulation — the codebook must be identical
+        // across partitionings for the determinism contract (SOMSpec)
+        .agg(graft.core.Tables.detSum(col("v")).as("s"))
         .collect()
       val counts = assigned.groupBy(col("bmu")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -81,7 +84,8 @@ object SOM {
       .withColumn("qerr", qerrUdf(col("x"), col("bmu")))
       .groupBy(col("bmu"))
       .agg(count(lit(1)).as("n_assigned"),
-        round(avg(col("qerr")), 4).as("mean_qerr"))
+        round(graft.core.Tables.detSum(col("qerr")) / count(lit(1)), 4)
+          .as("mean_qerr"))
       .select((col("bmu") / cols).cast("int").as("unit_row"),
         pmod(col("bmu"), lit(cols)).as("unit_col"),
         col("n_assigned"), col("mean_qerr"))
