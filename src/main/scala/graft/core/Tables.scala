@@ -89,6 +89,14 @@ object Tables {
   def detSum(term: Column): Column =
     sum(round(term, 12).cast(DecimalType(38, 14))).cast(DoubleType)
 
+  /** detSum with an explicit rounding scale. Use a COARSER scale for
+    * large-magnitude terms: round(t, 12) on |t| ≳ 10⁴ makes t·10¹²
+    * exceed 2⁵³, where DuckDB's float-path ROUND loses ulps that
+    * Spark's decimal-semantics ROUND doesn't — the engines then
+    * disagree. Pick scale so max|t|·10^scale < 2⁵³. */
+  def detSum(term: Column, scale: Int): Column =
+    sum(round(term, scale).cast(DecimalType(38, scale + 2))).cast(DoubleType)
+
   // ---------------------------------------------------------------------
   // Portable string hash (same value in Spark and in DuckDB oracle SQL)
   // ---------------------------------------------------------------------

@@ -37,23 +37,34 @@ object ScoreOps {
   }
 
   /** One-way ANOVA F statistic of continuous `x` across groups `g`
-    * (score.py:107-157 ANOVA). Between/within sums of squares from
-    * exact per-group sums: ssb = Σ sg²/ng − S²/n, ssw = SS − Σ sg²/ng. */
+    * (score.py:107-157 ANOVA). Mean-centered formulation: the naive
+    * ssb = Σ sg²/ng − S²/n cancels two ~|S|²-magnitude doubles whose
+    * round-to-decimal images diverge between engines at that scale;
+    * instead ssb = Σ ng·(mg − m)² keeps every detSum term O(spread²·ng)
+    * and the cancellation (mg − m) in plain IEEE arithmetic, identical
+    * on both engines. ssw terms are O(ng·var) — summed on the coarse
+    * 6-decimal grid so t·10^scale stays below 2⁵³. Both sums are then
+    * snapped to 6 decimals before the final division. */
   def anovaF(df: DataFrame, x: String, g: String): DataFrame = {
     val grp = df.filter(col(x).isNotNull && col(g).isNotNull)
       .groupBy(col(g)).agg(
         exactSum(col(x)).as("sg"),
         exactSum(col(x) * col(x)).as("ssg"),
         count(lit(1)).as("ng"))
-    grp.agg(
-        detSum(col("sg") * col("sg") / col("ng")).as("sb"),
-        exactSum(col("sg")).as("s"),
-        exactSum(col("ssg")).as("ss"),
-        sum(col("ng")).as("n"),
-        count(lit(1)).as("k"))
+    val tot = grp.agg(
+      exactSum(col("sg")).as("s"), sum(col("ng")).as("n"),
+      count(lit(1)).as("k"))
+    val mg = col("sg") / col("ng")
+    val m  = col("s") / col("n")
+    grp.crossJoin(broadcast(tot))
+      .agg(
+        round(detSum(col("ng") * (mg - m) * (mg - m)), 6).as("ssb"),
+        round(detSum(col("ssg") - col("sg") * col("sg") / col("ng"), 6), 6)
+          .as("ssw"),
+        max(col("n")).as("n"), max(col("k")).as("k"))
       .select(
-        round(((col("sb") - col("s") * col("s") / col("n")) / (col("k") - 1)) /
-              ((col("ss") - col("sb")) / (col("n") - col("k"))), 6).as("f_stat"),
+        round((col("ssb") / (col("k") - 1)) /
+              (col("ssw") / (col("n") - col("k"))), 6).as("f_stat"),
         (col("k") - 1).as("df_between"),
         (col("n") - col("k")).as("df_within"))
   }

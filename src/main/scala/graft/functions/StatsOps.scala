@@ -90,4 +90,53 @@ object StatsOps {
       .select((col("h_class") - col("h_cond")).as("info_gain"),
               col("h_class"), col("h_cond"))
   }
+
+  /** Gain ratio = InfoGain / H(feature) (score.py:308-325, Quinlan 1986;
+    * H(feature)=0 falls back to 1 as in the reference). One row:
+    * (gain_ratio, info_gain, h_attr). Same contingency shuffle shape as
+    * [[infoGain]]; all sums via detSum for oracle bit-stability. */
+  def gainRatio(df: DataFrame, feature: String, target: String): DataFrame = {
+    val cont = df.groupBy(col(feature).as("f"), col(target).as("c"))
+      .agg(count(lit(1)).as("n"))
+    val tot  = cont.agg(sum("n").as("total"))
+    val byF  = cont.groupBy(col("f")).agg(sum("n").as("nf"))
+    val byC  = cont.groupBy(col("c")).agg(sum("n").as("nc"))
+    val hC = byC.crossJoin(tot).agg(
+      detSum(-(col("nc") / col("total")) * log2(col("nc") / col("total")))
+        .as("h_class"))
+    val hCond = cont.join(byF, "f").crossJoin(tot).agg(
+      detSum((col("nf") / col("total")) *
+        (-(col("n") / col("nf")) * log2(col("n") / col("nf")))).as("h_cond"))
+    val hAttr = byF.crossJoin(tot).agg(
+      detSum(-(col("nf") / col("total")) * log2(col("nf") / col("total")))
+        .as("h_attr"))
+    hC.crossJoin(hCond).crossJoin(hAttr).select(
+      round((col("h_class") - col("h_cond")) /
+        when(col("h_attr") === 0, 1.0).otherwise(col("h_attr")), 6)
+        .as("gain_ratio"),
+      round(col("h_class") - col("h_cond"), 6).as("info_gain"),
+      round(col("h_attr"), 6).as("h_attr"))
+  }
+
+  /** Gini gain = Gini(class) − Σ_f p(f)·Gini(class|f) (score.py:328-337,
+    * `_gini` at score.py:245-250). One row:
+    * (gini_gain, gini_class, gini_cond). */
+  def giniGain(df: DataFrame, feature: String, target: String): DataFrame = {
+    val cont = df.groupBy(col(feature).as("f"), col(target).as("c"))
+      .agg(count(lit(1)).as("n"))
+    val tot  = cont.agg(sum("n").as("total"))
+    val byF  = cont.groupBy(col("f")).agg(sum("n").as("nf"))
+    val byC  = cont.groupBy(col("c")).agg(sum("n").as("nc"))
+    val gClass = byC.crossJoin(tot).agg(
+      (lit(1.0) - detSum((col("nc") / col("total")) * (col("nc") / col("total"))))
+        .as("gini_class"))
+    // Σ_f nf/total · (1 − Σ_c (n/nf)²)  =  Σ_f nf/total − Σ_{f,c} n²/(nf·total)
+    val gCond = cont.join(byF, "f").crossJoin(tot).agg(
+      (lit(1.0) - detSum(col("n") * col("n") / (col("nf") * col("total"))))
+        .as("gini_cond"))
+    gClass.crossJoin(gCond).select(
+      round(col("gini_class") - col("gini_cond"), 6).as("gini_gain"),
+      round(col("gini_class"), 6).as("gini_class"),
+      round(col("gini_cond"), 6).as("gini_cond"))
+  }
 }

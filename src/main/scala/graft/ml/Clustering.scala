@@ -70,6 +70,102 @@ object Clustering {
         "prev_v", "prev_cl", "next_v", "next_cl")
   }
 
+  /** Exact 1-D DBSCAN without a global window — the scale path for
+    * [[dbscan1d]], producing bit-identical output.
+    *
+    * The value axis is cut into chunks of `chunkWidth` (≥ 2·eps); every
+    * window runs PARTITIONED BY chunk, so rows never funnel through one
+    * partition. Correctness across chunk boundaries comes from ghost
+    * rows: each point within eps of a boundary is copied into the
+    * adjacent chunk, which makes every real point's eps-ball fully
+    * visible inside its own chunk (chunkWidth ≥ 2·eps ⇒ a ball spans at
+    * most the two neighboring ghost fringes). Ghosts participate in
+    * window frames but never emit rows, and their core flags / cluster
+    * ids are computed once in their owner chunk and carried along.
+    * Global cluster ordinals = per-chunk running sums + a per-chunk
+    * offset table (one tiny driver-side prefix sum over #chunks rows —
+    * the classic two-pass distributed scan). */
+  def dbscan1dChunked(df: DataFrame, id: String, v: String, eps: Double,
+                      minPts: Int, chunkWidth: Double): DataFrame = {
+    require(chunkWidth >= 2 * eps, "chunkWidth must be >= 2*eps")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // rows within eps of a chunk edge, re-keyed into the adjacent chunk
+    def ghosts(src: DataFrame): DataFrame = {
+      val up = src.filter(col(v) >= (col("__ck") + 1) * chunkWidth - eps)
+        .withColumn("__ck", col("__ck") + 1)
+      val dn = src.filter(col(v) <= col("__ck") * chunkWidth + eps)
+        .withColumn("__ck", col("__ck") - 1)
+      up.unionByName(dn)
+    }
+    def withGhosts(src: DataFrame): DataFrame =
+      src.withColumn("__ghost", lit(0))
+        .unionByName(ghosts(src).withColumn("__ghost", lit(1)))
+
+    val base = df.withColumn("__ck",
+      floor(col(v) / chunkWidth).cast("long"))
+
+    // pass 1: neighbor counts (ball fully covered by own chunk + ghosts)
+    val counted = withGhosts(base)
+      .withColumn("n_nbr", expr(
+        s"count(1) OVER (PARTITION BY __ck ORDER BY $v " +
+          s"RANGE BETWEEN $eps PRECEDING AND $eps FOLLOWING)"))
+      .filter(col("__ghost") === 0).drop("__ghost")
+      .withColumn("is_core", (col("n_nbr") >= minPts).cast("int"))
+
+    val wOrd = Window.partitionBy(col("__ck"))
+      .orderBy(col(v).asc, col(id).asc)
+    val wPrev1 = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wPrev0 = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext0 = wOrd.rowsBetween(0, Window.unboundedFollowing)
+
+    // pass 2: core breaks + local cluster ordinals (ghosts provide the
+    // cross-boundary "previous core" but contribute no breaks)
+    val lastCoreV = last(when(col("is_core") === 1, col(v)),
+      ignoreNulls = true).over(wPrev1)
+    val b1 = withGhosts(counted)
+      .withColumn("core_break",
+        when(col("__ghost") === 0 && col("is_core") === 1 &&
+          (lastCoreV.isNull || col(v) - lastCoreV > eps), 1).otherwise(0))
+      .withColumn("__local", sum(col("core_break")).over(wPrev0))
+    val real1 = b1.filter(col("__ghost") === 0)
+      .drop("__ghost").localCheckpoint(eager = true)
+
+    // tiny prefix sum over chunk totals (#chunks rows on the driver)
+    val perChunk = real1.groupBy(col("__ck"))
+      .agg(sum(col("core_break")).as("cb")).orderBy(col("__ck")).collect()
+    var acc = 0L
+    val offs = perChunk.map { r =>
+      val o = acc; acc += r.getLong(1); (r.getLong(0), o) }.toSeq
+    val offDF = offs.toDF("__ck", "__off")
+    val clustered = real1.join(broadcast(offDF), "__ck")
+      .withColumn("core_cluster",
+        when(col("is_core") === 1, col("__local") + col("__off") - 1))
+
+    // pass 3: border adoption — ghosts carry their owner-chunk cluster id
+    withGhosts(clustered)
+      .withColumn("prev_v", last(when(col("is_core") === 1, col(v)),
+        ignoreNulls = true).over(wPrev0))
+      .withColumn("prev_cl", last(col("core_cluster"),
+        ignoreNulls = true).over(wPrev0))
+      .withColumn("next_v", first(when(col("is_core") === 1, col(v)),
+        ignoreNulls = true).over(wNext0))
+      .withColumn("next_cl", first(col("core_cluster"),
+        ignoreNulls = true).over(wNext0))
+      .filter(col("__ghost") === 0)
+      .withColumn("cluster",
+        when(col("is_core") === 1, col("core_cluster"))
+          .when(col("prev_v").isNotNull && col(v) - col("prev_v") <= eps &&
+            (col("next_v").isNull || col("next_v") - col(v) > eps ||
+             col(v) - col("prev_v") <= col("next_v") - col(v)), col("prev_cl"))
+          .when(col("next_v").isNotNull && col("next_v") - col(v) <= eps,
+            col("next_cl"))
+          .otherwise(lit(-1)))
+      .drop("__ghost", "__ck", "__off", "__local", "core_break",
+        "core_cluster", "prev_v", "prev_cl", "next_v", "next_cl")
+  }
+
   /** N-dimensional DBSCAN via grid-cell bucketing — the scale path.
     *
     * Cells of side eps bound the neighbor search: a point's eps-ball only

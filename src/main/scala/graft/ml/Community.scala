@@ -51,6 +51,99 @@ object Community {
     labels
   }
 
+  /** kNN graph via LSH-bucketed cosine top-k (the scale path): candidate
+    * pairs come from an equi-join on bucket id, never an all-pairs scan.
+    * Same contract as [[knnGraph]] — canonical (least, greatest) edges. */
+  def knnGraphLSH(emb: DataFrame, idCol: String, arrayCol: String,
+                  dim: Int, k: Int, nPlanes: Int): DataFrame =
+    graft.similarity.SimilarityOps
+      .lshTopKCosine(emb, emb, idCol, arrayCol, dim, k, nPlanes)
+      .select(least(col("query_id"), col("neighbor_id")).as("src"),
+        greatest(col("query_id"), col("neighbor_id")).as("dst"))
+      .distinct()
+
+  /** Newman modularity Q = Σ_c [e_c/m − (Σ_tot(c)/2m)²] of a labeling
+    * over an undirected edge list (each edge once, no self-loops).
+    * One join + two aggregations — used as the acceptance check for
+    * [[louvain]] refinement rounds. */
+  def modularity(edges: DataFrame, src: String, dst: String,
+                 labels: DataFrame): Double = {
+    val e = edges.select(col(src).as("u"), col(dst).as("v"))
+    val lab = labels.select(col("node"), col("label"))
+    val m = e.count().toDouble
+    if (m == 0) return 0.0
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val sigma = deg.join(lab, deg("u") === lab("node"))
+      .groupBy("label").agg(sum("deg").as("tot"))
+    val sumSq = sigma.agg(sum(col("tot") * col("tot"))).head.getLong(0).toDouble
+    val intra = e
+      .join(lab.select(col("node"), col("label").as("la")), e("u") === col("node"))
+      .drop("node")
+      .join(lab.select(col("node"), col("label").as("lb")), col("v") === col("node"))
+      .filter(col("la") === col("lb")).count().toDouble
+    intra / m - sumSq / (4.0 * m * m)
+  }
+
+  /** Louvain-style refinement over the LPA scaffold (reference
+    * Orange/clustering/louvain.py:103): greedy synchronous moves — each
+    * node considers adopting a neighboring community, taking the move
+    * with the largest modularity gain ΔQ = [e_{i→c} − e_{i→a}]/m −
+    * k_i·(Σ_tot(c) − Σ_tot(a) + k_i)/(2m²) when positive. Because
+    * simultaneous moves can interact, each round is accepted only if
+    * global modularity actually improved (one scalar aggregation) —
+    * guaranteeing Q is non-decreasing and giving a deterministic
+    * fixpoint. Each round is joins + aggs hash-partitioned on node id. */
+  def louvain(edges: DataFrame, src: String, dst: String,
+              lpaRounds: Int, refineRounds: Int): DataFrame = {
+    val e = edges.select(col(src).as("u"), col(dst).as("v")).distinct().cache()
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = true)
+    val m = sym.count() / 2.0
+    var labels = labelPropagation(e, "u", "v", lpaRounds)
+    if (m == 0) { e.unpersist(); return labels }
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+      .localCheckpoint(eager = true)
+    var q = modularity(e, "u", "v", labels)
+    var improved = true
+    var round = 0
+    while (improved && round < refineRounds) {
+      round += 1
+      val sigma = labels.join(deg, "node")
+        .groupBy("label").agg(sum("deg").as("tot"))
+      // e_{i→c}: edges from node i into community c
+      val toC = sym
+        .join(labels.select(col("node").as("v"), col("label").as("c")), "v")
+        .groupBy(col("u").as("node"), col("c")).agg(count(lit(1)).as("eic"))
+      val own = labels.withColumnRenamed("label", "a")
+      val cand = toC.join(own, "node").join(deg, "node")
+        .join(sigma.select(col("label").as("c"), col("tot").as("totC")), "c")
+        .join(sigma.select(col("label").as("a"), col("tot").as("totA")), "a")
+        .withColumn("eia",
+          max(when(col("c") === col("a"), col("eic")).otherwise(0))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("node")))
+        .filter(col("c") =!= col("a"))
+        .withColumn("gain",
+          (col("eic") - col("eia")) / lit(m) -
+            col("deg") * (col("totC") - col("totA") + col("deg")) /
+              lit(2.0 * m * m))
+        .filter(col("gain") > 0)
+      val w = Window.partitionBy("node")
+        .orderBy(col("gain").desc, col("c").asc)
+      val moves = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("c"))
+      val next = labels.join(moves, Seq("node"), "left")
+        .select(col("node"), coalesce(col("c"), col("label")).as("label"))
+        .localCheckpoint(eager = true)
+      val qNext = modularity(e, "u", "v", next)
+      if (qNext > q + 1e-12) { labels = next; q = qNext }
+      else improved = false
+    }
+    e.unpersist()
+    labels
+  }
+
   /** kNN graph from an embedding table by cosine similarity (brute-force
     * pair scan — swap in the LSH candidate table at scale, same contract). */
   def knnGraph(emb: DataFrame, idCol: String, arrayCol: String,

@@ -53,19 +53,22 @@ object SGD {
     // The envelope is VERIFIED, not assumed: one pre-pass checks the row
     // count and per-feature |x| bound; outside it, gradients fall back to
     // detSum's DECIMAL(38) accumulation (equally order-independent).
-    val pre = base.agg((count(lit(1)).as("n") +:
-      feats.map { case (n, _) => max(abs(col(s"x_$n"))).as(s"m_$n") }): _*)
-      .head()
+    val preCols = count(lit(1)).as("n") +:
+      feats.map { case (n, _) => max(abs(col(s"x_$n"))).as(s"m_$n") }
+    val pre = base.agg(preCols.head, preCols.tail: _*).head()
     val nRows = pre.getLong(0)
-    val maxAbs = (1 to k).map(i => pre.getDouble(i)).foldLeft(0.0)(math.max)
-    val scaledSafe = nRows <= 8000000L && maxAbs <= 1.0
+    // null max(abs(x)) (empty table / all-null feature) ⇒ outside envelope
+    val maxAbs = (1 to k).map(i =>
+      if (pre.isNullAt(i)) Double.PositiveInfinity else pre.getDouble(i))
+      .foldLeft(0.0)(math.max)
+    val scaledSafe = nRows > 0 && nRows <= 8000000L && maxAbs <= 1.0
     def gradSum(c: Column): Column =
       if (scaledSafe)
         (sum(round(c * 1e12, 0).cast("long")) / lit(1e12)).cast("double")
       else detSum(c)
 
     var w = Array.fill(k + 1)(0.0) // weights + intercept, zero init
-    for (_ <- 1 to iterations) {
+    for (_ <- 1 to iterations if nRows > 0) {
       val withR = base.crossJoin(broadcast(wDF(w)))
         .select(col("*"), (pOf - col("y")).as("r")) // σ evaluated once/row
       val aggs = feats.map { case (n, _) =>
@@ -92,9 +95,17 @@ object SGD {
     * mirror the Spark inputs. */
   def logRegGDSql(table: String, featsSql: Seq[(String, String)],
                   ySql: String, iterations: Int, lr: Double): String = {
-    // twin of the Spark side's scaled-long gradient sum
-    def scaledSum(t: String) =
-      s"(CAST(SUM(CAST(ROUND(($t) * 1e12, 0) AS BIGINT)) AS BIGINT) / 1e12)"
+    // twin of the Spark side's gradient sum, INCLUDING the envelope
+    // check: the env CTE evaluates the same nRows/max|x| predicate the
+    // Spark side pre-computes, so both engines pick the same branch —
+    // scaled-long inside the envelope, detSum's DECIMAL(38,14) outside.
+    def scaledSum(t: String) = {
+      val fast =
+        s"(CAST(SUM(CAST(ROUND(($t) * 1e12, 0) AS BIGINT)) AS BIGINT) / 1e12)"
+      val slow =
+        s"CAST(SUM(CAST(ROUND(($t), 12) AS DECIMAL(38,14))) AS DOUBLE)"
+      s"(CASE WHEN (SELECT safe FROM env) THEN $fast ELSE $slow END)"
+    }
     val names = featsSql.map(_._1)
     val wCols = names.map(n => s"w_$n") :+ "b"
     val init = wCols.map(c => s"CAST(0.0 AS DOUBLE) AS $c").mkString(", ")
@@ -111,7 +122,11 @@ object SGD {
     }
     val last = s"it$iterations"
     val acc = s"ROUND(SUM(CASE WHEN (CASE WHEN ${p(last)} > 0.5 THEN 1 ELSE 0 END) = ($ySql) THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)"
-    s"""WITH it0 AS (SELECT $init),
+    val envAbs = featsSql.map { case (_, e) => s"ABS($e)" }.mkString(", ")
+    val env = s"env AS (SELECT COUNT(*) BETWEEN 1 AND 8000000 AND " +
+      s"COALESCE(MAX(GREATEST($envAbs)), 1e300) <= 1.0 AS safe FROM $table)"
+    s"""WITH $env,
+       |it0 AS (SELECT $init),
        |${steps.mkString(",\n")}
        |SELECT ${names.map(n => s"MIN($last.w_$n) AS w_$n").mkString(", ")},
        |  MIN($last.b) AS intercept, $acc AS accuracy

@@ -3,18 +3,36 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.core.Tables._
 
 /** Local Outlier Factor (reference
   * Orange/classification/outlier_detection.py:17-180, sklearn LOF).
   *
-  * Exact LOF needs each point's k-NN set; here the neighbor candidate
-  * set is the full pair join (exact, n² pairs) — correct at fixture
-  * scale and for any pre-bucketed subset. The 100 TB path replaces the
-  * self-join with an LSH / grid pre-bucketing that bounds candidates per
-  * point (same contract: a pair table (a_id, b_id, dist)), after which
-  * the k-dist / lrd / LOF cascade below is unchanged — it is three
-  * hash-partitioned aggregations on a_id, all map-side combinable.
+  * [[lof1d]] is the scale path: no pair join at all. In one dimension
+  * every LOF quantity (k-distance, lrd, LOF) is determined by a point's
+  * VALUE — coincident points see identical distance multisets — so the
+  * computation runs on the distinct-value table with multiplicities:
+  *
+  *  1. distinct values get a global sort rank (chunk-local row_number +
+  *     a tiny driver-side per-chunk offset prefix sum — the two-pass
+  *     distributed rank, no single-partition window);
+  *  2. candidate neighbor pairs are the k preceding / k following VALUE
+  *     GROUPS by rank (integer equi-join on rank+j), plus the self group
+  *     (cnt−1 coincident points at distance 0). This provably covers
+  *     each point's exact kNN set INCLUDING ties at the k-distance:
+  *     fewer than k points lie strictly inside the k-distance, so at
+  *     most k−1 groups do, and the ≤2 groups at exactly the k-distance
+  *     are adjacent to them in rank order;
+  *  3. k-distance = first distance where the cumulative neighbor weight
+  *     reaches k; reachability / lrd / LOF are the standard cascade with
+  *     multiplicity weights.
+  *
+  * Per distinct value the candidate set is ≤ 2k+1 rows — linear total,
+  * hash-partitioned on value, no O(n²) anywhere. Numerics are
+  * bit-identical to the per-pair formulation: weighted sums multiply the
+  * INTEGER weight by the 12-decimal-rounded term in exact decimal
+  * arithmetic, which equals summing the rounded term w times.
   *
   * Duplicate-point guard: reachability distance is floored at 1e-9 so
   * coincident points yield a large-but-finite LOF instead of ∞/NaN
@@ -22,8 +40,90 @@ import graft.core.Tables._
   */
 object OutlierOps {
 
-  /** LOF over a 1-D value column. Returns (id, lof). */
+  /** Σ w·round₁₂(t) in exact decimals — equals the per-pair detSum of a
+    * term repeated w times. DECIMAL(29,14)×DECIMAL(8,0) keeps the
+    * product inside DECIMAL(38,14): no precision loss. */
+  private def detSumW(w: Column, t: Column): Column =
+    sum(round(t, 12).cast(DecimalType(29, 14)) * w.cast(DecimalType(8, 0)))
+      .cast(DoubleType)
+
+  /** Exact LOF over a 1-D value column, value-grouped (scale path).
+    * Returns (id, lof); points with fewer than k neighbors are omitted
+    * (matches the all-pairs formulation). */
   def lof1d(df: DataFrame, idCol: String, valueCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(col(idCol).as("a_id"),
+      col(valueCol).cast("double").as("a_v"))
+    val groups = pts.groupBy(col("a_v").as("v"))
+      .agg(count(lit(1)).as("cnt")).cache()
+
+    // two-pass global rank of distinct values
+    val mm = groups.agg(min("v").as("lo"), max("v").as("hi")).head()
+    if (mm.isNullAt(0)) { groups.unpersist(); return pts.limit(0)
+      .select(col("a_id"), lit(0.0).as("lof")).filter(lit(false)) }
+    val lo = mm.getDouble(0)
+    val w = math.max((mm.getDouble(1) - lo) / 256.0, 1e-12)
+    val ranked1 = groups
+      .withColumn("__ck", floor((col("v") - lo) / w).cast("long"))
+      .withColumn("__lr",
+        row_number().over(Window.partitionBy("__ck").orderBy("v")))
+    val perChunk = ranked1.groupBy("__ck").agg(count(lit(1)).as("c"))
+      .orderBy("__ck").collect()
+    var acc = 0L
+    val offs = perChunk.map { r =>
+      val o = acc; acc += r.getLong(1); (r.getLong(0), o) }.toSeq
+    val ranked = ranked1.join(broadcast(offs.toDF("__ck", "__off")), "__ck")
+      .select(col("v"), col("cnt"), (col("__lr") + col("__off")).as("r"))
+      .localCheckpoint(eager = true)
+
+    // candidate pairs: k rank-successors (both directions) + self group
+    val byR = ranked.select(col("v").as("b_v"), col("cnt").as("b_cnt"),
+      col("r").as("br"))
+    val pairsAB = ranked
+      .withColumn("j", explode(array((1 to k).map(lit(_)): _*)))
+      .select(col("v").as("a_v"), col("cnt").as("a_cnt"),
+        (col("r") + col("j")).as("br"))
+      .join(byR, "br")
+    val cands = pairsAB
+      .select(col("a_v"), col("b_v"), col("b_cnt").as("w"),
+        (col("b_v") - col("a_v")).as("dist"))
+      .unionByName(pairsAB.select(col("b_v").as("a_v"), col("a_v").as("b_v"),
+        col("a_cnt").as("w"), (col("b_v") - col("a_v")).as("dist")))
+      .unionByName(groups.filter(col("cnt") > 1)
+        .select(col("v").as("a_v"), col("v").as("b_v"),
+          (col("cnt") - 1).as("w"), lit(0.0).as("dist")))
+
+    // k-distance: first distance where cumulative weight reaches k
+    val wCum = Window.partitionBy("a_v").orderBy("dist")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val kd = cands.groupBy("a_v", "dist").agg(sum("w").as("w"))
+      .withColumn("cum", sum("w").over(wCum))
+      .filter(col("cum") >= k)
+      .groupBy("a_v").agg(min("dist").as("kdist"))
+
+    // N(a) = candidates within the k-distance (ties included)
+    val nbr = cands.join(kd, "a_v").filter(col("dist") <= col("kdist"))
+    val reach = nbr
+      .join(kd.select(col("a_v").as("b_v"), col("kdist").as("kdist_b")), "b_v")
+      .select(col("a_v"), col("b_v"), col("w"),
+        greatest(col("kdist_b"), col("dist"), lit(1e-9)).as("reach"))
+    val lrd = reach.groupBy("a_v")
+      .agg((sum("w") / detSumW(col("w"), col("reach"))).as("lrd"))
+
+    val out = nbr
+      .join(lrd.select(col("a_v").as("b_v"), col("lrd").as("lrd_b")), "b_v")
+      .groupBy("a_v")
+      .agg((detSumW(col("w"), col("lrd_b")) / sum("w")).as("mean_lrd_b"))
+      .join(lrd, "a_v")
+      .select(col("a_v"), round(col("mean_lrd_b") / col("lrd"), 6).as("lof"))
+    pts.join(out, "a_v").select(col("a_id"), col("lof"))
+  }
+
+  /** Reference all-pairs LOF (O(n²) theta join) — differential-test twin
+    * of [[lof1d]]; do not use at scale. */
+  def lof1dAllPairs(df: DataFrame, idCol: String, valueCol: String,
+                    k: Int): DataFrame = {
     val a = df.select(col(idCol).as("a_id"), col(valueCol).as("a_v"))
     val b = df.select(col(idCol).as("b_id"), col(valueCol).as("b_v"))
     val pairs = a.join(b, col("a_id") =!= col("b_id"))

@@ -105,37 +105,55 @@ object ExtraQueries {
               |ORDER BY c_custkey""".stripMargin)),
 
     Q("rank_features", // owrank.py + SelectBestFeatures (fss.py:16-104):
-      // info gain of each discretized feature vs l_linestatus, ranked.
+      // the Rank widget's three default scorers (InfoGain / GainRatio /
+      // Gini, score.py:298-337) per discretized feature, ranked by gain.
       (s, d) => {
         val base = li(s, d)
           .withColumn("qty_bin", floor(col("l_quantity") / 10).cast("int").cast("string"))
           .withColumn("disc_bin", floor(col("l_discount") * 50).cast("int").cast("string"))
         val feats = Seq("l_returnflag", "qty_bin", "disc_bin")
-        val scores = feats.map(f => infoGainFor(base, f, "l_linestatus"))
-          .reduce(_.union(_))
+        val scores = feats.map { f =>
+          val gr = graft.functions.StatsOps.gainRatio(base, f, "l_linestatus")
+            .select(col("info_gain"), col("gain_ratio"))
+          val gi = graft.functions.StatsOps.giniGain(base, f, "l_linestatus")
+            .select(col("gini_gain"))
+          gr.crossJoin(gi).select(lit(f).as("feature"), col("info_gain"),
+            col("gain_ratio"), col("gini_gain"))
+        }.reduce(_.union(_))
         scores.withColumn("rank",
             row_number().over(Window.orderBy(col("info_gain").desc, col("feature"))))
           .orderBy(col("rank"))
       },
       Some {
-        def ig(fexpr: String, fname: String) =
-          s"""SELECT '$fname' AS feature, ROUND(h_class - h_cond, 6) AS info_gain
-             |FROM
-             |  (SELECT CAST(SUM(CAST(ROUND(-(nc * 1.0 / total) * log2(nc * 1.0 / total), 12) AS DECIMAL(38,14))) AS DOUBLE) AS h_class
-             |   FROM (SELECT l_linestatus AS c, COUNT(*) AS nc FROM lineitem GROUP BY 1)
-             |   CROSS JOIN (SELECT COUNT(*) AS total FROM lineitem)) hc
-             |CROSS JOIN
-             |  (SELECT CAST(SUM(CAST(ROUND((nf * 1.0 / total) * (-(n * 1.0 / nf) * log2(n * 1.0 / nf)), 12) AS DECIMAL(38,14))) AS DOUBLE) AS h_cond
-             |   FROM (SELECT $fexpr AS f, l_linestatus AS c, COUNT(*) AS n
-             |         FROM lineitem GROUP BY 1, 2) cont
-             |   JOIN (SELECT $fexpr AS f, COUNT(*) AS nf FROM lineitem GROUP BY 1) byf
-             |     USING (f)
-             |   CROSS JOIN (SELECT COUNT(*) AS total FROM lineitem)) hcond""".stripMargin
+        import graft.queries.SqlGen.sqlDetSum
+        def scorers(fexpr: String, fname: String) =
+          s"""SELECT '$fname' AS feature,
+             |  ROUND(h_class - h_cond, 6) AS info_gain,
+             |  ROUND((h_class - h_cond) /
+             |    (CASE WHEN h_attr = 0 THEN 1.0 ELSE h_attr END), 6) AS gain_ratio,
+             |  ROUND(gini_class - gini_cond, 6) AS gini_gain
+             |FROM (
+             |  WITH cont AS (SELECT $fexpr AS f, l_linestatus AS c, COUNT(*) AS n
+             |                FROM lineitem GROUP BY 1, 2),
+             |  tot AS (SELECT SUM(n) AS total FROM cont),
+             |  byf AS (SELECT f, SUM(n) AS nf FROM cont GROUP BY f),
+             |  byc AS (SELECT c, SUM(n) AS nc FROM cont GROUP BY c)
+             |  SELECT
+             |    (SELECT ${sqlDetSum("-(nc * 1.0 / total) * log2(nc * 1.0 / total)")}
+             |     FROM byc CROSS JOIN tot) AS h_class,
+             |    (SELECT ${sqlDetSum("(nf * 1.0 / total) * (-(n * 1.0 / nf) * log2(n * 1.0 / nf))")}
+             |     FROM cont JOIN byf USING (f) CROSS JOIN tot) AS h_cond,
+             |    (SELECT ${sqlDetSum("-(nf * 1.0 / total) * log2(nf * 1.0 / total)")}
+             |     FROM byf CROSS JOIN tot) AS h_attr,
+             |    (SELECT 1.0 - ${sqlDetSum("(nc * 1.0 / total) * (nc * 1.0 / total)")}
+             |     FROM byc CROSS JOIN tot) AS gini_class,
+             |    (SELECT 1.0 - ${sqlDetSum("n * 1.0 * n / (nf * 1.0 * total)")}
+             |     FROM cont JOIN byf USING (f) CROSS JOIN tot) AS gini_cond)""".stripMargin
         val parts = Seq(
-          ig("l_returnflag", "l_returnflag"),
-          ig("CAST(CAST(FLOOR(l_quantity / 10) AS INT) AS VARCHAR)", "qty_bin"),
-          ig("CAST(CAST(FLOOR(l_discount * 50) AS INT) AS VARCHAR)", "disc_bin"))
-        s"""SELECT feature, info_gain,
+          scorers("l_returnflag", "l_returnflag"),
+          scorers("CAST(CAST(FLOOR(l_quantity / 10) AS INT) AS VARCHAR)", "qty_bin"),
+          scorers("CAST(CAST(FLOOR(l_discount * 50) AS INT) AS VARCHAR)", "disc_bin"))
+        s"""SELECT feature, info_gain, gain_ratio, gini_gain,
            |  ROW_NUMBER() OVER (ORDER BY info_gain DESC, feature) AS rank
            |FROM (${parts.mkString("\nUNION ALL\n")})
            |ORDER BY rank""".stripMargin

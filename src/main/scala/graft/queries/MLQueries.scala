@@ -182,11 +182,12 @@ object MLQueries {
         emb(s, d), "embedding", "label", Seq(16)), None),
 
     Q("ml_dbscan_1d", // clustering/dbscan.py — exact 1-D DBSCAN as
-      // range-frame window algebra (no pair join); eps=10, minPts=3.
+      // range-frame window algebra, chunk-partitioned with ghost rows so
+      // no global single-partition window exists; eps=10, minPts=3.
       (s, d) => graft.ml.Clustering
-        .dbscan1d(Tables.load(s, d, "customer").select(
+        .dbscan1dChunked(Tables.load(s, d, "customer").select(
           col("c_custkey").as("id"), col("c_acctbal").as("v")),
-          "id", "v", 10.0, 3)
+          "id", "v", 10.0, 3, chunkWidth = 2000.0)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
           max(col("v")).as("hi"), sum(col("is_core")).as("n_core"))
@@ -206,8 +207,8 @@ object MLQueries {
              |    AND (pcb IS NULL OR v - pcb > 10.0) THEN 1 ELSE 0 END AS brk
              |  FROM g),
              |i AS (SELECT *, CASE WHEN is_core = 1 THEN
-             |    SUM(brk) OVER (ORDER BY v ASC, id ASC
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+             |    CAST(SUM(brk) OVER (ORDER BY v ASC, id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
              |  END AS core_cluster FROM h),
              |j AS (SELECT *,
              |  LAST_VALUE(CASE WHEN is_core = 1 THEN v END IGNORE NULLS) OVER wp AS prev_v,
@@ -220,25 +221,27 @@ object MLQueries {
              |  wn AS (ORDER BY v ASC, id ASC
              |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
              |assigned AS (SELECT v, is_core,
-             |  CASE WHEN is_core = 1 THEN core_cluster
+             |  CAST(CASE WHEN is_core = 1 THEN core_cluster
              |    WHEN prev_v IS NOT NULL AND v - prev_v <= 10.0
              |      AND (next_v IS NULL OR next_v - v > 10.0
              |           OR v - prev_v <= next_v - v) THEN prev_cl
              |    WHEN next_v IS NOT NULL AND next_v - v <= 10.0 THEN next_cl
-             |    ELSE -1 END AS cluster
+             |    ELSE -1 END AS BIGINT) AS cluster
              |  FROM j)
              |SELECT cluster, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi,
-             |  SUM(is_core) AS n_core
+             |  CAST(SUM(is_core) AS BIGINT) AS n_core
              |FROM assigned GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
-    Q("ml_louvain_lpa", // louvain.py:103 — kNN graph from embeddings +
-      // label-propagation communities (modularity refinement round 2).
-      // Deterministic but 5-round-iterative → rows-only; CommunitySpec
-      // pins the semantics.
+    Q("ml_louvain_lpa", // louvain.py:103 — kNN graph from embeddings
+      // (LSH-bucketed candidates, equi-join on bucket — no all-pairs
+      // scan) + LPA scaffold + modularity-greedy refinement.
+      // Deterministic but iterative → rows-only; CommunitySpec pins the
+      // semantics (incl. modularity non-decrease).
       (s, d) => {
         val e = emb(s, d).filter(col("vec_id") < 500)
-        val graph = graft.ml.Community.knnGraph(e, "vec_id", "embedding", 5)
-        graft.ml.Community.labelPropagation(graph, "src", "dst", 5)
+        val graph = graft.ml.Community.knnGraphLSH(
+          e, "vec_id", "embedding", 64, 5, nPlanes = 4)
+        graft.ml.Community.louvain(graph, "src", "dst", 5, 3)
           .groupBy(col("label").as("community"))
           .agg(count(lit(1)).as("size"))
           .filter(col("size") >= 3)

@@ -34,6 +34,9 @@ object SqlGen {
   /** SQL twin of Tables.detSum: order-independent sum of derived doubles. */
   def sqlDetSum(term: String): String =
     s"CAST(SUM(CAST(ROUND($term, 12) AS DECIMAL(38,14))) AS DOUBLE)"
+  /** Twin of Tables.detSum(term, scale) — coarse grid for big terms. */
+  def sqlDetSum(term: String, scale: Int): String =
+    s"CAST(SUM(CAST(ROUND($term, $scale) AS DECIMAL(38,${scale + 2}))) AS DOUBLE)"
   /** 32-bit int from first 8 hex chars of md5 — twin of Tables.hashVal32. */
   def sqlHash32(s: String): String =
     (1 to 8).map { i =>

@@ -69,14 +69,58 @@ object ScoringQueries {
               |  FROM lineitem
               |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
               |  GROUP BY 1),
+              |tot AS (
+              |  SELECT ${sqlSum("sg")} AS s, SUM(ng) AS n, COUNT(*) AS k
+              |  FROM grp),
               |agg AS (
-              |  SELECT ${sqlDetSum("sg * sg / ng")} AS sb,
-              |         ${sqlSum("sg")} AS s, ${sqlSum("ssg")} AS ss,
-              |         SUM(ng) AS n, COUNT(*) AS k
-              |  FROM grp)
-              |SELECT ROUND(((sb - s * s / n) / (k - 1)) / ((ss - sb) / (n - k)), 6) AS f_stat,
+              |  SELECT ROUND(${sqlDetSum("ng * (sg / ng - s / n) * (sg / ng - s / n)")}, 6) AS ssb,
+              |         ROUND(${sqlDetSum("ssg - sg * sg / ng", 6)}, 6) AS ssw,
+              |         MAX(n) AS n, MAX(k) AS k
+              |  FROM grp CROSS JOIN tot)
+              |SELECT ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
               |       (k - 1) AS df_between, (n - k) AS df_within
               |FROM agg""".stripMargin)),
+
+    Q("score_gainratio", // GainRatio (score.py:308-325): InfoGain divided
+      // by the feature's own entropy, Quinlan's multi-valued correction.
+      (s, d) => graft.functions.StatsOps.gainRatio(
+        ord(s, d), "o_orderpriority", "o_orderstatus"),
+      Some(s"""WITH cont AS (
+              |  SELECT o_orderpriority AS f, o_orderstatus AS c, COUNT(*) AS n
+              |  FROM orders GROUP BY 1, 2),
+              |tot AS (SELECT SUM(n) AS total FROM cont),
+              |byf AS (SELECT f, SUM(n) AS nf FROM cont GROUP BY f),
+              |byc AS (SELECT c, SUM(n) AS nc FROM cont GROUP BY c),
+              |hc AS (SELECT ${sqlDetSum("-(nc * 1.0 / total) * log2(nc * 1.0 / total)")} AS h_class
+              |       FROM byc CROSS JOIN tot),
+              |hcond AS (SELECT ${sqlDetSum("(nf * 1.0 / total) * (-(n * 1.0 / nf) * log2(n * 1.0 / nf))")} AS h_cond
+              |          FROM cont JOIN byf USING (f) CROSS JOIN tot),
+              |hattr AS (SELECT ${sqlDetSum("-(nf * 1.0 / total) * log2(nf * 1.0 / total)")} AS h_attr
+              |          FROM byf CROSS JOIN tot)
+              |SELECT ROUND((h_class - h_cond) /
+              |         (CASE WHEN h_attr = 0 THEN 1.0 ELSE h_attr END), 6) AS gain_ratio,
+              |       ROUND(h_class - h_cond, 6) AS info_gain,
+              |       ROUND(h_attr, 6) AS h_attr
+              |FROM hc CROSS JOIN hcond CROSS JOIN hattr""".stripMargin)),
+
+    Q("score_gini", // Gini impurity gain (score.py:328-337, _gini at
+      // score.py:245-250): Gini(class) − Σ_f p(f)·Gini(class|f).
+      (s, d) => graft.functions.StatsOps.giniGain(
+        ord(s, d), "o_orderpriority", "o_orderstatus"),
+      Some(s"""WITH cont AS (
+              |  SELECT o_orderpriority AS f, o_orderstatus AS c, COUNT(*) AS n
+              |  FROM orders GROUP BY 1, 2),
+              |tot AS (SELECT SUM(n) AS total FROM cont),
+              |byf AS (SELECT f, SUM(n) AS nf FROM cont GROUP BY f),
+              |byc AS (SELECT c, SUM(n) AS nc FROM cont GROUP BY c),
+              |gclass AS (SELECT 1.0 - ${sqlDetSum("(nc * 1.0 / total) * (nc * 1.0 / total)")} AS gini_class
+              |           FROM byc CROSS JOIN tot),
+              |gcond AS (SELECT 1.0 - ${sqlDetSum("n * 1.0 * n / (nf * 1.0 * total)")} AS gini_cond
+              |          FROM cont JOIN byf USING (f) CROSS JOIN tot)
+              |SELECT ROUND(gini_class - gini_cond, 6) AS gini_gain,
+              |       ROUND(gini_class, 6) AS gini_class,
+              |       ROUND(gini_cond, 6) AS gini_cond
+              |FROM gclass CROSS JOIN gcond""".stripMargin)),
 
     Q("score_fcbf_su", // FCBF symmetric uncertainty (score.py:252-297);
       // continuous features enter pre-discretized, as in the reference.

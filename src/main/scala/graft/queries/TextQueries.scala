@@ -179,9 +179,11 @@ object TextQueries {
            |SELECT doc_id, $sig AS simhash FROM agg ORDER BY doc_id""".stripMargin
       }),
 
-    Q("dedup_simhash_pairs", // near-dup candidates by Hamming distance
+    Q("dedup_simhash_pairs", // near-dup candidates within Hamming ≤ 3:
+      // banded equi-join on signature bytes (pigeonhole-exact), no
+      // all-pairs scan; oracle is the naive quadratic formulation.
       (s, d) => DedupOps.simhashPairs(
-          DedupOps.simhash(docs(s, d), "doc_id", "text"), "doc_id", 8)
+          DedupOps.simhash(docs(s, d), "doc_id", "text"), "doc_id", 3)
         .orderBy(col("id1"), col("id2")),
       Some {
         val h = sqlHash32("t")
@@ -201,7 +203,7 @@ object TextQueries {
            |SELECT a.doc_id AS id1, b.doc_id AS id2,
            |  bit_count(xor(a.simhash, b.simhash)) AS hamming
            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY id1, id2""".stripMargin
       }),
 

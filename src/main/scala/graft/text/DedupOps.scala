@@ -144,14 +144,43 @@ object DedupOps {
     agg.select(col(id), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming` bits (O(n²) pair check —
-    * the scale path prefixes it with LSH banding on signature bytes). */
+  /** SimHash near-dup pairs within `maxHamming` bits.
+    *
+    * For maxHamming ≤ 3 (the standard near-dup radius) candidates come
+    * from LSH banding: the 32-bit signature splits into 4 byte-bands,
+    * and by pigeonhole two signatures within Hamming distance 3 agree
+    * on at least one whole byte — so the pair table is an equi-join on
+    * (band index, band value), never an all-pairs scan, and the exact
+    * Hamming post-filter keeps the result identical to the naive
+    * formulation. For larger radii (no pigeonhole guarantee from 4
+    * bands of 32 bits) it falls back to the quadratic pair check —
+    * callers at scale should stay within the banded radius. */
   def simhashPairs(sig: DataFrame, id: String, maxHamming: Int): DataFrame = {
-    val a = sig.select(col(id).as("id1"), col("simhash").as("s1"))
-    val b = sig.select(col(id).as("id2"), col("simhash").as("s2"))
-    a.join(b, col("id1") < col("id2"))
-      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id1"), col("id2"), col("hamming"))
+    if (maxHamming <= 3) {
+      val banded = sig.select(col(id), col("simhash"),
+        explode(array((0 until 4).map(bnd => struct(lit(bnd).as("bno"),
+          shiftright(col("simhash"), 8 * bnd).bitwiseAND(lit(255L))
+            .as("bval"))): _*)).as("band"))
+        .select(col(id), col("simhash"),
+          col("band.bno").as("bno"), col("band.bval").as("bval"))
+      val a = banded.select(col(id).as("id1"), col("simhash").as("s1"),
+        col("bno"), col("bval"))
+      val b = banded.select(col(id).as("id2"), col("simhash").as("s2"),
+        col("bno"), col("bval"))
+      a.join(b, Seq("bno", "bval"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("s1"), col("s2"))
+        .distinct() // a pair may agree on several bands
+        .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id1"), col("id2"), col("hamming"))
+    } else {
+      val a = sig.select(col(id).as("id1"), col("simhash").as("s1"))
+      val b = sig.select(col(id).as("id2"), col("simhash").as("s2"))
+      a.join(b, col("id1") < col("id2"))
+        .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id1"), col("id2"), col("hamming"))
+    }
   }
 }

@@ -53,6 +53,34 @@ class ClusteringSpec extends SparkSpec {
            byGrid.filter(_._2 == -1).map(_._1).toSet)
   }
 
+  test("chunked 1-D DBSCAN is bit-identical to the global-window version") {
+    // dense runs engineered to straddle chunk boundaries (chunkWidth=3,
+    // eps=1.5): cores on both sides of v=3,6,… must chain across chunks,
+    // borders at exactly eps from a core, duplicates, and isolated noise
+    val vs = Seq(0.2, 0.9, 1.4, 2.8, 2.9, 3.05, 3.1, 4.4, 5.9, 6.05,
+      6.1, 7.4, 8.9, 9.0, 9.0, 10.5, 14.0, 20.0, 20.4, 21.9, -2.0, -0.1)
+    val pts = vs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("id", "v")
+    val global = Clustering.dbscan1d(pts, "id", "v", 1.5, 3)
+      .select("id", "n_nbr", "is_core", "cluster")
+      .as[(Int, Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    val chunked = Clustering.dbscan1dChunked(pts, "id", "v", 1.5, 3, 3.0)
+      .select("id", "n_nbr", "is_core", "cluster")
+      .as[(Int, Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(global == chunked)
+  }
+
+  test("chunked 1-D DBSCAN matches on real fixture data") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").as("id"), col("c_acctbal").as("v"))
+    val global = Clustering.dbscan1d(cust, "id", "v", 10.0, 3)
+      .select(col("id").cast("long"), col("n_nbr"), col("is_core"), col("cluster"))
+      .as[(Long, Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    val chunked = Clustering.dbscan1dChunked(cust, "id", "v", 10.0, 3, 2000.0)
+      .select(col("id").cast("long"), col("n_nbr"), col("is_core"), col("cluster"))
+      .as[(Long, Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(global == chunked)
+  }
+
   test("grid DBSCAN: cross-cell clusters chain through adjacent cells") {
     // points spaced 0.9 apart with eps=1.0: one chain across many cells
     val df = (1 to 15).map(i => (i, i * 0.9)).toDF("id", "v")

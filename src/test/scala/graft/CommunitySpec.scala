@@ -31,12 +31,50 @@ class CommunitySpec extends SparkSpec {
     assert(r1 == r2)
   }
 
-  test("kNN graph yields k edges per populated source") {
+  test("kNN graph: canonical dedup'd edges, bounded total count") {
     val emb = (1 to 30).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * (j + 1)).toFloat)))
       .toDF("vec_id", "embedding")
-    val g = Community.knnGraph(emb, "vec_id", "embedding", 3)
-    val perSrc = g.groupBy("src").count().agg(max("count")).head.getLong(0)
-    assert(perSrc <= 3 && g.count() > 0)
+    val g = Community.knnGraph(emb, "vec_id", "embedding", 3).cache()
+    val n = 30L; val k = 3L
+    val total = g.count()
+    // each node contributes ≤ k directed picks; canonicalization + dedup
+    // can only merge, never add ⇒ total ∈ [n·k/2, n·k]
+    assert(total >= n * k / 2 && total <= n * k)
+    // canonical form: src < dst, no duplicates
+    assert(g.filter(col("src") >= col("dst")).count() == 0)
+    assert(g.distinct().count() == total)
+    g.unpersist()
+  }
+
+  test("modularity: two disjoint triangles under perfect labeling") {
+    val edges = Seq((1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4))
+      .toDF("src", "dst")
+    val labels = Seq((1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1))
+      .toDF("node", "label")
+    // e_c/m = 1, Σ_tot per community = 6, m = 6 ⇒ Q = 1 − 2·(6/12)² = 0.5
+    val q = Community.modularity(edges, "src", "dst", labels)
+    assert(math.abs(q - 0.5) < 1e-12)
+    // everything in one community ⇒ Q = 1 − 1 = 0
+    val one = labels.withColumn("label", lit(0))
+    assert(math.abs(Community.modularity(edges, "src", "dst", one)) < 1e-12)
+  }
+
+  test("louvain refinement never decreases modularity vs the LPA scaffold") {
+    // two cliques + bridge, but seed LPA short so refinement has work
+    def clique(ids: Seq[Int]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1, 2, 3, 4)) ++ clique(Seq(10, 11, 12, 13)) ++
+      clique(Seq(20, 21, 22, 23)) :+ ((4, 10)) :+ ((13, 20)))
+      .toDF("src", "dst")
+    val lpa = Community.labelPropagation(edges, "src", "dst", 1)
+    val qLpa = Community.modularity(edges, "src", "dst", lpa)
+    val ref = Community.louvain(edges, "src", "dst", 1, 5)
+    val qRef = Community.modularity(edges, "src", "dst", ref)
+    assert(qRef >= qLpa - 1e-12)
+    // deterministic across runs
+    val ref2 = Community.louvain(edges, "src", "dst", 1, 5)
+    assert(ref.orderBy("node").collect().toSeq ==
+      ref2.orderBy("node").collect().toSeq)
   }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.DedupOps
+
+/** SimHash banding semantics: the banded equi-join candidate path must
+  * return exactly the naive all-pairs result for Hamming ≤ 3. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("banded simhash pairs == naive all-pairs at Hamming <= 3") {
+    // hand-built signatures: dup pairs at distance 0/1/2/3, a near-miss
+    // at 4, and signatures differing in every band
+    val sigs = Seq(
+      (1L, 0x12345678L), (2L, 0x12345678L),            // d=0
+      (3L, 0x12345679L),                               // d(1,3)=1
+      (4L, 0x1234567BL),                               // d(3,4)=1, d(1,4)=2
+      (5L, 0x92345678L),                               // d(1,5)=1 (top bit)
+      (6L, 0x0F0F0F0FL), (7L, 0xF0F0F0F0L),            // d=32
+      (8L, 0x12305678L),                               // d(1,8)=2 (mid band)
+      (9L, 0xFFFFFFFFL)
+    ).toDF("doc_id", "simhash")
+    val banded = DedupOps.simhashPairs(sigs, "doc_id", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // maxHamming=32 takes the quadratic fallback; post-filter to <= 3
+    val naive = DedupOps.simhashPairs(sigs, "doc_id", 32)
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == naive)
+    assert(banded.contains((1L, 2L, 0)) && banded.contains((1L, 3L, 1)))
+    assert(!banded.exists { case (a, b, _) => a == 6L && b == 7L })
+  }
+
+  test("banded simhash pairs match the fallback on real document data") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = DedupOps.simhash(docs, "doc_id", "text").cache()
+    val banded = DedupOps.simhashPairs(sig, "doc_id", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val naive = DedupOps.simhashPairs(sig, "doc_id", 32)
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == naive)
+    sig.unpersist()
+  }
+}

@@ -45,4 +45,21 @@ class PlanSpec extends SparkSpec {
     val p = plan("filter_continuous")
     assert(p.contains("PushedFilters") && p.contains("GreaterThan"))
   }
+
+  test("simhash pair table is a banded equi-join (no theta join)") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("LOF pair table is rank-window bounded (no theta join)") {
+    val p = plan("outliers_lof")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("chunked 1-D DBSCAN has no single-partition exchange") {
+    val p = plan("ml_dbscan_1d")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
 }

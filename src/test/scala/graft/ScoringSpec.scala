@@ -106,4 +106,26 @@ class ScoringSpec extends SparkSpec {
     assert(lof.head._2 > 10)
     assert(lof.last._2 < 2)        // deep cluster members near 1
   }
+
+  test("grouped LOF is bit-identical to the all-pairs formulation") {
+    // duplicates (incl. a >k run of coincident points), ties at exactly
+    // the k-distance, and an isolated outlier
+    val vs = Seq(1.0, 1.0, 1.0, 1.0, 1.0, 2.0, 3.0, 3.0, 4.0, 5.0, 5.0,
+      7.0, 7.0, 7.0, 7.0, 10.0, 13.0, 50.0)
+    val df = vs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("id", "v")
+    val fast = OutlierOps.lof1d(df, "id", "v", 3)
+      .as[(Int, Double)].collect().toSeq.sortBy(_._1)
+    val slow = OutlierOps.lof1dAllPairs(df, "id", "v", 3)
+      .as[(Int, Double)].collect().toSeq.sortBy(_._1)
+    assert(fast == slow)
+  }
+
+  test("grouped LOF matches all-pairs on real fixture data") {
+    val sup = spark.read.parquet(s"$sf/supplier.parquet")
+    val fast = OutlierOps.lof1d(sup, "s_suppkey", "s_acctbal", 3)
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    val slow = OutlierOps.lof1dAllPairs(sup, "s_suppkey", "s_acctbal", 3)
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(fast.nonEmpty && fast == slow)
+  }
 }
