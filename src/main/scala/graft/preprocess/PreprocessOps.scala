@@ -85,6 +85,181 @@ object PreprocessOps {
       case (els, (v, i)) => when(c === v, i).otherwise(els)
     }
 
+  /** The nine DomainContinuizer multinomial treatments
+    * (continuize.py:11-100). */
+  sealed trait MultinomialTreatment
+  object MultinomialTreatment {
+    case object Indicators          extends MultinomialTreatment
+    case object FirstAsBase         extends MultinomialTreatment
+    case object FrequentAsBase      extends MultinomialTreatment
+    case object Remove              extends MultinomialTreatment
+    case object RemoveMultinomial   extends MultinomialTreatment
+    case object ReportError         extends MultinomialTreatment
+    case object AsOrdinal           extends MultinomialTreatment
+    case object AsNormalizedOrdinal extends MultinomialTreatment
+    case object Leave               extends MultinomialTreatment
+  }
+
+  /** DomainContinuizer (continuize.py:11-100): rewrites each discrete
+    * column per the treatment; continuous / unlisted columns pass
+    * through. `vars` = (column, value dictionary in Orange's order).
+    * Variables with <2 values are dropped (as in the reference).
+    * FrequentAsBase needs the per-variable modus — ONE aggregation scan
+    * over all listed variables (the distribution pass the reference
+    * does per-variable), tie → lowest value index like np.argmax.
+    * Indicator columns are named "var=value" (continuize.py:56). */
+  def continuize(df: DataFrame, vars: Seq[(String, Seq[String])],
+                 treatment: MultinomialTreatment,
+                 zeroBased: Boolean = true): DataFrame = {
+    import MultinomialTreatment._
+    if (treatment == ReportError)
+      require(vars.forall(_._2.size <= 2), "data has multinomial attributes")
+    val modus: Map[String, Int] = treatment match {
+      case FrequentAsBase =>
+        val aggs = vars.flatMap { case (c, vals) =>
+          vals.zipWithIndex.map { case (v, i) =>
+            sum(when(col(c) === v, 1L).otherwise(0L)).as(s"__cnt_${c}_$i") } }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        var idx = -1
+        vars.map { case (c, vals) =>
+          val counts = vals.indices.map { _ =>
+            idx += 1; if (row.isNullAt(idx)) 0L else row.getLong(idx) }
+          c -> counts.zipWithIndex.maxBy(_._1)._2 // first max = lowest index
+        }.toMap
+      case _ => Map.empty
+    }
+    // Indicator (0/1) when zeroBased, Indicator1 (−1/1) otherwise
+    // (transformation.py:100-173); missing input stays missing
+    def indicator(c: Column, v: String): Column =
+      when(c.isNull, lit(null).cast("double"))
+        .otherwise(when(c === v, 1.0).otherwise(if (zeroBased) 0.0 else -1.0))
+    def colsFor(name: String, vals: Seq[String]): Seq[Column] = {
+      val n = vals.size
+      if (n < 2 && treatment != Leave) return Seq.empty
+      treatment match {
+        case Leave  => Seq(col(name))
+        case Remove => Seq.empty
+        case RemoveMultinomial if n > 2 => Seq.empty
+        case AsOrdinal =>
+          Seq(asOrdinal(col(name), vals).cast("double").as(name))
+        case AsNormalizedOrdinal =>
+          val ordv = asOrdinal(col(name), vals).cast("double")
+          if (zeroBased) Seq((ordv / (n - 1)).as(name))
+          else Seq(((ordv - (n - 1) / 2.0) * 2.0 / (n - 1)).as(name))
+        case _ =>
+          val base = treatment match {
+            case Indicators     => -1
+            case FrequentAsBase => modus(name)
+            case _              => 0 // FirstAsBase, RemoveMultinomial₂, ReportError
+          }
+          vals.zipWithIndex.filterNot(_._2 == base).map { case (v, _) =>
+            indicator(col(name), v).as(s"$name=$v") }
+      }
+    }
+    val dict = vars.toMap
+    val outCols = df.columns.toSeq.flatMap { c =>
+      if (dict.contains(c)) colsFor(c, dict(c)) else Seq(col(c)) }
+    df.select(outCols: _*)
+  }
+
+  // --- "Nice" binning (discretize.py:332-523) -----------------------------
+
+  /** One selected nice binning: full threshold list (incl. both ends),
+    * uniform width (None for the unique-values binning) and %g-style
+    * bin labels ("< t₁", "t₁ - t₂", …, "≥ tₖ"). */
+  final case class NiceBins(thresholds: Seq[Double], width: Option[Double],
+                            labels: Seq[String])
+
+  /** C-style %g: 6 significant digits, trailing zeros stripped,
+    * scientific notation outside [1e-4, 1e6) — matches numpy's "%g"
+    * labels (discretize.py:437). */
+  def gFormat(x: Double): String = {
+    if (x == 0.0) return "0"
+    val s = f"$x%.6g"
+    val cleaned =
+      if (s.contains('e') || s.contains('E')) {
+        val Array(m, e) = s.split("[eE]")
+        val m2 = if (m.contains('.')) m.reverse.dropWhile(_ == '0')
+          .dropWhile(_ == '.').reverse else m
+        val eInt = e.toInt
+        s"${m2}e${if (eInt < 0) "-" else "+"}${f"${math.abs(eInt)}%02d"}"
+      } else if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    cleaned
+  }
+
+  private def round15(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(15, java.math.RoundingMode.HALF_EVEN).doubleValue()
+
+  /** All candidate decimal binnings (discretize.py:433-523): widths are
+    * `factor / 10^-floor(log10(max-min))`, ends snapped outward to the
+    * width grid, candidates with `minBins ≤ nbins ≤ min(maxBins, #unique)`.
+    * Returns (width, thresholds) in factor order. */
+  def decimalBinnings(mn: Double, mx: Double, nUnique: Long,
+                      minBins: Int = 2, maxBins: Int = 50)
+      : Seq[(Double, Seq[Double])] = {
+    val factors = Seq(0.01, 0.02, 0.025, 0.05, 0.1, 0.2, 0.25, 0.5,
+      1.0, 2.0, 5.0, 10.0, 20.0)
+    val diff = mx - mn
+    if (diff <= 0) return Seq.empty
+    val f10 = math.pow(10, -math.floor(math.log10(diff)))
+    val mb = math.min(maxBins.toLong, nUnique)
+    factors.flatMap { f =>
+      val width = f / f10
+      val mnW = math.floor(mn / width) * width
+      val mxW = math.ceil(mx / width) * width
+      val nb = math.round((mxW - mnW) / width)
+      if (nb >= minBins && nb <= mb)
+        Some((width, (0L to nb).map(i => round15(mnW + width * i))))
+      else None
+    }
+  }
+
+  /** Binning discretizer (discretize.py:332-389): fit min/max/#unique in
+    * ONE aggregation, choose the nice binning whose bin count is closest
+    * to `n` (tie → more bins; candidates need ≥3 bins unless n=2; ≤5
+    * unique values → one bin per value), append `out` = bin index
+    * (values at a threshold fall upward, matching np.digitize). */
+  def niceBinning(df: DataFrame, c: String, n: Int = 4,
+                  out: String = "bin"): (NiceBins, DataFrame) = {
+    val v = col(c)
+    val stat = df.filter(v.isNotNull)
+      .agg(min(v).cast("double").as("mn"), max(v).cast("double").as("mx"),
+        countDistinct(v).as("nu")).head()
+    val (mn, mx, nu) = (stat.getDouble(0), stat.getDouble(1), stat.getLong(2))
+    val chosen: NiceBins =
+      if (nu <= 5) {
+        // one bin per distinct value (_unique_thresholds, discretize.py:672)
+        val uniq = df.filter(v.isNotNull).select(v.cast("double"))
+          .distinct().orderBy(v.cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        val lastB = if (uniq.size >= 2) 2 * uniq.last - uniq(uniq.size - 2)
+                    else uniq.head + 1
+        NiceBins(uniq :+ lastB, None, (uniq :+ lastB).map(gFormat))
+      } else {
+        val cands = decimalBinnings(mn, mx, nu)
+        val eligible = cands.filter(_._2.size - 1 >= (if (n == 2) 2 else 3))
+        val sel =
+          if (eligible.nonEmpty)
+            eligible.minBy { case (_, ts) =>
+              (math.abs(n - (ts.size - 1)), -(ts.size - 1)) }
+          else cands.last
+        NiceBins(sel._2, Some(sel._1), sel._2.map(gFormat))
+      }
+    val inner = chosen.thresholds.drop(1).dropRight(1)
+    val bin = inner.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(v >= t, 1).otherwise(0) }
+    val labels = if (inner.isEmpty) Seq("all") else {
+      val ls = inner.map(gFormat)
+      (s"< ${ls.head}" +: ls.zip(ls.tail).map { case (a, b) => s"$a - $b" }) :+
+        s"≥ ${ls.last}"
+    }
+    (chosen.copy(labels = labels),
+      df.withColumn(out, when(v.isNull, null).otherwise(bin)))
+  }
+
   // --- Impute (impute.py) -------------------------------------------------
 
   /** ReplaceUnknowns with the column mean (impute.py:96): fit + broadcast

@@ -88,6 +88,128 @@ object PreprocessQueries {
              |    WHEN '5-LOW' THEN 4 END AS prio_ord
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    Q("discretize_nice_bins", // Binning with nice decimal thresholds
+      // (discretize.py:332-523): candidate widths = factor/10^-floor(log10
+      // (max-min)), ends snapped outward, bin count closest to n=4 wins
+      // (tie -> more bins). The SQL twin recomputes the full selection.
+      (s, d) => {
+        val (_, binned) = PreprocessOps.niceBinning(
+          sup(s, d), "s_acctbal", 4, "bin")
+        binned.groupBy(col("bin")).agg(count(lit(1)).as("n_rows"),
+            min(col("s_acctbal")).as("lo"), max(col("s_acctbal")).as("hi"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH s AS (
+             |  SELECT MIN(s_acctbal) AS mn, MAX(s_acctbal) AS mx,
+             |         COUNT(DISTINCT s_acctbal) AS nu
+             |  FROM supplier WHERE s_acctbal IS NOT NULL),
+             |fac AS (SELECT * FROM (VALUES (1, 0.01), (2, 0.02), (3, 0.025),
+             |  (4, 0.05), (5, 0.1), (6, 0.2), (7, 0.25), (8, 0.5), (9, 1.0),
+             |  (10, 2.0), (11, 5.0), (12, 10.0), (13, 20.0)) f(fidx, f)),
+             |cand0 AS (
+             |  SELECT fidx, f / POW(10, -FLOOR(LOG10(mx - mn))) AS width,
+             |         mn, mx, nu
+             |  FROM fac CROSS JOIN s),
+             |cand AS (
+             |  SELECT fidx, width, nu,
+             |         FLOOR(mn / width) * width AS mnw,
+             |         CEIL(mx / width) * width AS mxw,
+             |         ROUND((CEIL(mx / width) * width - FLOOR(mn / width) * width)
+             |               / width) AS nbins
+             |  FROM cand0),
+             |sel AS (
+             |  SELECT * FROM cand
+             |  WHERE nbins >= 2 AND nbins <= LEAST(50, nu) AND nbins >= 3
+             |  ORDER BY ABS(4 - nbins) ASC, nbins DESC, fidx ASC
+             |  LIMIT 1),
+             |assigned AS (
+             |  SELECT s_acctbal,
+             |    CAST(LEAST(FLOOR((s_acctbal - sel.mnw) / sel.width),
+             |               sel.nbins - 1) AS INT) AS bin
+             |  FROM supplier CROSS JOIN sel
+             |  WHERE s_acctbal IS NOT NULL)
+             |SELECT bin, COUNT(*) AS n_rows, MIN(s_acctbal) AS lo,
+             |       MAX(s_acctbal) AS hi
+             |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    Q("continuize_treatments", // DomainContinuizer's remaining multinomial
+      // treatments (continuize.py:11-100): FrequentAsBase (data-fitted
+      // base = the modus), FirstAsBase, Remove, RemoveMultinomial,
+      // AsNormalizedOrdinal. Each treatment's output table is melted to
+      // (treatment, out_col, value_sum) rows so the data-dependent
+      // column set (FrequentAsBase drops the modus indicator) stays
+      // schema-stable for the oracle compare.
+      (s, d) => {
+        import graft.preprocess.PreprocessOps.{MultinomialTreatment => MT}
+        val vars = Seq(
+          ("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+            "4-NOT SPECIFIED", "5-LOW")),
+          ("o_orderstatus", Seq("F", "O", "P")))
+        val base = ord(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_orderstatus"))
+        def melt(t: org.apache.spark.sql.DataFrame, label: String) = {
+          val aggs = t.columns.toSeq.map(c =>
+            exactSum(col(c).cast("double")).as(c))
+          t.agg(aggs.head, aggs.tail: _*)
+            .select(lit(label).as("treatment"), explode(array(
+              t.columns.toSeq.map(c => struct(lit(c).as("out_col"),
+                col(c).as("value_sum"))): _*)).as("kv"))
+            .select(col("treatment"), col("kv.out_col").as("out_col"),
+              col("kv.value_sum").as("value_sum"))
+        }
+        Seq[(MT, String)](
+          (MT.FrequentAsBase, "FrequentAsBase"),
+          (MT.FirstAsBase, "FirstAsBase"),
+          (MT.Remove, "Remove"),
+          (MT.RemoveMultinomial, "RemoveMultinomial"),
+          (MT.AsNormalizedOrdinal, "AsNormalizedOrdinal"))
+          .map { case (t, lbl) =>
+            melt(graft.preprocess.PreprocessOps.continuize(base, vars, t), lbl) }
+          .reduce(_.unionByName(_))
+          .orderBy(col("treatment"), col("out_col"))
+      },
+      Some(s"""WITH cp AS (SELECT o_orderpriority AS v, COUNT(*) AS n,
+              |             ROW_NUMBER() OVER (ORDER BY o_orderpriority) - 1 AS idx
+              |           FROM orders GROUP BY 1),
+              |cs AS (SELECT o_orderstatus AS v, COUNT(*) AS n,
+              |         ROW_NUMBER() OVER (ORDER BY o_orderstatus) - 1 AS idx
+              |       FROM orders GROUP BY 1),
+              |kp AS (SELECT v FROM cp ORDER BY n DESC, v ASC LIMIT 1),
+              |ks AS (SELECT v FROM cs ORDER BY n DESC, v ASC LIMIT 1),
+              |okey AS (SELECT ${sqlSum("o_orderkey")} AS s FROM orders)
+              |SELECT * FROM (
+              |  SELECT 'FrequentAsBase' AS treatment, 'o_orderkey' AS out_col,
+              |         (SELECT s FROM okey) AS value_sum
+              |  UNION ALL
+              |  SELECT 'FrequentAsBase', 'o_orderpriority=' || v, CAST(n AS DOUBLE)
+              |  FROM cp WHERE v <> (SELECT v FROM kp)
+              |  UNION ALL
+              |  SELECT 'FrequentAsBase', 'o_orderstatus=' || v, CAST(n AS DOUBLE)
+              |  FROM cs WHERE v <> (SELECT v FROM ks)
+              |  UNION ALL
+              |  SELECT 'FirstAsBase', 'o_orderkey', (SELECT s FROM okey)
+              |  UNION ALL
+              |  SELECT 'FirstAsBase', 'o_orderpriority=' || v, CAST(n AS DOUBLE)
+              |  FROM cp WHERE idx <> 0
+              |  UNION ALL
+              |  SELECT 'FirstAsBase', 'o_orderstatus=' || v, CAST(n AS DOUBLE)
+              |  FROM cs WHERE idx <> 0
+              |  UNION ALL
+              |  SELECT 'Remove', 'o_orderkey', (SELECT s FROM okey)
+              |  UNION ALL
+              |  SELECT 'RemoveMultinomial', 'o_orderkey', (SELECT s FROM okey)
+              |  UNION ALL
+              |  SELECT 'AsNormalizedOrdinal', 'o_orderkey', (SELECT s FROM okey)
+              |  UNION ALL
+              |  SELECT 'AsNormalizedOrdinal', 'o_orderpriority',
+              |    CAST(SUM(CAST(n * (idx / 4.0) AS DECIMAL(38,6))) AS DOUBLE)
+              |  FROM cp
+              |  UNION ALL
+              |  SELECT 'AsNormalizedOrdinal', 'o_orderstatus',
+              |    CAST(SUM(CAST(n * (idx / 2.0) AS DECIMAL(38,6))) AS DOUBLE)
+              |  FROM cs)
+              |ORDER BY treatment, out_col""".stripMargin)),
+
     Q("impute_mean", // ReplaceUnknowns/Average (impute.py:96)
       // The fixture has no NULLs, so nulls are synthesized (qty<5 →
       // unknown), then imputed with the exact mean of the rest.

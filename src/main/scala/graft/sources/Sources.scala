@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Extension-dispatched file loading — the analogue of the reference's
+  * `FileFormat.get_reader` registry / `Table.from_file`
+  * (Orange/data/io_base.py:28-60, io.py:65-120, table.py:1076).
+  *
+  * parquet stays the engine's scale format (columnar scan, pushdown);
+  * the text/spreadsheet formats are Orange's interchange formats and
+  * parse through the shared .tab header pipeline.
+  */
+object Sources {
+
+  /** Load a table by file extension: .parquet / .tab|.tsv / .csv /
+    * .basket / .xlsx. */
+  def fromFile(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".parquet")) spark.read.parquet(path)
+    else if (lower.endsWith(".tab") || lower.endsWith(".tsv"))
+      TabReader.read(spark, path)
+    else if (lower.endsWith(".csv"))
+      TabReader.read(spark, path, delimiter = ",")
+    else if (lower.endsWith(".basket")) BasketReader.read(spark, path)
+    else if (lower.endsWith(".xlsx")) ExcelReader.read(spark, path)
+    else throw new IllegalArgumentException(
+      s"unsupported extension: $path (expected .parquet/.tab/.tsv/.csv/.basket/.xlsx)")
+  }
+
+  /** UrlReader (io.py:409-460): fetch a remote table to a local temp
+    * file, then dispatch on its extension. `file:` URLs read directly —
+    * remote schemes require egress, which the reference also just
+    * delegates to the network stack. */
+  def fromUrl(spark: SparkSession, url: String): DataFrame = {
+    val u = java.net.URI.create(url).toURL
+    if (u.getProtocol == "file")
+      return fromFile(spark, java.nio.file.Paths.get(u.toURI).toString)
+    val name = u.getPath.split("/").last
+    val ext = if (name.contains(".")) name.substring(name.lastIndexOf('.'))
+              else ".tab"
+    val tmp = java.io.File.createTempFile("graft_url_", ext)
+    tmp.deleteOnExit()
+    val in = u.openStream()
+    try java.nio.file.Files.copy(in, tmp.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    fromFile(spark, tmp.getAbsolutePath)
+  }
+
+  /** SqlTable source (Orange/data/sql/table.py:27-95): the reference
+    * materializes a DB table/query lazily; the Spark-native equivalent
+    * is the JDBC source with predicate pushdown. `partitionColumn` /
+    * bounds enable parallel reads (numPartitions splits of the key
+    * range) — the 100 TB ingestion shape. */
+  def sqlTable(spark: SparkSession, jdbcUrl: String, table: String,
+               properties: java.util.Properties = new java.util.Properties(),
+               partitionColumn: Option[String] = None,
+               lowerBound: Long = 0L, upperBound: Long = 0L,
+               numPartitions: Int = 1): DataFrame =
+    partitionColumn match {
+      case Some(pc) => spark.read.jdbc(jdbcUrl, table, pc, lowerBound,
+        upperBound, numPartitions, properties)
+      case None => spark.read.jdbc(jdbcUrl, table, properties)
+    }
+}

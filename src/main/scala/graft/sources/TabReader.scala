@@ -67,16 +67,18 @@ object TabReader {
   /** Header classification (io_base.py:400-502): 3-row if row2 looks like
     * type flags; 1-row prefixed if names carry `t#name` prefixes; else
     * 1-row plain names with inferred types. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String,
+           delimiter: String = "\t"): DataFrame = {
+    val dRe = java.util.regex.Pattern.quote(delimiter)
     val head = headLines(spark, path, 3)
     require(head.nonEmpty, s"empty .tab file: $path")
-    val names = head.head.split("\t", -1).toSeq
+    val names = head.head.split(dRe, -1).toSeq
 
     val typeFlag = "^(c|d|s|t|continuous|discrete|string|text|time|basket)$"
-    val looks3Row = head.size >= 3 && head(1).split("\t", -1).forall { t =>
+    val looks3Row = head.size >= 3 && head(1).split(dRe, -1).forall { t =>
       t.trim.isEmpty || t.trim.matches(typeFlag) || t.contains(" ") ||
         !t.trim.exists(_.isDigit)
-    } && head(2).split("\t", -1).forall(r =>
+    } && head(2).split(dRe, -1).forall(r =>
       r.trim.isEmpty || r.trim.toLowerCase.matches("^(class|meta|m|c|s|i|ignore|w|weight)(:.*)?$"))
 
     val prefixed = names.forall(_.matches("^[cdsmitw]{0,3}#.*")) &&
@@ -84,8 +86,8 @@ object TabReader {
 
     val (hvars, skip) =
       if (looks3Row) {
-        val types = head(1).split("\t", -1).toSeq.padTo(names.size, "")
-        val roles = head(2).split("\t", -1).toSeq.padTo(names.size, "")
+        val types = head(1).split(dRe, -1).toSeq.padTo(names.size, "")
+        val roles = head(2).split(dRe, -1).toSeq.padTo(names.size, "")
         val hv = names.indices.map { i =>
           val (kind, vals) = parseType(types(i))
           val (role, ignore) = parseRole(roles(i))
@@ -118,7 +120,7 @@ object TabReader {
     // (they re-appear as data rows since we supply our own schema).
     val rawFields = names.indices.map(i => StructField(s"_c$i", StringType, true))
     val raw = spark.read
-      .option("delimiter", "\t").option("quote", "")
+      .option("delimiter", delimiter).option("quote", "")
       .schema(StructType(rawFields))
       .csv(path)
     // Drop header rows by exact full-row match — a data row would have to
@@ -127,7 +129,7 @@ object TabReader {
     // cells null) are dropped too.
     val nonBlank = names.indices.map(i => col(s"_c$i").isNotNull).reduce(_ || _)
     val body = head.take(skip).foldLeft(raw.filter(nonBlank)) { (acc, line) =>
-      val cells = line.split("\t", -1).padTo(names.size, "")
+      val cells = line.split(dRe, -1).padTo(names.size, "")
       val isHeader = names.indices
         .map(i => coalesce(col(s"_c$i"), lit("")) <=> lit(cells(i)))
         .reduce(_ && _)
