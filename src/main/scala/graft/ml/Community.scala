@@ -105,7 +105,18 @@ object Community {
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
       .localCheckpoint(eager = true)
-    var q = modularity(e, "u", "v", labels)
+    // modularity with m / deg / sym hoisted: two jobs per evaluation
+    def qOf(lab: DataFrame): Double = {
+      val sigma = lab.join(deg, "node").groupBy("label").agg(sum("deg").as("tot"))
+      val sumSq = sigma.agg(sum(col("tot") * col("tot"))).head.getLong(0).toDouble
+      val intra = e
+        .join(lab.select(col("node"), col("label").as("la")), e("u") === col("node"))
+        .drop("node")
+        .join(lab.select(col("node"), col("label").as("lb")), col("v") === col("node"))
+        .filter(col("la") === col("lb")).count().toDouble
+      intra / m - sumSq / (4.0 * m * m)
+    }
+    var q = qOf(labels)
     var improved = true
     var round = 0
     while (improved && round < refineRounds) {
@@ -133,12 +144,16 @@ object Community {
         .orderBy(col("gain").desc, col("c").asc)
       val moves = cand.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select(col("node"), col("c"))
-      val next = labels.join(moves, Seq("node"), "left")
-        .select(col("node"), coalesce(col("c"), col("label")).as("label"))
         .localCheckpoint(eager = true)
-      val qNext = modularity(e, "u", "v", next)
-      if (qNext > q + 1e-12) { labels = next; q = qNext }
-      else improved = false
+      if (moves.isEmpty) improved = false // fixpoint: nothing gains
+      else {
+        val next = labels.join(moves, Seq("node"), "left")
+          .select(col("node"), coalesce(col("c"), col("label")).as("label"))
+          .localCheckpoint(eager = true)
+        val qNext = qOf(next)
+        if (qNext > q + 1e-12) { labels = next; q = qNext }
+        else improved = false
+      }
     }
     e.unpersist()
     labels

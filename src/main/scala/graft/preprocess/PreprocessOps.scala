@@ -260,6 +260,133 @@ object PreprocessOps {
       df.withColumn(out, when(v.isNull, null).otherwise(bin)))
   }
 
+  /** Candidate time binnings (discretize.py:523-635 time_binnings): the
+    * calendar width ladder (1/5/10/15/30 s and min; 1/2/3/6/12 h; 1 day;
+    * 1/2 weeks; 1/2/3/6 months; 1/2/5/10/25/50/100 years). The start is
+    * snapped down to the width grid (weeks snap to Monday), thresholds
+    * walk the calendar in UTC until past the max, and candidates keeping
+    * 2..50 bins survive (consecutive same-bin-count widths dedup'd, as
+    * in the reference). Returns (width label, thresholds as epoch
+    * seconds, labels). */
+  def timeBinnings(mnEpoch: Long, mxEpoch: Long, minBins: Int = 2,
+                   maxBins: Int = 50): Seq[(String, Seq[Long], Seq[String])] = {
+    import java.time._
+    import java.time.format.DateTimeFormatter
+    val utc = ZoneOffset.UTC
+    val mn = Instant.ofEpochSecond(mnEpoch).atZone(utc)
+    val mx = Instant.ofEpochSecond(mxEpoch).atZone(utc)
+    val minPts = minBins + 1
+    val maxPts = maxBins + 1
+    def fmt(p: String) = DateTimeFormatter.ofPattern(p)
+        .withZone(utc).withLocale(java.util.Locale.US)
+    // (place, step, label format, unit); place mirrors the reference's
+    // struct_time index: 5=sec 4=min 3=hour 2=day 1=month 0=year
+    val ladder: Seq[(Int, Int, DateTimeFormatter, String)] =
+      Seq(1, 5, 10, 15, 30).map(x => (5, x, fmt("HH:mm:ss"), "second")) ++
+      Seq(1, 5, 10, 15, 30).map(x => (4, x, fmt("MMM dd HH:mm"), "minute")) ++
+      Seq(1, 2, 3, 6, 12).map(x => (3, x, fmt("yy MMM dd HH:mm"), "hour")) ++
+      Seq((2, 1, fmt("yy MMM dd"), "day")) ++
+      Seq(7, 14).map(x => (2, x, fmt("yy MMM dd"), "week")) ++
+      Seq(1, 2, 3, 6).map(x => (1, x, fmt("yy MMM"), "month")) ++
+      Seq(1, 2, 5, 10, 25, 50, 100).map(x => (0, x, fmt("yyyy"), "year"))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Long], Seq[String])]
+    for ((place, step, f, unit) <- ladder) {
+      // snap the start down to the step grid at `place`, zero below
+      var cur: ZonedDateTime = place match {
+        case 5 => mn.withSecond(mn.getSecond / step * step).withNano(0)
+        case 4 => mn.withMinute(mn.getMinute / step * step)
+          .withSecond(0).withNano(0)
+        case 3 => mn.withHour(mn.getHour / step * step)
+          .withMinute(0).withSecond(0).withNano(0)
+        case 2 if step % 7 == 0 => // weeks snap back to Monday
+          mn.toLocalDate.minusDays(mn.getDayOfWeek.getValue - 1)
+            .atStartOfDay(utc)
+        case 2 => mn.toLocalDate.atStartOfDay(utc)
+        case 1 => mn.withMonth((mn.getMonthValue - 1) / step * step + 1)
+          .withDayOfMonth(1).truncatedTo(temporal.ChronoUnit.DAYS)
+        case 0 => LocalDate.of(mn.getYear / step * step, 1, 1)
+          .atStartOfDay(utc)
+      }
+      def bump(t: ZonedDateTime): ZonedDateTime = place match {
+        case 5 => t.plusSeconds(step)
+        case 4 => t.plusMinutes(step)
+        case 3 => t.plusHours(step)
+        case 2 => t.plusDays(step)
+        case 1 => t.plusMonths(step)
+        case 0 => t.plusYears(step)
+      }
+      // the reference walks until STRICTLY past the max truncated at
+      // `place` (fields below zeroed) — an exact-boundary max still gets
+      // a containing bin (discretize.py:612-628)
+      val truncEnd: ZonedDateTime = place match {
+        case 5 => mx.withNano(0)
+        case 4 => mx.withSecond(0).withNano(0)
+        case 3 => mx.withMinute(0).withSecond(0).withNano(0)
+        case 2 => mx.toLocalDate.atStartOfDay(utc)
+        case 1 => mx.toLocalDate.withDayOfMonth(1).atStartOfDay(utc)
+        case 0 => LocalDate.of(mx.getYear, 1, 1).atStartOfDay(utc)
+      }
+      val pts = scala.collection.mutable.ArrayBuffer(cur)
+      var ok = false
+      var i = 0
+      while (!ok && i < maxPts - 1) {
+        cur = bump(cur); pts += cur; i += 1
+        if (cur.isAfter(truncEnd)) ok = true
+      }
+      // the walk must clear the max within maxPts and span >= minPts
+      if (ok && pts.size >= minPts) {
+        val nbins = pts.size - 1
+        if (out.isEmpty || out.last._2.size - 1 != nbins) {
+          val widthLabel =
+            if (unit == "week") s"${step / 7} week${if (step > 7) "s" else ""}"
+            else s"$step $unit${if (step > 1) "s" else ""}"
+          out += ((widthLabel, pts.map(_.toEpochSecond).toSeq,
+            pts.map(p => f.format(p)).toSeq))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Time Binning discretizer (discretize.py:332-389 over time_binnings):
+    * same selection rule as [[niceBinning]] — bin count closest to `n`,
+    * tie → more bins, candidates need ≥3 bins unless n=2. Appends `out`
+    * = bin index over the timestamp column; returns the chosen width
+    * label + thresholds (epoch seconds). */
+  def niceTimeBinning(df: DataFrame, c: String, n: Int = 4,
+                      out: String = "bin")
+      : (String, Seq[Long], DataFrame) = {
+    val v = unix_timestamp(col(c))
+    val stat = df.filter(col(c).isNotNull)
+      .agg(min(v).as("mn"), max(v).as("mx"), countDistinct(v).as("nu")).head()
+    if (stat.getLong(2) <= 5) { // one bin per distinct time (_unique_time_bins)
+      val uniq = df.filter(col(c).isNotNull).select(v.as("__t"))
+        .distinct().orderBy(col("__t")).collect().map(_.getLong(0)).toSeq
+      val lastB = if (uniq.size >= 2) 2 * uniq.last - uniq(uniq.size - 2)
+                  else uniq.head + 1
+      val ts = uniq :+ lastB
+      val inner = ts.drop(1).dropRight(1)
+      val bin = inner.foldLeft(lit(0)) { (acc, t) =>
+        acc + when(v >= t, 1).otherwise(0) }
+      return ("unique", ts,
+        df.withColumn(out, when(col(c).isNull, null).otherwise(bin)))
+    }
+    val cands = timeBinnings(stat.getLong(0), stat.getLong(1))
+    require(cands.nonEmpty, s"no time binning fits $c")
+    val eligible = cands.filter(_._2.size - 1 >= (if (n == 2) 2 else 3))
+    val sel =
+      if (eligible.nonEmpty)
+        eligible.minBy { case (_, ts, _) =>
+          (math.abs(n - (ts.size - 1)), -(ts.size - 1)) }
+      else cands.last
+    val inner = sel._2.drop(1).dropRight(1)
+    val bin = inner.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(v >= t, 1).otherwise(0) }
+    (sel._1, sel._2,
+      df.withColumn(out, when(col(c).isNull, null).otherwise(bin)))
+  }
+
   // --- Impute (impute.py) -------------------------------------------------
 
   /** ReplaceUnknowns with the column mean (impute.py:96): fit + broadcast

@@ -248,6 +248,22 @@ object MLQueries {
           .orderBy(col("community"))
       }, None),
 
+    Q("ml_hierarchical", // hierarchical.py:437-470 — agglomerative
+      // linkage (average) fitted on a deterministic 200-point sample,
+      // extended to all rows by nearest-centroid assignment (broadcast
+      // join). Deterministic but matrix-algorithmic → rows-only;
+      // HierarchicalSpec pins linkage semantics.
+      (s, d) => {
+        val feats = (1 to 16).map(i =>
+          element_at(col("embedding"), i).cast("double").as(s"e$i"))
+        val base = emb(s, d).select(col("vec_id") +: feats: _*)
+        graft.ml.Hierarchical.cluster(
+            base, "vec_id", (1 to 16).map(i => s"e$i"), 5, "average", 200)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
+          .orderBy(col("cluster"))
+      }, None),
+
     Q("ml_mds_sampled", // manifold.py:119 MDS — classical scaling on a
       // deterministic 200-point sample (survey: driver-side, sampled,
       // non-goal at full scale). Rows-only: eigensolver output.

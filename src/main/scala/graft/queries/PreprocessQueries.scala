@@ -132,6 +132,27 @@ object PreprocessQueries {
              |       MAX(s_acctbal) AS hi
              |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    Q("discretize_nice_time", // time Binning (discretize.py:523-635):
+      // the calendar width ladder over the events span (30 days) keeps
+      // {1 day: ~30, 1 week: 5, 2 weeks: 3} candidates; closest-to-4
+      // with more-bins tie-break selects Monday-snapped 1-week bins.
+      // The oracle pins that outcome generically via date_trunc('week').
+      (s, d) => {
+        // events.ts is nanosecond-epoch int64 in parquet → µs timestamp
+        val ev = Tables.load(s, d, "events")
+          .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+        val (_, _, binned) = PreprocessOps.niceTimeBinning(ev, "tstamp", 4, "bin")
+        binned.groupBy(col("bin")).agg(count(lit(1)).as("n_rows"),
+            min(col("tstamp")).as("lo"), max(col("tstamp")).as("hi"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS tstamp FROM events),
+             |s AS (SELECT date_trunc('week', MIN(tstamp)) AS w0 FROM e)
+             |SELECT CAST(FLOOR(DATE_DIFF('second', w0, tstamp) / (7 * 86400.0)) AS INT) AS bin,
+             |       COUNT(*) AS n_rows, MIN(tstamp) AS lo, MAX(tstamp) AS hi
+             |FROM e CROSS JOIN s
+             |GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     Q("continuize_treatments", // DomainContinuizer's remaining multinomial
       // treatments (continuize.py:11-100): FrequentAsBase (data-fitted
       // base = the modus), FirstAsBase, Remove, RemoveMultinomial,

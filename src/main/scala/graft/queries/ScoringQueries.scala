@@ -199,6 +199,20 @@ object ScoringQueries {
               |FROM agg CROSS JOIN m
               |ORDER BY feature""".stripMargin)),
 
+    Q("outliers_oneclass_svm", // OneClassSVM (outlier_detection.py:17-180)
+      // via Random Fourier Features + linear one-class subgradient
+      // descent. Deterministic (md5 frequencies, detSum grads, rounded
+      // steps) but 30-iteration-iterative → rows-only; OneClassSVMSpec
+      // pins the semantics.
+      (s, d) => graft.ml.OneClassSVM.fitPredict(
+          sup(s, d).select(col("s_suppkey"),
+            (col("s_acctbal") / 10000.0).as("xa")),
+          Seq(("xa", col("xa"))), nu = 0.05, d = 16, gamma = 2.0)
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_outlier")).as("n_outliers"),
+          round(min(col("score")), 6).as("min_score"),
+          round(max(col("score")), 6).as("max_score")), None),
+
     Q("outliers_lof", // Local Outlier Factor, k=3 (outlier_detection.py)
       (s, d) => OutlierOps.lof1d(sup(s, d), "s_suppkey", "s_acctbal", 3)
         .orderBy(col("a_id")),
