@@ -44,6 +44,27 @@ object SimilarityQueries {
               |  WHERE q.vec_id < 20)
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("ann_ivf", // FAISS-style IVF ANN: coarse k-means quantizer +
+      // inverted lists + probe-limited exact scoring. Run with
+      // nprobe = nlist here, where IVF provably equals brute force —
+      // the oracle is the exact top-k SQL; SimilaritySpec covers the
+      // recall/scan trade-off at nprobe < nlist.
+      (s, d) => SimilarityOps.ivfTopKCosine(
+          emb(s, d).filter(col("vec_id") < 20), emb(s, d),
+          "vec_id", "embedding", Dim, 3, nlist = 8, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    ${sqlCos("q.embedding", "c.embedding")} AS cosine,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC,
+              |               c.vec_id ASC) AS rank
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 20)
+              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     Q("ann_lsh_bucketed", // scale path: sign-of-projection buckets, then
       // exact cosine within bucket only (equi-join, no cross join).
       (s, d) => SimilarityOps.lshTopKCosine(

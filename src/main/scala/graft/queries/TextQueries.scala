@@ -121,6 +121,38 @@ object TextQueries {
               |WHERE n_inter >= 2
               |ORDER BY id1, id2""".stripMargin)),
 
+    Q("dedup_canonicalize", // near-dup clustering + canonical selection
+      // (the C4/RefinedWeb corpus-dedup finisher): Jaccard>=0.3 pairs →
+      // connected components (min-label propagation, one join+agg per
+      // round) → keep the smallest doc_id per component. Oracle computes
+      // the same components with a recursive CTE.
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = DedupOps.jaccardPairs(dd, "doc_id", "text", 3, 0.3)
+        DedupOps.canonicalize(dd, pairs, "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE sh AS ($shingleSqlDistinct),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id),
+              |pairs AS (
+              |  SELECT id1, id2 FROM inter
+              |  JOIN sizes s1 ON s1.doc_id = id1
+              |  JOIN sizes s2 ON s2.doc_id = id2
+              |  WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.3),
+              |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+              |          UNION SELECT id2, id1 FROM pairs),
+              |reach(node, label) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)
+              |SELECT node AS doc_id, MIN(label) AS canonical_id,
+              |  CAST(CASE WHEN node = MIN(label) THEN 1 ELSE 0 END AS INT) AS keep
+              |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_minhash_lsh_fast", // scale-path MinHash: xxhash64 shingle
       // hashing (codegen-native) instead of oracle-portable md5 — same
       // banding; rows-only (no xxhash64 in DuckDB). BENCH shows the

@@ -85,6 +85,76 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the FAISS-style scale path beside LSH:
+    *
+    *  1. coarse quantizer: `nlist` centroids seeded from the smallest
+    *     vector ids (deterministic), refined by `lloyd` exact Lloyd
+    *     iterations (assignment = broadcast-join vs the tiny centroid
+    *     table; update = one per-dimension exactSum aggregation);
+    *  2. inverted lists: every corpus vector keyed by its nearest
+    *     centroid — ONE narrow (list_id, id, vec) table, shuffle on
+    *     list_id only;
+    *  3. search: each query probes its `nprobe` nearest centroids and
+    *     exact-scores only those lists — an equi-join on list_id, so
+    *     scanned candidates shrink by ~nlist/nprobe at any corpus size.
+    *
+    * With nprobe = nlist the result equals brute force exactly
+    * (spec-pinned); smaller nprobe trades recall for scan volume. */
+  def ivfTopKCosine(queries: DataFrame, corpus: DataFrame, id: String,
+                    vec: String, dim: Int, k: Int, nlist: Int,
+                    nprobe: Int, lloyd: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    // seed centroids: nlist smallest ids (deterministic at any partitioning)
+    var centroids = c.orderBy(col("cid")).limit(nlist)
+      .select(col("cid").cast("long").as("list_id"),
+        col("cv").cast("array<double>").as("cent"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }
+    import spark.implicits._
+    def centDF = broadcast(centroids.toDF("list_id", "cent"))
+    def assign(df: DataFrame, vcol: String, idcol: String,
+               rank: Int): DataFrame = {
+      val dot = aggregate(zip_with(col(vcol).cast("array<double>"),
+        col("cent"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+      val nv = sqrt(aggregate(col(vcol).cast("array<double>"),
+        lit(0.0), (a, x) => a + x * x))
+      val nc = sqrt(aggregate(col("cent"), lit(0.0), (a, x) => a + x * x))
+      val w = Window.partitionBy(col(idcol))
+        .orderBy((dot / (nv * nc)).desc, col("list_id").asc)
+      df.crossJoin(centDF)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= rank)
+        .drop("cent", "__rk")
+    }
+    // Lloyd refinement: exact per-dimension means of each list
+    for (_ <- 1 to lloyd) {
+      val assigned = assign(c, "cv", "cid", 1)
+      val dims = (1 to dim).map(i => graft.core.Tables.exactMean(
+        element_at(col("cv"), i).cast("double")).as(s"d$i"))
+      val upd = assigned.groupBy(col("list_id"))
+        .agg(dims.head, dims.tail: _*).collect()
+        .map(r => (r.getLong(0), (1 to dim).map(i =>
+          r.getDouble(i)).toSeq)).toSeq.sortBy(_._1)
+      centroids = upd
+    }
+    val invlists = assign(c, "cv", "cid", 1)
+      .select(col("list_id"), col("cid").as("neighbor_id"), col("cv").as("__cv"))
+    val probes = assign(
+      queries.select(col(id).as("query_id"), col(vec).as("qv")),
+      "qv", "query_id", nprobe)
+      .select(col("query_id"), col("qv").as("__qv"), col("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(invlists, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineFixed(col("__qv"), col("__cv"), dim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   // --- Orange §2.9 distances on scalar feature columns -----------------
 
   def euclidean(xs: Seq[(Column, Column)]): Column =

@@ -31,6 +31,17 @@ class DedupSpec extends SparkSpec {
     assert(!banded.exists { case (a, b, _) => a == 6L && b == 7L })
   }
 
+  test("canonicalize: components collapse to the smallest doc id") {
+    val docs = (1L to 8L).toDF("doc_id")
+    // chain 1-2-3 (transitive component), pair 5-7, singletons 4,6,8
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id1", "id2")
+    val m = graft.text.DedupOps.canonicalize(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(m(1L) == (1L, 1) && m(2L) == (1L, 0) && m(3L) == (1L, 0))
+    assert(m(5L) == (5L, 1) && m(7L) == (5L, 0))
+    assert(Seq(4L, 6L, 8L).forall(i => m(i) == (i, 1)))
+  }
+
   test("banded simhash pairs match the fallback on real document data") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sig = DedupOps.simhash(docs, "doc_id", "text").cache()
