@@ -202,12 +202,13 @@ object ScoringQueries {
     Q("outliers_oneclass_svm", // OneClassSVM (outlier_detection.py:17-180)
       // via Random Fourier Features + linear one-class subgradient
       // descent. Deterministic (md5 frequencies, detSum grads, rounded
-      // steps) but 30-iteration-iterative → rows-only; OneClassSVMSpec
+      // steps) but 20-iteration-iterative → rows-only; OneClassSVMSpec
       // pins the semantics.
       (s, d) => graft.ml.OneClassSVM.fitPredict(
           sup(s, d).select(col("s_suppkey"),
             (col("s_acctbal") / 10000.0).as("xa")),
-          Seq(("xa", col("xa"))), nu = 0.05, d = 16, gamma = 2.0)
+          Seq(("xa", col("xa"))), nu = 0.05, d = 16, gamma = 2.0,
+          iterations = 20)
         .agg(count(lit(1)).as("n"),
           sum(col("is_outlier")).as("n_outliers"),
           round(min(col("score")), 6).as("min_score"),
