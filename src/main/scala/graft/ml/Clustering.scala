@@ -238,14 +238,15 @@ object Clustering {
       val prop = coreEdges
         .join(labels.select(col("pid").as("b_id"), col("lbl").as("nl")), "b_id")
         .groupBy(col("a_id")).agg(min(col("nl")).as("minl"))
-      val next = labels
+      // carry the old label through the join so the convergence check
+      // reads the checkpointed frame instead of paying a second join
+      val joined = labels
         .join(prop.select(col("a_id").as("pid"), col("minl")), Seq("pid"), "left")
-        .select(col("pid"), least(col("lbl"), coalesce(col("minl"), col("lbl")))
-          .as("lbl"))
+        .select(col("pid"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("minl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "pid")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = joined.filter(col("lbl") =!= col("old")).count()
+      labels = joined.select(col("pid"), col("lbl"))
     }
 
     // border points adopt the smallest core cluster within eps

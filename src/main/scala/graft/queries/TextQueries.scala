@@ -121,6 +121,21 @@ object TextQueries {
               |WHERE n_inter >= 2
               |ORDER BY id1, id2""".stripMargin)),
 
+    Q("text_normalize", // corpus normalization (lowercase, control→space,
+      // whitespace collapse) — the standard pre-dedup cleanup pass;
+      // verified via md5 of the normalized text per doc.
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          md5(TextOps.normalizeText(col("text"))).as("norm_md5"),
+          length(TextOps.normalizeText(col("text"))).as("norm_len"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+             |    '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_md5,
+             |  LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+             |    '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_canonicalize", // near-dup clustering + canonical selection
       // (the C4/RefinedWeb corpus-dedup finisher): Jaccard>=0.3 pairs →
       // connected components (min-label propagation, one join+agg per

@@ -81,6 +81,14 @@ object TextOps {
   }
 
   /** 32-bit content fingerprint (md5-derived, portable). */
+  /** Corpus-normalization pass (the standard pre-dedup cleanup in
+    * training-data pipelines): lowercase, control chars → space,
+    * whitespace runs collapsed, ends trimmed. Pure codegen'd string
+    * expressions — one narrow projection at any scale. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\p{Cntrl}]", " "), "\\s+", " "))
+
   def fingerprint(text: Column): Column = hashVal32(text)
 
   /** Canonical-form fingerprint: lowercase + collapsed whitespace first,
