@@ -80,4 +80,44 @@ object MultimodalOps {
   def sampleFrameIndexes(decoded: DataFrame, everyK: Int): DataFrame =
     decoded.withColumn("frame_idx",
       explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyK))))
+
+  /** Resize pass: (payload, target box) → resized payload + new dims,
+    * aspect-preserving fit. The pixel work is STUBBED (the "resized"
+    * payload is a deterministic truncation of the original bytes sized
+    * like the real output would be); the Spark shape is real — a
+    * per-partition batch map emitting binary, exactly where a real
+    * scaler (JNI/FFM) would slot in, with output size proportional to
+    * targetW·targetH so memory planning carries over. */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int, targetH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.BINARY)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val (w, h, _) = decodeStubPublic(payload)
+          // aspect-preserving fit into the target box
+          val scale =
+            if (w <= 0 || h <= 0) 0.0
+            else math.min(targetW.toDouble / w, targetH.toDouble / h)
+          val (nw, nh) = (math.max(1, (w * scale).toInt),
+            math.max(1, (h * scale).toInt))
+          val outLen = math.min(
+            if (payload == null) 0 else payload.length,
+            math.max(1, nw * nh / 64))
+          val out = if (payload == null) Array.empty[Byte]
+                    else java.util.Arrays.copyOf(payload, outLen)
+          (id, nw, nh, out)
+        }
+      }(enc)
+      .toDF("media_id", "width", "height", "payload")
+  }
+
+  private[multimodal] def decodeStubPublic(payload: Array[Byte]): (Int, Int, Int) =
+    decodeStub(payload)
 }

@@ -270,6 +270,30 @@ object TextQueries {
              |  64 + (ascii(substring(text, 2, 1)) % 9) * 64 AS height,
              |  CAST(1 + octet_length(encode(text)) % 30 AS INT) AS n_frames,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    Q("multimodal_resize", // aspect-preserving resize pass: stub pixels,
+      // real per-partition binary batch shape. The oracle replays the
+      // deterministic stub arithmetic (fit into 256×256, output bytes
+      // proportional to the target area).
+      (s, d) => {
+        val media = graft.multimodal.MultimodalOps.asMedia(
+          docs(s, d), "doc_id", "text")
+        graft.multimodal.MultimodalOps.resize(s, media, 256, 256)
+          .select(col("media_id"), col("width"), col("height"),
+            length(col("payload")).cast("long").as("out_bytes"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |  64 + (ascii(substring(text, 1, 1)) % 16) * 64 AS w,
+             |  64 + (ascii(substring(text, 2, 1)) % 9) * 64 AS h,
+             |  octet_length(encode(text)) AS len FROM documents),
+             |s AS (SELECT media_id, len,
+             |  GREATEST(1, CAST(TRUNC(w * LEAST(256.0 / w, 256.0 / h)) AS INT)) AS width,
+             |  GREATEST(1, CAST(TRUNC(h * LEAST(256.0 / w, 256.0 / h)) AS INT)) AS height
+             |  FROM m)
+             |SELECT media_id, width, height,
+             |  CAST(LEAST(len, GREATEST(1, (width * height) // 64)) AS BIGINT) AS out_bytes
+             |FROM s ORDER BY media_id""".stripMargin))
   )
 }
