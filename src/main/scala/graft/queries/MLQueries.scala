@@ -270,6 +270,21 @@ object MLQueries {
       (s, d) => graft.ml.Manifold.mdsSampled(
         emb(s, d), "vec_id", "embedding", 200), None),
 
+    Q("ml_tsne_sampled", // projection/manifold.py:287 TSNE — exact
+      // perplexity-calibrated t-SNE on a deterministic 150-point sample
+      // (classical-scaling init, early-exaggerated momentum GD), every
+      // other row placed by inverse-distance landmark interpolation
+      // (openTSNE transform analogue). Deterministic but
+      // eigensolver/GD-bound → rows-only; ManifoldSpec pins semantics.
+      (s, d) => graft.ml.Manifold.tsneSampled(
+          emb(s, d).filter(col("vec_id") < 1000), "vec_id", "embedding",
+          150, perplexity = 20.0, iters = 250)
+        .agg(count(lit(1)).as("n"),
+          round(min(col("tsne1")), 4).as("min1"),
+          round(max(col("tsne1")), 4).as("max1"),
+          round(min(col("tsne2")), 4).as("min2"),
+          round(max(col("tsne2")), 4).as("max2")), None),
+
     Q("ml_cur_leverage", // cur.py:13 — CUR column selection via PCA
       // leverage scores (MLlib covariance/PCA distributed). Rows-only.
       (s, d) => graft.ml.Manifold.curLeverage(
