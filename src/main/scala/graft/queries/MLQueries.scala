@@ -270,6 +270,26 @@ object MLQueries {
       (s, d) => graft.ml.Manifold.mdsSampled(
         emb(s, d), "vec_id", "embedding", 200), None),
 
+    Q("ml_freeviz", // projection/freeviz.py:241-383 — force-optimized
+      // linear projection: anchors fitted on a deterministic sample
+      // (radial init, same-class attract / cross-class repel, unit-disc
+      // rescale per step), rows projected distributively as X·A.
+      // Deterministic but force-loop-iterative → rows-only; FreeVizSpec
+      // pins separation + determinism.
+      (s, d) => {
+        val base = li(s, d).filter(col("l_orderkey") < 3000)
+        val (_, proj) = graft.ml.FreeViz.fitProject(
+          base.withColumn("rid",
+            col("l_orderkey") * 10 + col("l_linenumber")),
+          "rid", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          "l_returnflag", sampleN = 250)
+        proj.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(exactMean(col("fv1")), 6).as("mean_fv1"),
+            round(exactMean(col("fv2")), 6).as("mean_fv2"))
+          .orderBy(col("l_returnflag"))
+      }, None),
+
     Q("ml_tsne_sampled", // projection/manifold.py:287 TSNE — exact
       // perplexity-calibrated t-SNE on a deterministic 150-point sample
       // (classical-scaling init, early-exaggerated momentum GD), every
