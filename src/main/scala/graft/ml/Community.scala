@@ -76,7 +76,7 @@ object Community {
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
     val sigma = deg.join(lab, deg("u") === lab("node"))
       .groupBy("label").agg(sum("deg").as("tot"))
-    val sumSq = sigma.agg(sum(col("tot") * col("tot"))).head.getLong(0).toDouble
+    val sumSq = sigma.agg(sum(col("tot") * col("tot"))).head().getLong(0).toDouble
     val intra = e
       .join(lab.select(col("node"), col("label").as("la")), e("u") === col("node"))
       .drop("node")
@@ -108,7 +108,7 @@ object Community {
     // modularity with m / deg / sym hoisted: two jobs per evaluation
     def qOf(lab: DataFrame): Double = {
       val sigma = lab.join(deg, "node").groupBy("label").agg(sum("deg").as("tot"))
-      val sumSq = sigma.agg(sum(col("tot") * col("tot"))).head.getLong(0).toDouble
+      val sumSq = sigma.agg(sum(col("tot") * col("tot"))).head().getLong(0).toDouble
       val intra = e
         .join(lab.select(col("node"), col("label").as("la")), e("u") === col("node"))
         .drop("node")
