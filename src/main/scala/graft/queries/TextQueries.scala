@@ -121,6 +121,33 @@ object TextQueries {
               |WHERE n_inter >= 2
               |ORDER BY id1, id2""".stripMargin)),
 
+    Q("dedup_ngram_jaccard_capped", // the 100 TB skew-guard variant:
+      // shingles in > 3 docs are stop-shingles dropped BEFORE the
+      // equi-join (hot-key n² blowup guard); Jaccard over the retained
+      // sets, oracle recomputes the same cap.
+      (s, d) => DedupOps.jaccardPairs(docs(s, d), "doc_id", "text",
+          n = 3, threshold = 0.0, maxDocFreq = Some(3))
+        .filter(col("n_inter") >= 2)
+        .select(col("id1"), col("id2"), col("n_inter"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id1"), col("id2")),
+      Some(s"""WITH sh0 AS ($shingleSqlDistinct),
+              |keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+              |         HAVING COUNT(*) <= 3),
+              |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id)
+              |SELECT id1, id2, n_inter,
+              |  ROUND(CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter), 6) AS jaccard
+              |FROM inter
+              |JOIN sizes s1 ON s1.doc_id = id1
+              |JOIN sizes s2 ON s2.doc_id = id2
+              |WHERE n_inter >= 2
+              |ORDER BY id1, id2""".stripMargin)),
+
     Q("text_normalize", // corpus normalization (lowercase, control→space,
       // whitespace collapse) — the standard pre-dedup cleanup pass;
       // verified via md5 of the normalized text per doc.

@@ -44,10 +44,28 @@ object DedupOps {
 
   /** N-gram Jaccard similarity for all pairs sharing ≥1 shingle;
     * keeps pairs with similarity ≥ threshold. Pure integer counting
-    * until the final division → deterministic. */
+    * until the final division → deterministic.
+    *
+    * `maxDocFreq` is the 100 TB skew guard: a shingle occurring in more
+    * than that many documents is a stop-shingle — it contributes n²
+    * join rows on ONE key (the classic hot-key blowup) while carrying
+    * no near-dup signal. Capping drops those shingles BEFORE the
+    * equi-join and computes Jaccard over the retained shingle sets
+    * (the standard pipeline approximation); None keeps the exact
+    * reference semantics. */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
-                   threshold: Double): DataFrame = {
-    val sh = shingleTable(df, id, text, n).cache()
+                   threshold: Double,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
+    val shAll = shingleTable(df, id, text, n)
+    val sh = (maxDocFreq match {
+      case Some(cap) =>
+        val dfreq = shAll.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .select(col("shingle"))
+        shAll.join(dfreq, "shingle")
+      case None => shAll
+    }).cache()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
       .filter(col(s"a.$id") < col(s"b.$id"))
