@@ -88,6 +88,36 @@ object StreamingQueries {
              |HAVING COUNT(*) >= 5
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    Q("stream_sessionize", // native session_window streaming twin of
+      // events_sessionize: same 30-min gap rule (ties merge — see
+      // StreamOps.sessionWindowAgg's boundary note), ≥2-event filter so
+      // the gate exercises real merged sessions at sf0.01;
+      // oracle is the batch lag-gap CTE without the running session id
+      // (session identity = its start time).
+      (s, d) => graft.streaming.StreamOps
+        .sessionWindowAgg(s, d, gapSeconds = 1800, minEvents = 2,
+          "stream_sessionize_sink")
+        .orderBy(col("user_id"), col("start_s")),
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |      OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+             |         - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM marked)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS start_s,
+             |  MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS end_s
+             |FROM sess GROUP BY user_id, session_id
+             |HAVING COUNT(*) >= 2
+             |ORDER BY user_id, start_s""".stripMargin)),
+
     Q("stream_tumbling_window", // Structured Streaming twin of the above
       (s, d) => graft.streaming.StreamOps
         .tumblingWindowAgg(s, d, "1 hour", "stream_tumbling_sink")

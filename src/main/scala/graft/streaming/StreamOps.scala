@@ -54,6 +54,56 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Native session windows (gap-merged) per user — the streaming twin
+    * of the batch lag-gap sessionizer. Timestamps are truncated to
+    * whole seconds first so gap comparisons match the batch rule's
+    * integer arithmetic. session_window merges a successor up to AND
+    * INCLUDING `gap` after the last event (closed boundary, verified
+    * differentially: an exactly-1801 s gap merged under gap+1), which
+    * is the batch rule "diff > gap breaks" (ties merge) verbatim.
+    *
+    * Session aggregations only support APPEND output: a session emits
+    * when the watermark passes its close. The drive therefore streams
+    * from a temp copy of the fixture, then appends one far-future
+    * SENTINEL row (user −1) as a second micro-batch — the watermark
+    * advances past every real session and flushes them all, exactly how
+    * a production stream finalizes sessions as fresh events arrive. */
+  def sessionWindowAgg(spark: SparkSession, sfDir: String,
+                       gapSeconds: Int, minEvents: Int,
+                       sinkName: String): DataFrame = {
+    val src = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("batch0.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(dir.toString)
+      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_timestamp(min(col("ts"))).as("start_s"),
+        unix_timestamp(max(col("ts"))).as("end_s"))
+      .select(col("user_id"), col("n_events"), col("start_s"), col("end_s"))
+    val q = stream.writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // sentinel micro-batch: 2030-01-01 in nanos, impossible user id
+      val sentinel = spark.range(1).select(
+        lit(-1L).as("event_id"), lit(1893456000000000000L).as("ts"),
+        lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      spark.createDataFrame(sentinel.collectAsList(), schema)
+        .write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sinkName)
+      .filter(col("user_id") =!= -1 && col("n_events") >= minEvents)
+  }
+
   /** Overlapping sliding windows (size > slide ⇒ each event lands in
     * size/slide windows). Same drain-to-memory harness as above; the
     * oracle checks the equivalent batch explode. */
