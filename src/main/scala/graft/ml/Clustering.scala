@@ -166,6 +166,61 @@ object Clustering {
         "core_cluster", "prev_v", "prev_cl", "next_v", "next_cl")
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the cluster-scale CC: converges in O(log n) rounds
+    * regardless of component diameter, where min-label propagation
+    * pays O(diameter) rounds on chains.
+    *
+    * Each round is two phases over the edge list, each ONE groupBy +
+    * join (hash-partitioned on node id):
+    *   large-star: every neighbor v > u links to min(N(u) ∪ {u});
+    *   small-star: every neighbor v ≤ u links to that minimum.
+    * At the fixpoint every node's surviving edge points at its
+    * component's minimum id.
+    *
+    * @param edges undirected (u, v) pairs, any orientation
+    * @return (node, label) — label = smallest node id in the component;
+    *         isolated nodes (no edges) are absent, as in the min-label
+    *         loop's contract. */
+  def connectedComponentsLSS(edges: DataFrame): DataFrame = {
+    // canonical (hi, lo) edge form between rounds
+    var e = edges.select(greatest(col("u"), col("v")).as("hi"),
+        least(col("u"), col("v")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(eager = true)
+    var stable = false
+    var guard = 0
+    while (!stable && guard < 50) {
+      guard += 1
+      // large-star over FULL neighborhoods: every neighbor v > u links
+      // to m(u) = min(N(u) ∪ {u})
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mAll = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      val large = sym.filter(col("v") > col("u")).join(mAll, "u")
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star: every SMALLER neighbor (and u itself) links to the
+      // minimum of the smaller neighborhood
+      val mS = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val small = large.join(mS, "hi")
+        .select(col("lo").as("a"), col("m"))
+        .unionByName(mS.select(col("hi").as("a"), col("m")))
+        .filter(col("a") =!= col("m"))
+        .select(greatest(col("a"), col("m")).as("hi"),
+          least(col("a"), col("m")).as("lo"))
+        .distinct().localCheckpoint(eager = true)
+      stable = small.count() == e.count() &&
+        small.exceptAll(e).limit(1).count() == 0
+      e = small
+    }
+    // at the fixpoint the edges form stars around each component min
+    e.select(col("hi").as("node"), col("lo").as("label"))
+      .unionByName(e.select(col("lo").as("node"), col("lo").as("label")))
+      .groupBy("node").agg(min("label").as("label"))
+  }
+
   /** N-dimensional DBSCAN via grid-cell bucketing — the scale path.
     *
     * Cells of side eps bound the neighbor search: a point's eps-ball only
@@ -227,27 +282,16 @@ object Clustering {
     val coreEdges = pairs
       .join(cores.withColumnRenamed("pid", "a_id"), "a_id")
       .join(cores.withColumnRenamed("pid", "b_id"), "b_id").cache()
-    var labels = cores.withColumn("lbl", col("pid"))
-    var changed = 1L
-    while (changed > 0) {
-      // neighbor-min propagation; measured against a pointer-jumping
-      // variant (lbl := lbl of lbl) at sf0.1 — the extra join per round
-      // cost more than the saved rounds there. Components with large
-      // diameter (long chains) would flip that trade; at cluster scale
-      // the CC step graduates to a large-star/small-star implementation.
-      val prop = coreEdges
-        .join(labels.select(col("pid").as("b_id"), col("lbl").as("nl")), "b_id")
-        .groupBy(col("a_id")).agg(min(col("nl")).as("minl"))
-      // carry the old label through the join so the convergence check
-      // reads the checkpointed frame instead of paying a second join
-      val joined = labels
-        .join(prop.select(col("a_id").as("pid"), col("minl")), Seq("pid"), "left")
-        .select(col("pid"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("minl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = joined.filter(col("lbl") =!= col("old")).count()
-      labels = joined.select(col("pid"), col("lbl"))
-    }
+    // components via large-star/small-star ([[connectedComponentsLSS]]):
+    // O(log n) rounds regardless of chain diameter, where the previous
+    // neighbor-min propagation paid O(diameter) rounds (both measured;
+    // a pointer-jumping variant of the latter was slower still).
+    // Isolated cores (no core-core edge) keep their own id as label.
+    val ccLabels = connectedComponentsLSS(
+      coreEdges.select(col("a_id").as("u"), col("b_id").as("v")))
+    val labels = cores
+      .join(ccLabels.withColumnRenamed("node", "pid"), Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("label"), col("pid")).as("lbl"))
 
     // border points adopt the smallest core cluster within eps
     val borderLbl = pairs

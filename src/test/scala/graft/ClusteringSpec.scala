@@ -81,6 +81,30 @@ class ClusteringSpec extends SparkSpec {
     assert(global == chunked)
   }
 
+  test("large-star/small-star CC matches union-find on mixed topologies") {
+    // long chain (diameter stress), a clique, a pair, isolated-by-absence
+    val chain = (1 to 200).sliding(2).map(p => (p(0).toLong, p(1).toLong)).toSeq
+    val clique = for (a <- 301 to 306; b <- (a + 1) to 306)
+      yield (a.toLong, b.toLong)
+    val pair = Seq((401L, 400L))
+    val edges = (chain ++ clique ++ pair).toDF("u", "v")
+    val got = Clustering.connectedComponentsLSS(edges)
+      .as[(Long, Long)].collect().toMap
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (chain ++ clique ++ pair).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got.size == want.size)
+    assert(want.forall { case (n, lbl) => got(n) == lbl })
+  }
+
   test("grid DBSCAN: cross-cell clusters chain through adjacent cells") {
     // points spaced 0.9 apart with eps=1.0: one chain across many cells
     val df = (1 to 15).map(i => (i, i * 0.9)).toDF("id", "v")
