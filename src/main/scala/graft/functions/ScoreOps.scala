@@ -42,26 +42,32 @@ object ScoreOps {
     * round-to-decimal images diverge between engines at that scale;
     * instead ssb = Σ ng·(mg − m)² keeps every detSum term O(spread²·ng)
     * and the cancellation (mg − m) in plain IEEE arithmetic, identical
-    * on both engines. ssw terms are O(ng·var) — summed on the coarse
-    * 6-decimal grid so t·10^scale stays below 2⁵³. Both sums are then
-    * snapped to 6 decimals before the final division. */
+    * on both engines. ssw is mean-centered the same way: join the group
+    * mean back and accumulate (x − mg)² per row — every term is
+    * O(spread²), always inside detSum's 12-decimal envelope, unlike the
+    * ssg − sg²/ng form whose two ~|S|²-magnitude operands round
+    * differently between engines. Costs a second scan, but the group
+    * table is k rows → broadcast join, no extra shuffle. */
   def anovaF(df: DataFrame, x: String, g: String): DataFrame = {
-    val grp = df.filter(col(x).isNotNull && col(g).isNotNull)
-      .groupBy(col(g)).agg(
-        exactSum(col(x)).as("sg"),
-        exactSum(col(x) * col(x)).as("ssg"),
+    val rows = df.filter(col(x).isNotNull && col(g).isNotNull)
+      .select(col(x).as("xv"), col(g).as("gv"))
+    val grp = rows.groupBy(col("gv")).agg(
+        exactSum(col("xv")).as("sg"),
         count(lit(1)).as("ng"))
     val tot = grp.agg(
       exactSum(col("sg")).as("s"), sum(col("ng")).as("n"),
       count(lit(1)).as("k"))
     val mg = col("sg") / col("ng")
     val m  = col("s") / col("n")
-    grp.crossJoin(broadcast(tot))
+    val between = grp.crossJoin(broadcast(tot))
       .agg(
         round(detSum(col("ng") * (mg - m) * (mg - m)), 6).as("ssb"),
-        round(detSum(col("ssg") - col("sg") * col("sg") / col("ng"), 6), 6)
-          .as("ssw"),
         max(col("n")).as("n"), max(col("k")).as("k"))
+    val within = rows
+      .join(broadcast(grp.select(col("gv"), mg.as("mg"))), "gv")
+      .agg(round(detSum((col("xv") - col("mg")) * (col("xv") - col("mg"))), 6)
+        .as("ssw"))
+    between.crossJoin(within)
       .select(
         round((col("ssb") / (col("k") - 1)) /
               (col("ssw") / (col("n") - col("k"))), 6).as("f_stat"),

@@ -62,24 +62,26 @@ object ScoringQueries {
 
     Q("score_anova", // one-way ANOVA F (score.py:107-157)
       (s, d) => ScoreOps.anovaF(li(s, d), "l_quantity", "l_returnflag"),
-      Some(s"""WITH grp AS (
-              |  SELECT l_returnflag AS g, ${sqlSum("l_quantity")} AS sg,
-              |         ${sqlSum("l_quantity * l_quantity")} AS ssg,
-              |         COUNT(*) AS ng
+      Some(s"""WITH rows_ AS (
+              |  SELECT l_quantity AS xv, l_returnflag AS gv
               |  FROM lineitem
-              |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
-              |  GROUP BY 1),
+              |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+              |grp AS (
+              |  SELECT gv, ${sqlSum("xv")} AS sg, COUNT(*) AS ng
+              |  FROM rows_ GROUP BY 1),
               |tot AS (
               |  SELECT ${sqlSum("sg")} AS s, SUM(ng) AS n, COUNT(*) AS k
               |  FROM grp),
-              |agg AS (
+              |between_ AS (
               |  SELECT ROUND(${sqlDetSum("ng * (sg / ng - s / n) * (sg / ng - s / n)")}, 6) AS ssb,
-              |         ROUND(${sqlDetSum("ssg - sg * sg / ng", 6)}, 6) AS ssw,
               |         MAX(n) AS n, MAX(k) AS k
-              |  FROM grp CROSS JOIN tot)
+              |  FROM grp CROSS JOIN tot),
+              |within_ AS (
+              |  SELECT ROUND(${sqlDetSum("(xv - sg / ng) * (xv - sg / ng)")}, 6) AS ssw
+              |  FROM rows_ JOIN grp USING (gv))
               |SELECT ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
               |       (k - 1) AS df_between, (n - k) AS df_within
-              |FROM agg""".stripMargin)),
+              |FROM between_ CROSS JOIN within_""".stripMargin)),
 
     Q("score_gainratio", // GainRatio (score.py:308-325): InfoGain divided
       // by the feature's own entropy, Quinlan's multi-valued correction.

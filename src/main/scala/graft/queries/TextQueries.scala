@@ -164,17 +164,24 @@ object TextQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("dedup_canonicalize", // near-dup clustering + canonical selection
-      // (the C4/RefinedWeb corpus-dedup finisher): Jaccard>=0.3 pairs →
-      // connected components (min-label propagation, one join+agg per
-      // round) → keep the smallest doc_id per component. Oracle computes
-      // the same components with a recursive CTE.
+      // (the C4/RefinedWeb corpus-dedup finisher): Jaccard>=0.3 pairs
+      // over doc-frequency-capped shingles (stop-shingles in > 50 docs
+      // dropped before the equi-join — the hot-key guard) → connected
+      // components (large-star/small-star, O(log n) rounds) → keep the
+      // smallest doc_id per component. Oracle recomputes the same cap
+      // and the same components with a recursive CTE (labels are min-id
+      // either way).
       (s, d) => {
         val dd = docs(s, d)
-        val pairs = DedupOps.jaccardPairs(dd, "doc_id", "text", 3, 0.3)
+        val pairs = DedupOps.jaccardPairs(dd, "doc_id", "text", 3, 0.3,
+          maxDocFreq = Some(50))
         DedupOps.canonicalize(dd, pairs, "doc_id")
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE sh AS ($shingleSqlDistinct),
+      Some(s"""WITH RECURSIVE sh0 AS ($shingleSqlDistinct),
+              |keep0 AS (SELECT shingle FROM sh0 GROUP BY shingle
+              |          HAVING COUNT(*) <= 50),
+              |sh AS (SELECT sh0.* FROM sh0 JOIN keep0 USING (shingle)),
               |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
               |inter AS (
               |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter

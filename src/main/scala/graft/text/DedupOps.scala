@@ -148,33 +148,16 @@ object DedupOps {
   /** Near-dup clustering + canonical selection — the standard
     * training-corpus dedup finisher (C4/RefinedWeb-style): candidate
     * pairs (from MinHash banding or any pair source) become connected
-    * components via min-label propagation (each round one join + one
-    * agg, lineage cut — the same shape as dbscanGrid's CC), and each
+    * components via large-star/small-star (Clustering
+    * .connectedComponentsLSS — O(log n) rounds regardless of component
+    * diameter, where min-label propagation pays O(diameter) rounds on
+    * the long template-drift chains real corpora produce), and each
     * component keeps ONE canonical doc (smallest id — deterministic).
     * Returns (doc id, canonical id, keep flag); docs without any dup
     * pair are their own canonical. */
-  def canonicalize(docs: DataFrame, pairs: DataFrame, id: String,
-                   maxRounds: Int = 20): DataFrame = {
-    val e = pairs.select(col("id1").as("u"), col("id2").as("v"))
-    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(eager = true)
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-    var changed = true
-    var round = 0
-    while (changed && round < maxRounds) {
-      round += 1
-      val next = sym
-        .join(labels.withColumnRenamed("node", "v"), "v")
-        .groupBy(col("u").as("node"))
-        .agg(min(col("label")).as("nbrMin"))
-        .join(labels, "node")
-        .select(col("node"), least(col("label"), col("nbrMin")).as("label"))
-        .localCheckpoint(eager = true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels = next
-    }
+  def canonicalize(docs: DataFrame, pairs: DataFrame, id: String): DataFrame = {
+    val labels = graft.ml.Clustering.connectedComponentsLSS(
+      pairs.select(col("id1").as("u"), col("id2").as("v")))
     docs.select(col(id))
       .join(labels.withColumnRenamed("node", id), Seq(id), "left")
       .select(col(id),

@@ -42,6 +42,31 @@ class DedupSpec extends SparkSpec {
     assert(Seq(4L, 6L, 8L).forall(i => m(i) == (i, 1)))
   }
 
+  test("canonicalize CC (large-star/small-star) matches union-find on " +
+       "long chains and random graphs") {
+    // a 64-node chain (diameter 63 — min-label propagation would need 63
+    // rounds; LSS converges in O(log n)), a star, and a dense clique
+    val chain = (100L until 163L).map(i => (i, i + 1))
+    val star  = (201L to 208L).map(i => (200L, i))
+    val clique = for (a <- 300L to 305L; b <- (a + 1) to 305L) yield (a, b)
+    val edges = chain ++ star ++ clique
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val docs = ids.toDF("doc_id")
+    val pairs = edges.toDF("id1", "id2")
+    val got = DedupOps.canonicalize(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val want = ids.map(i => i -> find(i)).toMap
+    assert(got == want)
+  }
+
   test("banded simhash pairs match the fallback on real document data") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sig = DedupOps.simhash(docs, "doc_id", "text").cache()
