@@ -120,6 +120,38 @@ object Learners {
     def recall(actual: Column, pred: Column, cls: String): Column =
       sum(when(pred === cls && actual === cls, 1L).otherwise(0L)).cast(DoubleType) /
         sum(when(actual === cls, 1L).otherwise(0L))
+    def f1(actual: Column, pred: Column, cls: String): Column = {
+      val p = precision(actual, pred, cls); val r = recall(actual, pred, cls)
+      lit(2.0) * p * r / (p + r)
+    }
+
+    /** Specificity = TN / (TN + FP) (scoring.py:340). */
+    def specificity(actual: Column, pred: Column, cls: String): Column =
+      sum(when(pred =!= cls && actual =!= cls, 1L).otherwise(0L)).cast(DoubleType) /
+        sum(when(actual =!= cls, 1L).otherwise(0L))
+
+    /** Matthews correlation coefficient, binary one-vs-rest on `cls`
+      * (scoring.py:394, sklearn matthews_corrcoef). Pure integer counts
+      * until one final double expression → deterministic. */
+    def mcc(actual: Column, pred: Column, cls: String): Column = {
+      val tp = sum(when(pred === cls && actual === cls, 1L).otherwise(0L)).cast(DoubleType)
+      val tn = sum(when(pred =!= cls && actual =!= cls, 1L).otherwise(0L)).cast(DoubleType)
+      val fp = sum(when(pred === cls && actual =!= cls, 1L).otherwise(0L)).cast(DoubleType)
+      val fn = sum(when(pred =!= cls && actual === cls, 1L).otherwise(0L)).cast(DoubleType)
+      (tp * tn - fp * fn) /
+        sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    }
+
+    /** Binary log-loss of probability `p` for actual-positive indicator
+      * (scoring.py:288, sklearn log_loss): −mean(y·ln p + (1−y)·ln(1−p)),
+      * p clipped to [1e-15, 1−1e-15]. Terms are per-row doubles summed
+      * through the deterministic decimal path. */
+    def logLoss(isPos: Column, p: Column): Column = {
+      val eps = 1e-15
+      val pc = least(greatest(p, lit(eps)), lit(1.0 - eps))
+      -sum(round(when(isPos, log(pc)).otherwise(log(lit(1.0) - pc)), 12)
+        .cast(DecimalType(38, 14))).cast(DoubleType) / count(lit(1))
+    }
 
     /** Regression metrics (scoring.py:403-461) via exact decimal sums. */
     private def dsum(c: Column) = sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
@@ -132,6 +164,44 @@ object Learners {
       val ssRes = dsum((actual - pred) * (actual - pred))
       val ssTot = dsum(actual * actual) - dsum(actual) * dsum(actual) / count(lit(1))
       lit(1.0) - ssRes / ssTot
+    }
+
+    /** MAPE / SMAPE / CV(RMSE) (scoring.py:403-461). Per-row ratio terms
+      * go through the rounded-decimal sum so engines agree. */
+    private def rsum(c: Column) =
+      sum(round(c, 12).cast(DecimalType(38, 14))).cast(DoubleType)
+    def mape(actual: Column, pred: Column): Column =
+      rsum(abs((actual - pred) / actual)) / count(lit(1))
+    def smape(actual: Column, pred: Column): Column =
+      rsum(lit(2.0) * abs(actual - pred) / (abs(actual) + abs(pred))) /
+        count(lit(1))
+    def cvrmse(actual: Column, pred: Column): Column =
+      rmse(actual, pred) / (dsum(actual) / count(lit(1)))
+
+    /** ROC AUC from a real-valued score, positives vs the rest
+      * (scoring.py:226, sklearn roc_auc_score) — the Mann–Whitney rank
+      * statistic with midranks for ties:
+      * AUC = Σ_s nPos(s)·(cumNeg(&lt;s) + nNeg(s)/2) / (nPos·nNeg).
+      *
+      * Scale shape: ONE groupBy on the score (map-side combined) reduces
+      * the corpus to its distinct score values; the running-total window
+      * then orders only that grouped table — bounded by score cardinality
+      * (round scores to ≤6 decimals upstream), never a per-row global
+      * rank. Integer counts throughout, one final division. */
+    def auc(df: DataFrame, isPos: Column, score: Column): DataFrame = {
+      val byScore = df.groupBy(score.as("__s")).agg(
+        sum(when(isPos, 1L).otherwise(0L)).as("__np"),
+        sum(when(isPos, 0L).otherwise(1L)).as("__nn"))
+      val w = Window.orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byScore
+        .withColumn("__cumn", sum(col("__nn")).over(w) - col("__nn"))
+        .agg((sum(col("__np") * col("__cumn")).cast(DoubleType) +
+              sum(col("__np") * col("__nn")).cast(DoubleType) / 2.0)
+          .as("__u"),
+          sum(col("__np")).as("__p"), sum(col("__nn")).as("__n"))
+        .select(round(col("__u") /
+          (col("__p").cast(DoubleType) * col("__n")), 6).as("auc"))
     }
   }
 
@@ -155,6 +225,52 @@ object Learners {
           count(lit(1)).as("n_test"))
     }
     perFold.reduce(_.unionByName(_))
+  }
+
+  // --- Sampling protocols (Orange/evaluation/testing.py) -----------------
+
+  /** TestOnTestData (testing.py:712): fit on `train`, score CA on `test`. */
+  def testOnTestCA(train: DataFrame, test: DataFrame, learner: Learner,
+                   target: String): DataFrame =
+    learner.fit(train).predict(test)
+      .agg(round(Scoring.ca(col(target), col("prediction")), 6).as("ca"),
+        count(lit(1)).as("n_test"))
+
+  /** ShuffleSplit (testing.py:654): `k` independent seeded splits; each
+    * puts a row in train iff hash(key, seed) mod 100 < trainPct. The
+    * split is a pure row-local expression (no shuffle, no sort) and the
+    * same md5-derived hash the oracle can recompute. */
+  def shuffleSplitCA(df: DataFrame, learnerOf: () => Learner, target: String,
+                     key: Column, k: Int, trainPct: Int): DataFrame =
+    (0 until k).map { s =>
+      val bucket = pmod(graft.core.Tables.hashVal32(
+        concat(key.cast("string"), lit(s"_$s"))), lit(100L))
+      testOnTestCA(df.filter(bucket < trainPct),
+          df.filter(bucket >= trainPct), learnerOf(), target)
+        .select(lit(s).as("split"), col("ca"), col("n_test"))
+    }.reduce(_.unionByName(_))
+
+  /** LeaveOneOut (testing.py:638) for the Majority learner, closed form:
+    * removing a row only decrements its own class's count, so the
+    * held-out prediction depends only on the row's own class —
+    * argmax_c (n_c − [c = own]), ties → smallest label. The reference
+    * refits per row (n fits — cannot scale); for count-based models that
+    * loop collapses to this exact algebra: one k-row aggregate collected,
+    * then a per-row expression. */
+  def leaveOneOutMajorityCA(df: DataFrame, target: String): DataFrame = {
+    val counts = df.groupBy(col(target)).count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).sortBy(_._1)
+    // per possible own-class o, the LOO prediction is a constant
+    val predOf = counts.map { case (o, _) =>
+      o -> counts.map { case (c, n) => (c, n - (if (c == o) 1L else 0L)) }
+        .sortBy { case (c, n) => (-n, c) }.head._1
+    }
+    val predExpr = predOf.reverse.foldLeft(lit(null).cast("string")) {
+      case (els, (o, p)) => when(col(target) === o, p).otherwise(els)
+    }
+    df.withColumn("prediction", predExpr)
+      .agg(round(Scoring.ca(col(target), col("prediction")), 6).as("ca"),
+        count(lit(1)).as("n_test"))
   }
 
   // Model as SAM for concise learner bodies

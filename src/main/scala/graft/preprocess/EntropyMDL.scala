@@ -10,26 +10,56 @@ import org.apache.spark.sql.functions._
   *
   * Distributed design: ONE Spark aggregation builds the compact
   * (value → per-class counts) contingency — the only pass over the data —
-  * then the recursion runs driver-side over that bounded array (≤ distinct
-  * values × classes, the same structure Orange builds in memory; for
-  * truly continuous 100 TB columns, pre-bin with equalWidth(~64k) first,
-  * which bounds the contingency without changing cut quality materially).
+  * then the recursion runs driver-side over that bounded array. The
+  * contingency is bounded: when the feature's distinct-value count
+  * exceeds `maxCandidates` (a truly continuous column, where distinct ≈
+  * row count and the collect would OOM the driver at scale), values are
+  * first snapped to a ≤`maxCandidates`-cell equal-width grid, and each
+  * occupied cell becomes one candidate (represented by its max observed
+  * value, so cuts still land between real data points). Semantics match
+  * the exact recursion above grid resolution; below it, candidate cuts
+  * are merged — the standard large-scale approximation.
   */
 object EntropyMDL {
 
   /** Fit: returns the cut points for `feature` against discrete `target`. */
-  def cuts(df: DataFrame, feature: String, target: String): Seq[Double] = {
-    val cont = df.filter(col(feature).isNotNull && col(target).isNotNull)
-      .groupBy(col(feature).as("v"), col(target).as("c"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
-    val classes = cont.map(_.getString(1)).distinct.sorted
+  def cuts(df: DataFrame, feature: String, target: String,
+           maxCandidates: Int = 1 << 16): Seq[Double] = {
+    val base = df.filter(col(feature).isNotNull && col(target).isNotNull)
+      .select(col(feature).cast("double").as("x"), col(target).as("c"))
+    val nDistinct = base
+      .select(approx_count_distinct(col("x"), rsd = 0.02).as("nd"))
+      .first().getLong(0)
+    // (candidate value, class, count) rows — exact per-value below the
+    // cap, per-grid-cell above it. Both shapes are ≤ ~maxCandidates ×
+    // classes rows on the driver.
+    val cont: Array[(Double, String, Long)] =
+      if (nDistinct <= maxCandidates) {
+        base.groupBy(col("x").as("v"), col("c"))
+          .agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getDouble(0), r.getString(1), r.getLong(2)))
+      } else {
+        val mm = base.agg(min(col("x")).as("lo"), max(col("x")).as("hi")).first()
+        val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+        val cell = base.select(
+            width_bucket(col("x"), lit(lo), lit(hi), lit(maxCandidates))
+              .as("b"), col("c"), col("x"))
+          .groupBy(col("b"), col("c"))
+          .agg(count(lit(1)).as("n"), max(col("x")).as("vc"))
+          .collect()
+        // one representative value per cell (max over the cell's classes)
+        val rep = cell.groupBy(_.getLong(0))
+          .map { case (b, rs) => b -> rs.map(_.getDouble(3)).max }
+        cell.map(r => (rep(r.getLong(0)), r.getString(1), r.getLong(2)))
+      }
+    val classes = cont.map(_._2).distinct.sorted
     val cIdx = classes.zipWithIndex.toMap
     // sorted array of (value, classCounts)
-    val byVal = cont.groupBy(_.getAs[Any]("v").toString.toDouble).toSeq
+    val byVal = cont.groupBy(_._1).toSeq
       .map { case (v, rows) =>
         val counts = Array.fill(classes.length)(0L)
-        rows.foreach(r => counts(cIdx(r.getString(1))) += r.getLong(2))
+        rows.foreach(r => counts(cIdx(r._2)) += r._3)
         (v, counts)
       }.sortBy(_._1)
     val values = byVal.map(_._1).toArray

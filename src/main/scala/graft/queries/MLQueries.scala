@@ -135,6 +135,128 @@ object MLQueries {
              |FROM folds JOIN maj USING (fold)
              |GROUP BY fold ORDER BY fold""".stripMargin)),
 
+    Q("ml_eval_auc", // ROC AUC (scoring.py:226) as the Mann–Whitney rank
+      // statistic with midranks for ties — positives l_returnflag='R'
+      // scored by l_quantity (50 distinct values → heavy ties exercise
+      // the midrank path). groupBy-on-score first, window over the
+      // 50-row grouped table only.
+      (s, d) => Learners.Scoring.auc(
+        li(s, d), col("l_returnflag") === "R", col("l_quantity")),
+      Some("""WITH by_score AS (
+             |  SELECT l_quantity AS s,
+             |         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np,
+             |         SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nn
+             |  FROM lineitem GROUP BY 1),
+             |w AS (
+             |  SELECT np, nn,
+             |         SUM(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+             |                       AND CURRENT ROW) - nn AS cumn
+             |  FROM by_score)
+             |SELECT ROUND((CAST(SUM(np * cumn) AS DOUBLE)
+             |              + CAST(SUM(np * nn) AS DOUBLE) / 2.0)
+             |       / (CAST(SUM(np) AS DOUBLE) * SUM(nn)), 6) AS auc
+             |FROM w""".stripMargin)),
+
+    Q("ml_eval_classification_ext", // F1 / specificity / MCC / LogLoss
+      // (scoring.py:207,340,394,288) over the same deterministic rule
+      // classifier as ml_eval_classification; log-loss probability is a
+      // deterministic affine map of l_discount into [0.05, 0.95].
+      (s, d) => {
+        val S = Learners.Scoring
+        val pred = when(col("l_shipdate") < lit("1998-07-01").cast("timestamp"), "F")
+          .otherwise("O")
+        val p = col("l_discount") * 9 + 0.05
+        li(s, d).select(col("l_linestatus").as("actual"), pred.as("pred"),
+            p.as("p"))
+          .agg(
+            round(S.f1(col("actual"), col("pred"), "F"), 6).as("f1_f"),
+            round(S.specificity(col("actual"), col("pred"), "F"), 6).as("specificity_f"),
+            round(S.mcc(col("actual"), col("pred"), "F"), 6).as("mcc_f"),
+            round(S.logLoss(col("actual") === "F", col("p")), 6).as("logloss"))
+      },
+      Some {
+        val tp = "CAST(SUM(CASE WHEN pred = 'F' AND actual = 'F' THEN 1 ELSE 0 END) AS DOUBLE)"
+        val tn = "CAST(SUM(CASE WHEN pred <> 'F' AND actual <> 'F' THEN 1 ELSE 0 END) AS DOUBLE)"
+        val fp = "CAST(SUM(CASE WHEN pred = 'F' AND actual <> 'F' THEN 1 ELSE 0 END) AS DOUBLE)"
+        val fn = "CAST(SUM(CASE WHEN pred <> 'F' AND actual = 'F' THEN 1 ELSE 0 END) AS DOUBLE)"
+        val prec = s"($tp / SUM(CASE WHEN pred = 'F' THEN 1 ELSE 0 END))"
+        val rec  = s"($tp / SUM(CASE WHEN actual = 'F' THEN 1 ELSE 0 END))"
+        s"""SELECT
+           |  ROUND(2.0 * $prec * $rec / ($prec + $rec), 6) AS f1_f,
+           |  ROUND($tn / SUM(CASE WHEN actual <> 'F' THEN 1 ELSE 0 END), 6) AS specificity_f,
+           |  ROUND(($tp * $tn - $fp * $fn) /
+           |    SQRT(($tp + $fp) * ($tp + $fn) * ($tn + $fp) * ($tn + $fn)), 6) AS mcc_f,
+           |  ROUND(-${sqlDetSum("CASE WHEN actual = 'F' THEN LN(LEAST(GREATEST(p, 1e-15), 1.0 - 1e-15)) ELSE LN(1.0 - LEAST(GREATEST(p, 1e-15), 1.0 - 1e-15)) END")} / COUNT(*), 6) AS logloss
+           |FROM (SELECT l_linestatus AS actual,
+           |        CASE WHEN l_shipdate < TIMESTAMP '1998-07-01' THEN 'F' ELSE 'O' END AS pred,
+           |        l_discount * 9 + 0.05 AS p
+           |      FROM lineitem)""".stripMargin
+      }),
+
+    Q("ml_eval_regression_ext", // MAPE / SMAPE / CV(RMSE)
+      // (scoring.py:403-461) of the mean regressor on o_totalprice.
+      (s, d) => {
+        val S = Learners.Scoring
+        val model = Learners.MeanRegressor("o_totalprice").fit(ord(s, d))
+        model.predict(ord(s, d))
+          .agg(
+            round(S.mape(col("o_totalprice"), col("prediction")), 6).as("mape"),
+            round(S.smape(col("o_totalprice"), col("prediction")), 6).as("smape"),
+            round(S.cvrmse(col("o_totalprice"), col("prediction")), 6).as("cvrmse"))
+      },
+      Some {
+        val m = sqlMean("o_totalprice")
+        s"""SELECT
+           |  ROUND(${sqlDetSum("ABS((o_totalprice - m) / o_totalprice)")} / COUNT(*), 6) AS mape,
+           |  ROUND(${sqlDetSum("2.0 * ABS(o_totalprice - m) / (ABS(o_totalprice) + ABS(m))")} / COUNT(*), 6) AS smape,
+           |  ROUND(SQRT(${sqlSum("(o_totalprice - m) * (o_totalprice - m)")} / COUNT(*))
+           |        / (${sqlSum("o_totalprice")} / COUNT(*)), 6) AS cvrmse
+           |FROM orders CROSS JOIN (SELECT $m AS m FROM orders)""".stripMargin
+      }),
+
+    Q("ml_eval_loo_majority", // LeaveOneOut (testing.py:638) of Majority,
+      // closed form: the held-out prediction depends only on the row's
+      // own class (argmax over n_c − [c = own], ties → smallest label) —
+      // n refits collapse to one aggregate + a row-local expression.
+      (s, d) => Learners.leaveOneOutMajorityCA(ord(s, d), "o_orderstatus"),
+      Some("""WITH cnt AS (
+             |  SELECT o_orderstatus AS c, COUNT(*) AS n FROM orders GROUP BY 1),
+             |pred AS (
+             |  SELECT o.o_orderkey, o.o_orderstatus, c.c AS p
+             |  FROM orders o CROSS JOIN cnt c
+             |  QUALIFY ROW_NUMBER() OVER (
+             |    PARTITION BY o.o_orderkey
+             |    ORDER BY c.n - CASE WHEN c.c = o.o_orderstatus THEN 1 ELSE 0 END DESC,
+             |             c.c ASC) = 1)
+             |SELECT ROUND(SUM(CASE WHEN o_orderstatus = p THEN 1 ELSE 0 END) * 1.0
+             |             / COUNT(*), 6) AS ca,
+             |       COUNT(*) AS n_test
+             |FROM pred""".stripMargin)),
+
+    Q("ml_eval_shuffle_split", // ShuffleSplit (testing.py:654): 5 seeded
+      // 80/20 hash splits of Majority on o_orderstatus; each split is a
+      // row-local md5-bucket filter (no shuffle), scored via
+      // TestOnTestData.
+      (s, d) => Learners.shuffleSplitCA(
+        ord(s, d), () => Learners.Majority("o_orderstatus"),
+        "o_orderstatus", col("o_orderkey"), k = 5, trainPct = 80)
+        .orderBy(col("split")),
+      Some(s"""WITH seeds AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4)) s(seed)),
+              |tagged AS (
+              |  SELECT seed, o_orderstatus AS c,
+              |         ${sqlHash32("CAST(o_orderkey AS VARCHAR) || '_' || CAST(seed AS VARCHAR)")} % 100 AS b
+              |  FROM orders CROSS JOIN seeds),
+              |maj AS (
+              |  SELECT seed, c AS pred FROM tagged WHERE b < 80 GROUP BY seed, c
+              |  QUALIFY ROW_NUMBER() OVER (PARTITION BY seed
+              |    ORDER BY COUNT(*) DESC, c ASC) = 1)
+              |SELECT t.seed AS split,
+              |       ROUND(SUM(CASE WHEN t.c = m.pred THEN 1 ELSE 0 END) * 1.0
+              |             / COUNT(*), 6) AS ca,
+              |       COUNT(*) AS n_test
+              |FROM tagged t JOIN maj m USING (seed) WHERE t.b >= 80
+              |GROUP BY t.seed ORDER BY split""".stripMargin)),
+
     Q("ml_logreg_embeddings", // MLlib logistic regression (rows-only)
       (s, d) => MLlibLearners.logisticOnEmbeddings(
         emb(s, d), "embedding", "label"), None),

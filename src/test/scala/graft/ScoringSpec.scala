@@ -35,6 +35,22 @@ class ScoringSpec extends SparkSpec {
     assert(cuts == Seq(10.5, 20.5))
   }
 
+  test("EntropyMDL grid pre-bin bounds candidates and keeps the cut " +
+       "within grid resolution") {
+    // 2000 distinct values, class flips at x=1000.5
+    val df = (1 to 2000).map(i => (i.toDouble, if (i <= 1000) "a" else "b"))
+      .toDF("x", "y")
+    val exact = EntropyMDL.cuts(df, "x", "y")
+    assert(exact.length == 1 && exact.head == 1000.5)
+    // force the grid path (2000 distinct > 128 candidates): the cut must
+    // land within one grid cell (~2000/128 ≈ 15.6) of the true boundary
+    val grid = EntropyMDL.cuts(df, "x", "y", maxCandidates = 128)
+    assert(grid.length == 1)
+    assert(math.abs(grid.head - 1000.5) <= 2000.0 / 128)
+    // far above the cap the grid path is never taken → bit-identical
+    assert(EntropyMDL.cuts(df, "x", "y", maxCandidates = 1 << 20) == exact)
+  }
+
   test("EntropyMDL.discretize bins by the fitted cuts") {
     val df = ((1 to 10).map(i => (i.toDouble, "a")) ++
       (11 to 20).map(i => (i.toDouble, "b"))).toDF("x", "y")
