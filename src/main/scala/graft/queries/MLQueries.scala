@@ -257,6 +257,67 @@ object MLQueries {
               |FROM tagged t JOIN maj m USING (seed) WHERE t.b >= 80
               |GROUP BY t.seed ORDER BY split""".stripMargin)),
 
+    Q("ml_knn_class", // kNN classifier (classification/knn.py): 5-NN
+      // euclidean majority vote over (c_acctbal, c_nationkey), test =
+      // every 100th customer, train = the rest. Test side broadcast;
+      // ties → train id, vote ties → smallest label.
+      (s, d) => {
+        val cust = Tables.load(s, d, "customer")
+        graft.ml.KNN.classify(
+          cust.filter(col("c_custkey") % 100 === 0),
+          cust.filter(col("c_custkey") % 100 =!= 0),
+          "c_custkey", Seq("c_acctbal", "c_nationkey"), "c_mktsegment", 5)
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH test AS (
+             |  SELECT c_custkey AS tid, CAST(c_acctbal AS DOUBLE) AS t1,
+             |         CAST(c_nationkey AS DOUBLE) AS t2
+             |  FROM customer WHERE c_custkey % 100 = 0),
+             |train AS (
+             |  SELECT c_custkey AS rid, CAST(c_acctbal AS DOUBLE) AS r1,
+             |         CAST(c_nationkey AS DOUBLE) AS r2, c_mktsegment AS cls
+             |  FROM customer WHERE c_custkey % 100 <> 0),
+             |topk AS (
+             |  SELECT tid, cls FROM (
+             |    SELECT tid, rid, (t1-r1)*(t1-r1) + (t2-r2)*(t2-r2) AS d2, cls
+             |    FROM test CROSS JOIN train)
+             |  QUALIFY ROW_NUMBER() OVER (
+             |    PARTITION BY tid ORDER BY d2 ASC, rid ASC) <= 5),
+             |vote AS (SELECT tid, cls, COUNT(*) AS n FROM topk GROUP BY 1, 2)
+             |SELECT tid AS c_custkey, cls AS prediction FROM vote
+             |QUALIFY ROW_NUMBER() OVER (
+             |  PARTITION BY tid ORDER BY n DESC, cls ASC) = 1
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("ml_knn_regress", // kNN regressor (regression/knn.py): mean
+      // o_totalprice of the 5 nearest orders by customer-key distance.
+      (s, d) => {
+        val o = ord(s, d)
+        graft.ml.KNN.regress(
+          o.filter(col("o_orderkey") % 997 === 0),
+          o.filter(col("o_orderkey") % 997 =!= 0),
+          "o_orderkey", Seq("o_custkey"), "o_totalprice", 5)
+          .select(col("o_orderkey"), round(col("prediction"), 6).as("prediction"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH test AS (
+             |  SELECT o_orderkey AS tid, CAST(o_custkey AS DOUBLE) AS t1
+             |  FROM orders WHERE o_orderkey % 997 = 0),
+             |train AS (
+             |  SELECT o_orderkey AS rid, CAST(o_custkey AS DOUBLE) AS r1,
+             |         o_totalprice AS y
+             |  FROM orders WHERE o_orderkey % 997 <> 0),
+             |topk AS (
+             |  SELECT tid, y FROM (
+             |    SELECT tid, rid, (t1-r1)*(t1-r1) AS d2, y
+             |    FROM test CROSS JOIN train)
+             |  QUALIFY ROW_NUMBER() OVER (
+             |    PARTITION BY tid ORDER BY d2 ASC, rid ASC) <= 5)
+             |SELECT tid AS o_orderkey,
+             |  ROUND(CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             |    AS prediction
+             |FROM topk GROUP BY tid ORDER BY o_orderkey""".stripMargin)),
+
     Q("ml_logreg_embeddings", // MLlib logistic regression (rows-only)
       (s, d) => MLlibLearners.logisticOnEmbeddings(
         emb(s, d), "embedding", "label"), None),
