@@ -51,4 +51,48 @@ class SourcesSpec extends SparkSpec {
     val df = Sources.fromUrl(spark, s"file://$p")
     assert(df.collect().head.getDouble(0) == 7.5)
   }
+
+  // --- SqlTable via embedded Derby (Orange/data/sql/table.py:27-124) ----
+
+  private lazy val derbyUrl: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_derby").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE t (id BIGINT NOT NULL, v DOUBLE, s VARCHAR(16))")
+      val ps = conn.prepareStatement("INSERT INTO t VALUES (?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ps.setLong(1, i); ps.setDouble(2, i * 0.5); ps.setString(3, s"s${i % 7}")
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+    url
+  }
+
+  test("sqlTable reads through JDBC (embedded Derby)") {
+    val df = Sources.sqlTable(spark, derbyUrl, "t")
+    assert(df.count() == 100)
+    assert(df.columns.map(_.toLowerCase).toSeq == Seq("id", "v", "s"))
+  }
+
+  test("sqlTable pushes predicates down to the JDBC scan") {
+    import org.apache.spark.sql.functions.col
+    val df = Sources.sqlTable(spark, derbyUrl, "t")
+      .filter(col("v") > 25.0).select(col("id"), col("v"))
+    assert(df.count() == 50)
+    // DSv1 JDBC advertises pushed predicates on the scan node
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThan(V,25.0)") || plan.contains("GreaterThan(v,25.0)"), plan)
+  }
+
+  test("sqlTable partitioned read splits the key range") {
+    val df = Sources.sqlTable(spark, derbyUrl, "t",
+      partitionColumn = Some("id"), lowerBound = 1L, upperBound = 101L,
+      numPartitions = 4)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100)
+  }
 }
