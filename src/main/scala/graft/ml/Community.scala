@@ -159,9 +159,11 @@ object Community {
     labels
   }
 
-  /** kNN graph from an embedding table by cosine similarity (brute-force
-    * pair scan — swap in the LSH candidate table at scale, same contract). */
-  def knnGraph(emb: DataFrame, idCol: String, arrayCol: String,
+  /** TEST-ONLY exact twin of [[knnGraphLSH]]: kNN graph by brute-force
+    * O(n²) pair scan. Never in a query path — the engine's graph build is
+    * knnGraphLSH (bucketed candidates); this exists solely as the
+    * small-fixture ground truth for CommunitySpec's differential checks. */
+  private[graft] def knnGraph(emb: DataFrame, idCol: String, arrayCol: String,
                k: Int): DataFrame = {
     val a = emb.select(col(idCol).as("src"),
       col(arrayCol).cast("array<double>").as("va"))

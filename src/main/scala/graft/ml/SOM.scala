@@ -36,29 +36,38 @@ object SOM {
       ((ra - rb) * (ra - rb) + (ca - cb) * (ca - cb)).toDouble
     }
 
-    def bmuOf(cb: Array[Array[Double]]) = udf { (xs: Seq[Double]) =>
-      var best = 0; var bd = Double.MaxValue; var j = 0
-      while (j < cb.length) {
-        var d = 0.0; var i = 0
-        while (i < xs.length) { val t = xs(i) - cb(j)(i); d += t * t; i += 1 }
-        if (d < bd) { bd = d; best = j }
-        j += 1
+    // the codebook goes to executors as a proper broadcast variable —
+    // shipped once per epoch, not re-serialized with every task closure
+    def bmuOf(cb: Array[Array[Double]]) = {
+      val bc = spark.sparkContext.broadcast(cb)
+      udf { (xs: Seq[Double]) =>
+        val m = bc.value
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < m.length) {
+          var d = 0.0; var i = 0
+          while (i < xs.length) { val t = xs(i) - m(j)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        best
       }
-      best
     }
 
     for (_ <- 1 to epochs) {
       val assigned = data.withColumn("bmu", bmuOf(codebook)(col("x")))
-      // per-BMU vector sums + counts in one aggregation
+      // per-BMU per-dim sums AND row counts in ONE aggregation (one job
+      // per epoch): count rides the dim=0 group (each row contributes
+      // exactly one dim=0 element)
       val sums = assigned
         .select(col("bmu"), posexplode(col("x")).as(Seq("dim", "v")))
         .groupBy(col("bmu"), col("dim"))
         // order-independent accumulation — the codebook must be identical
         // across partitionings for the determinism contract (SOMSpec)
-        .agg(graft.core.Tables.detSum(col("v")).as("s"))
+        .agg(graft.core.Tables.detSum(col("v")).as("s"),
+          count(lit(1)).as("cnt"))
         .collect()
-      val counts = assigned.groupBy(col("bmu")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val counts = sums.filter(_.getInt(1) == 0)
+        .map(r => r.getInt(0) -> r.getLong(3)).toMap
       val sumVec = Array.fill(k, dim)(0.0)
       sums.foreach(r => sumVec(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
       // neighborhood-kernel blend (driver-side, grid²·dim)
@@ -75,9 +84,11 @@ object SOM {
     }
 
     val finalBmu = bmuOf(codebook)
+    val bcFinal = spark.sparkContext.broadcast(codebook)
     val qerrUdf = udf { (xs: Seq[Double], j: Int) =>
+      val m = bcFinal.value
       var d = 0.0; var i = 0
-      while (i < xs.length) { val t = xs(i) - codebook(j)(i); d += t * t; i += 1 }
+      while (i < xs.length) { val t = xs(i) - m(j)(i); d += t * t; i += 1 }
       math.sqrt(d)
     }
     data.withColumn("bmu", finalBmu(col("x")))
