@@ -27,6 +27,21 @@ object Sources {
       s"unsupported extension: $path (expected .parquet/.tab/.tsv/.csv/.basket/.xlsx)")
   }
 
+  /** Write a table by file extension — the reverse dispatch
+    * (io_base.py:596-700 writers; io.py ExcelReader.write). .parquet is
+    * the distributed scale path; .tab/.csv/.xlsx are Orange's
+    * interchange formats. */
+  def toFile(df: DataFrame, path: String): Unit = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".parquet")) df.write.mode("overwrite").parquet(path)
+    else if (lower.endsWith(".tab") || lower.endsWith(".tsv"))
+      TabReader.write(df, path)
+    else if (lower.endsWith(".csv")) TabReader.writeCsv(df, path)
+    else if (lower.endsWith(".xlsx")) ExcelWriter.write(df, path)
+    else throw new IllegalArgumentException(
+      s"unsupported extension: $path (expected .parquet/.tab/.tsv/.csv/.xlsx)")
+  }
+
   /** UrlReader (io.py:409-460): fetch a remote table to a local temp
     * file, then dispatch on its extension. `file:` URLs read directly —
     * remote schemes require egress, which the reference also just

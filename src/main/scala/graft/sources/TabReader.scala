@@ -155,28 +155,34 @@ object TabReader {
     body.select(cols: _*)
   }
 
+  /** Write a DataFrame as Orange .csv — same 3-row header as .tab
+    * (io_base.py:596-700 routes CSV through the identical header
+    * writer), comma-delimited. Round-trips through read(delimiter=","). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    write(df, path, delimiter = ",")
+
   /** Write a DataFrame as Orange .tab with the 3-row header
     * (io_base.py:596-700). Header is derived from the domain metadata. */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String, delimiter: String = "\t"): Unit = {
     val dom = Schema.domainOf(df)
-    val nameRow = dom.vars.map(_.name).mkString("\t")
+    val nameRow = dom.vars.map(_.name).mkString(delimiter)
     val typeRow = dom.vars.map { v => v.kind match {
       case VarKind.Continuous => "c"
       case VarKind.Time       => "t"
       case VarKind.Discrete   =>
         if (v.values.nonEmpty) v.values.map(_.replace(" ", "\\ ")).mkString(" ") else "d"
       case VarKind.Str        => "s"
-    }}.mkString("\t")
+    }}.mkString(delimiter)
     val roleRow = dom.vars.map(_.role match {
       case Role.Target => "class"; case Role.Meta => "meta"; case _ => ""
-    }).mkString("\t")
+    }).mkString(delimiter)
 
     val spark = df.sparkSession
     import org.apache.hadoop.fs.Path
     val tmp = path + ".body"
     df.select(dom.vars.map(v => coalesce(col(v.name).cast(StringType), lit("?"))): _*)
       .write.mode("overwrite")
-      .option("delimiter", "\t").option("quote", "").csv(tmp)
+      .option("delimiter", delimiter).option("quote", "").csv(tmp)
     // Assemble header + body parts into one file (driver-side copy —
     // .tab is Orange's small-data interchange format; parquet is the
     // engine's scale format).

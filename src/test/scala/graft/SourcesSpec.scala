@@ -52,6 +52,45 @@ class SourcesSpec extends SparkSpec {
     assert(df.collect().head.getDouble(0) == 7.5)
   }
 
+  // --- Writers (io_base.py:596-700, io.py ExcelReader write side) -------
+
+  test("csv writer round-trips through the csv reader") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1.5, "x"), (2.5, "y"), (3.0, "z w")).toDF("v", "s")
+    val p = java.io.File.createTempFile("graft_w_", ".csv").getAbsolutePath
+    Sources.toFile(df, p)
+    val back = Sources.fromFile(spark, p)
+    assert(back.columns.toSeq == Seq("v", "s"))
+    assert(back.schema("v").dataType.typeName == "double")
+    assert(back.orderBy(col("v")).collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+      == Seq((1.5, "x"), (2.5, "y"), (3.0, "z w")))
+  }
+
+  test("xlsx writer round-trips through the xlsx reader") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1.5, 10L), (2.25, 20L)).toDF("a", "b")
+    val p = java.io.File.createTempFile("graft_w_", ".xlsx").getAbsolutePath
+    Sources.toFile(df, p)
+    // grid level: header + values, strings and escapes intact
+    val grid = graft.sources.ExcelReader.cells(p)
+    assert(grid.head == Seq("a", "b"))
+    assert(grid(1) == Seq("1.5", "10"))
+    // typed level: numeric columns come back as doubles
+    val back = Sources.fromFile(spark, p)
+    assert(back.orderBy(col("a")).collect().map(_.getDouble(0)).toSeq == Seq(1.5, 2.25))
+  }
+
+  test("xlsx writer escapes XML special characters in strings") {
+    import spark.implicits._
+    val df = Seq(("a<b&c>\"d", 1.0)).toDF("s", "v")
+    val p = java.io.File.createTempFile("graft_w_", ".xlsx").getAbsolutePath
+    graft.sources.ExcelWriter.write(df, p)
+    val grid = graft.sources.ExcelReader.cells(p)
+    assert(grid(1).head == "a<b&c>\"d")
+  }
+
   // --- SqlTable via embedded Derby (Orange/data/sql/table.py:27-124) ----
 
   private lazy val derbyUrl: String = {
