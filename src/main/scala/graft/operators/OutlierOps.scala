@@ -152,4 +152,60 @@ object OutlierOps {
       .join(lrd, "a_id")
       .select(col("a_id"), round(col("mean_lrd_b") / col("lrd"), 6).as("lof"))
   }
+
+  /** General N-dimensional Mahalanobis distance (reference
+    * Orange/distance/distance.py:807-868 MahalanobisDistance; the
+    * EllipticEnvelope outlier analogue): ONE aggregation produces the
+    * means and the d(d+1)/2 sample-covariance entries through the exact
+    * decimal sums; the driver inverts the d×d matrix (Gauss-Jordan with
+    * partial pivoting — d is the feature count, tiny); scores are a
+    * single codegen'd projection with Σ⁻¹ baked in as literals. Two
+    * scans total, no shuffle beyond the partial-aggregated moments.
+    *
+    * The 2-D/3-D cofactor closed forms in the oracle queries are the
+    * differential twins (MahalanobisSpec pins this general path against
+    * them). Adds column `md2` = (x−μ)ᵀ Σ⁻¹ (x−μ). */
+  def mahalanobisND(df: DataFrame, features: Seq[String]): DataFrame = {
+    val d = features.length
+    require(d >= 1, "mahalanobisND needs at least one feature")
+    val aggs = features.map(f => exactMean(col(f)).as(s"__m_$f")) ++
+      (for { i <- 0 until d; j <- i until d } yield
+        exactCovarSamp(col(features(i)), col(features(j))).as(s"__c_${i}_$j"))
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val means = features.map(f => row.getDouble(row.fieldIndex(s"__m_$f")))
+    val cov = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val v = row.getDouble(row.fieldIndex(s"__c_${i}_$j"))
+      cov(i)(j) = v; cov(j)(i) = v
+    }
+    val inv = invertGaussJordan(cov)
+    val dx = features.zip(means).map { case (f, m) =>
+      col(f).cast(DoubleType) - lit(m) }
+    val md2 = (for { i <- 0 until d; j <- 0 until d } yield
+      dx(i) * dx(j) * lit(inv(i)(j))).reduce(_ + _)
+    df.withColumn("md2", md2)
+  }
+
+  /** In-place Gauss-Jordan inverse with partial pivoting (deterministic:
+    * fixed elimination order, driver-side doubles). */
+  private[graft] def invertGaussJordan(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (c <- 0 until d) {
+      val pivot = (c until d).maxBy(r => math.abs(a(r)(c)))
+      require(math.abs(a(pivot)(c)) > 1e-12,
+        "singular covariance matrix (constant or collinear features)")
+      val (tA, tI) = (a(c), inv(c)); a(c) = a(pivot); inv(c) = inv(pivot)
+      a(pivot) = tA; inv(pivot) = tI
+      val p = a(c)(c)
+      for (j <- 0 until d) { a(c)(j) /= p; inv(c)(j) /= p }
+      for (r <- 0 until d; if r != c) {
+        val f = a(r)(c)
+        if (f != 0.0)
+          for (j <- 0 until d) { a(r)(j) -= f * a(c)(j); inv(r)(j) -= f * inv(c)(j) }
+      }
+    }
+    inv
+  }
 }

@@ -171,6 +171,59 @@ object AnalyticsQueries {
               |WHERE md2 > 9
               |ORDER BY l_orderkey, l_linenumber, md2""".stripMargin)),
 
+    Q("outliers_mahalanobis3d", // distance.py:807-868 general Mahalanobis,
+      // 3-D cofactor closed form (the oracle-exact twin of the general
+      // Gauss-Jordan path in OutlierOps.mahalanobisND — MahalanobisSpec
+      // pins the two differentially). Identical expression text in both
+      // engines → identical doubles.
+      (s, d) => {
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        val z = col("l_discount")
+        val stats = li(s, d).agg(
+          exactMean(x).as("mx"), exactMean(y).as("my"), exactMean(z).as("mz"),
+          exactVarSamp(x).as("vx"), exactVarSamp(y).as("vy"),
+          exactVarSamp(z).as("vz"),
+          exactCovarSamp(x, y).as("cxy"), exactCovarSamp(x, z).as("cxz"),
+          exactCovarSamp(y, z).as("cyz"))
+        val dx = x - col("mx"); val dy = y - col("my"); val dz = z - col("mz")
+        val ca = col("vy") * col("vz") - col("cyz") * col("cyz")
+        val cb = col("vx") * col("vz") - col("cxz") * col("cxz")
+        val cc = col("vx") * col("vy") - col("cxy") * col("cxy")
+        val cd = col("cxz") * col("cyz") - col("cxy") * col("vz")
+        val ce = col("cxy") * col("cyz") - col("vy") * col("cxz")
+        val cf = col("cxy") * col("cxz") - col("vx") * col("cyz")
+        val det = col("vx") * ca + col("cxy") * cd + col("cxz") * ce
+        val md2 = (dx * dx * ca + dy * dy * cb + dz * dz * cc
+          + dx * dy * cd * 2.0 + dx * dz * ce * 2.0 + dy * dz * cf * 2.0) / det
+        li(s, d).crossJoin(broadcast(stats))
+          .withColumn("md2", round(md2, 6))
+          .filter(col("md2") > 7)
+          .select(col("l_orderkey"), col("l_linenumber"), col("md2"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("md2"))
+      },
+      Some(s"""WITH stats AS (SELECT
+              |  ${sqlMean("l_quantity")} AS mx, ${sqlMean("l_extendedprice")} AS my,
+              |  ${sqlMean("l_discount")} AS mz,
+              |  ${sqlVarSamp("l_quantity")} AS vx, ${sqlVarSamp("l_extendedprice")} AS vy,
+              |  ${sqlVarSamp("l_discount")} AS vz,
+              |  ${sqlCovarSamp("l_quantity", "l_extendedprice")} AS cxy,
+              |  ${sqlCovarSamp("l_quantity", "l_discount")} AS cxz,
+              |  ${sqlCovarSamp("l_extendedprice", "l_discount")} AS cyz
+              |  FROM lineitem)
+              |SELECT l_orderkey, l_linenumber, md2 FROM (
+              |  SELECT l_orderkey, l_linenumber,
+              |    ROUND((
+              |      (l_quantity - mx)*(l_quantity - mx)*(vy*vz - cyz*cyz)
+              |      + (l_extendedprice - my)*(l_extendedprice - my)*(vx*vz - cxz*cxz)
+              |      + (l_discount - mz)*(l_discount - mz)*(vx*vy - cxy*cxy)
+              |      + (l_quantity - mx)*(l_extendedprice - my)*(cxz*cyz - cxy*vz)*2.0
+              |      + (l_quantity - mx)*(l_discount - mz)*(cxy*cyz - vy*cxz)*2.0
+              |      + (l_extendedprice - my)*(l_discount - mz)*(cxy*cxz - vx*cyz)*2.0
+              |    ) / (vx*(vy*vz - cyz*cyz) + cxy*(cxz*cyz - cxy*vz) + cxz*(cxy*cyz - vy*cxz)), 6) AS md2
+              |  FROM lineitem CROSS JOIN stats)
+              |WHERE md2 > 7
+              |ORDER BY l_orderkey, l_linenumber, md2""".stripMargin)),
+
     Q("fdr_bh", // Benjamini–Hochberg (statistics/util.py:757)
       (s, d) => {
         val p = round((hashVal32(concat(lit("p_"), col("o_orderkey"))) + 0.5)
