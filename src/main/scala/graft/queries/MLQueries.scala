@@ -318,6 +318,82 @@ object MLQueries {
              |    AS prediction
              |FROM topk GROUP BY tid ORDER BY o_orderkey""".stripMargin)),
 
+    Q("ml_curvefit_exp", // CurveFitLearner (regression/curvefit.py) —
+      // closed-form y = a·e^(bx) via log-linearization; the Gauss-Newton
+      // general path is CurveFitSpec-pinned against this twin.
+      (s, d) => graft.ml.CurveFit.fitExpLinearized(
+        li(s, d), col("l_quantity") / 10, col("l_extendedprice")),
+      Some {
+        val slope = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+        s"""WITH base AS (
+           |  SELECT l_quantity / 10 AS x, LN(l_extendedprice) AS ly
+           |  FROM lineitem WHERE l_extendedprice > 0),
+           |s AS (SELECT ${sqlSum("x")} AS sx, ${sqlSum("ly")} AS sy,
+           |             ${sqlSum("x * x")} AS sxx,
+           |             ${sqlDetSum("x * ly")} AS sxy, COUNT(*) AS n
+           |      FROM base)
+           |SELECT ROUND(EXP((sy - $slope * sx) / n), 6) AS a,
+           |       ROUND($slope, 6) AS b
+           |FROM s""".stripMargin
+      }),
+
+    Q("ml_threshold_optimize", // ThresholdLearner(OptimizeCA)
+      // (calibration.py:48-84): CA-optimal decision threshold over the
+      // distinct predicted probabilities; ties → closest to 0.5, then
+      // smallest. Same groupBy-then-tiny-window shape as AUC.
+      (s, d) => graft.ml.Calibration.optimizeThresholdCA(
+        li(s, d), col("l_linestatus") === "F",
+        col("l_discount") * 9 + 0.05),
+      Some("""WITH base AS (
+             |  SELECT l_discount * 9 + 0.05 AS p,
+             |         CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS pos
+             |  FROM lineitem),
+             |byp AS (
+             |  SELECT p, SUM(pos) AS np, SUM(1 - pos) AS nn
+             |  FROM base GROUP BY p),
+             |w AS (
+             |  SELECT p,
+             |    CAST(SUM(np) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+             |    CAST(SUM(nn) OVER (ORDER BY p ASC ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) - nn AS BIGINT) AS tn,
+             |    CAST(SUM(np + nn) OVER () AS BIGINT) AS n
+             |  FROM byp)
+             |SELECT ROUND(p, 6) AS threshold,
+             |       ROUND(CAST(tp + tn AS DOUBLE) / n, 6) AS ca, n
+             |FROM w
+             |ORDER BY CAST(tp + tn AS DOUBLE) / n DESC, ABS(p - 0.5) ASC, p ASC
+             |LIMIT 1""".stripMargin)),
+
+    Q("ml_pls_regression", // PLS1 NIPALS (regression/pls.py): 2-component
+      // fit of l_extendedprice on (l_quantity, l_discount); coefficients
+      // + training RMSE. Deterministic (exact decimal sums) but the
+      // unrolled 2·A-aggregation SQL twin is impractical → rows-only,
+      // PLSSpec pins the A=d ⇒ OLS identity and determinism.
+      (s, d) => {
+        val data = li(s, d)
+        val m = graft.ml.PLS.fit(data,
+          Seq("l_quantity", "l_discount"), "l_extendedprice", 2)
+        m.predict(data)
+          .agg(round(Learners.Scoring.rmse(
+            col("l_extendedprice"), col("prediction")), 4).as("rmse"))
+          .select(lit(math.round(m.intercept * 1e6) / 1e6).as("intercept"),
+            lit(math.round(m.beta.head * 1e6) / 1e6).as("beta_qty"),
+            lit(math.round(m.beta(1) * 1e6) / 1e6).as("beta_disc"),
+            col("rmse"))
+      },
+      None),
+
+    Q("ml_calibrated_platt", // CalibratedLearner(Sigmoid)
+      // (calibration.py:87-140): Platt scaling = 1-D logistic fit of the
+      // outcome on the score — reuses the deterministic full-batch GD
+      // (oracle-exactness of that device is already proven by
+      // ml_sgd_logreg; rows-only here to avoid a second unrolled twin).
+      (s, d) => graft.ml.Calibration.plattCalibrate(
+        li(s, d), col("l_discount") * 10,
+        col("l_quantity") > 25, iters = 10),
+      None),
+
     Q("ml_logreg_embeddings", // MLlib logistic regression (rows-only)
       (s, d) => MLlibLearners.logisticOnEmbeddings(
         emb(s, d), "embedding", "label"), None),
