@@ -23,8 +23,9 @@ object Sources {
       TabReader.read(spark, path, delimiter = ",")
     else if (lower.endsWith(".basket")) BasketReader.read(spark, path)
     else if (lower.endsWith(".xlsx")) ExcelReader.read(spark, path)
+    else if (lower.endsWith(".xls")) XlsReader.read(spark, path)
     else throw new IllegalArgumentException(
-      s"unsupported extension: $path (expected .parquet/.tab/.tsv/.csv/.basket/.xlsx)")
+      s"unsupported extension: $path (expected .parquet/.tab/.tsv/.csv/.basket/.xlsx/.xls)")
   }
 
   /** Write a table by file extension — the reverse dispatch
