@@ -83,4 +83,58 @@ object ReliefF {
         round(col(s"w_$f") / m.toDouble, 6).as("weight")))
     rows.reduce(_.unionByName(_))
   }
+
+  /** RReliefF for continuous targets (reference Orange/preprocess/
+    * score.py RReliefF + _relieff.pyx regression kernel; Robnik-Šikonja
+    * & Kononenko 2003): per reference take the k nearest neighbors under
+    * span-normalized Manhattan distance (no hit/miss split — the target
+    * is continuous), accumulate over all (reference, neighbor) pairs
+    *   N_dC      = Σ |y_r − y_n| / span_y
+    *   N_dA[f]   = Σ d_f           (span-normalized feature diff)
+    *   N_dC∧dA[f]= Σ (|y_r − y_n| / span_y) · d_f
+    * and score W[f] = N_dC∧dA/N_dC − (N_dA − N_dC∧dA)/(m − N_dC) with
+    * m = total neighbor pairs.
+    *
+    * Same distributed shape as `weights`: broadcast references against
+    * the full table (map-side join), one rank window on the m·n pair
+    * set, one global deterministic aggregation. Oracle-exact. */
+  def rWeights(df: DataFrame, idCol: String, features: Seq[String],
+               targetCol: String, refPred: Column, k: Int): DataFrame = {
+    val spanCols = (features :+ targetCol).map(f =>
+      (max(col(f)) - min(col(f))).as(s"span_$f"))
+    val spans = df.agg(spanCols.head, spanCols.tail: _*)
+
+    val refs = df.filter(refPred).select(
+      col(idCol).as("rid") +: col(targetCol).as("ry") +:
+        features.map(f => col(f).as(s"r_$f")): _*)
+    val other = df.select(
+      col(idCol).as("oid") +: col(targetCol).as("oy") +:
+        features.map(f => col(f).as(s"o_$f")): _*)
+
+    val dist = features.map(f =>
+      abs(col(s"r_$f") - col(s"o_$f")) / col(s"span_$f")).reduce(_ + _)
+    val pairs = broadcast(refs)
+      .join(other, col("rid") =!= col("oid"))
+      .crossJoin(broadcast(spans))
+      .withColumn("dist", dist)
+      .withColumn("dy", abs(col("ry") - col("oy")) / col(s"span_$targetCol"))
+    val w = Window.partitionBy(col("rid"))
+      .orderBy(col("dist").asc, col("oid").asc)
+    val topk = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+
+    val aggs = detSum(col("dy")).as("ndc") +: count(lit(1)).as("m") +:
+      features.flatMap { f =>
+        val da = abs(col(s"r_$f") - col(s"o_$f")) / col(s"span_$f")
+        Seq(detSum(da).as(s"nda_$f"), detSum(col("dy") * da).as(s"ndcda_$f"))
+      }
+    val agg = topk.agg(aggs.head, aggs.tail: _*)
+
+    features.map { f =>
+      agg.select(lit(f).as("feature"),
+        round(col(s"ndcda_$f") / col("ndc") -
+          (col(s"nda_$f") - col(s"ndcda_$f")) /
+            (col("m").cast("double") - col("ndc")), 6).as("weight"))
+    }.reduce(_.unionByName(_))
+  }
 }

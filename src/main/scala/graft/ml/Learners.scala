@@ -273,6 +273,30 @@ object Learners {
         count(lit(1)).as("n_test"))
   }
 
+  /** TestOnTrainingData (testing.py:779): fit and score on the SAME
+    * table — the optimistic-bias protocol, kept for parity. */
+  def testOnTrainingCA(df: DataFrame, learner: Learner,
+                       target: String): DataFrame =
+    testOnTestCA(df, df, learner, target)
+
+  /** CrossValidationFeature (testing.py:610): folds are the values of a
+    * discrete feature — fit on the other values, score the held-out
+    * value. Fold count = feature cardinality (bounded, discrete), so the
+    * per-fold loop stays a plan-size concern, not a data-size one. */
+  def crossValidateByFeatureCA(df: DataFrame, learnerOf: () => Learner,
+                               target: String, foldFeature: String): DataFrame = {
+    val folds = df.select(col(foldFeature).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    folds.map { f =>
+      val train = df.filter(col(foldFeature).cast("string") =!= f)
+      val test = df.filter(col(foldFeature).cast("string") === f)
+      learnerOf().fit(train).predict(test)
+        .agg(lit(f).as("fold"),
+          round(Scoring.ca(col(target), col("prediction")), 6).as("ca"),
+          count(lit(1)).as("n_test"))
+    }.reduce(_.unionByName(_))
+  }
+
   // Model as SAM for concise learner bodies
   import scala.language.implicitConversions
   implicit def fnToModel(f: DataFrame => DataFrame): Model = new Model {

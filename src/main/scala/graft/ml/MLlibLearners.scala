@@ -38,6 +38,25 @@ object MLlibLearners {
       .orderBy(col("label"), col("prediction"))
   }
 
+  /** Softmax regression (Orange/classification/softmax_regression.py:
+    * multinomial logistic with L2 penalty, L-BFGS) — MLlib
+    * LogisticRegression with the multinomial family pinned. Returns
+    * per-class prediction counts. */
+  def softmaxOnEmbeddings(df: DataFrame, arrayCol: String,
+                          labelCol: String, lambda: Double = 1.0): DataFrame = {
+    val data = withFeatures(df, arrayCol)
+      .withColumn("label", col(labelCol).cast("double"))
+    val model = new LogisticRegression()
+      .setFamily("multinomial").setElasticNetParam(0.0)
+      .setRegParam(lambda / data.count().toDouble)
+      .setMaxIter(100).setTol(1e-6)
+      .fit(data)
+    model.transform(data)
+      .groupBy(col("label"), col("prediction"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("prediction"))
+  }
+
   /** Seeded KMeans over embeddings → cluster sizes + WSSD. */
   def kmeansOnEmbeddings(df: DataFrame, arrayCol: String, k: Int,
                          seed: Long = 42L): DataFrame = {

@@ -263,6 +263,83 @@ object AnalyticsQueries {
              |  MIN(CASE WHEN r_name = 'ASIA' THEN r_regionkey END) AS "ASIA",
              |  MIN(CASE WHEN r_name = 'EUROPE' THEN r_regionkey END) AS "EUROPE",
              |  MIN(CASE WHEN r_name = 'MIDDLE EAST' THEN r_regionkey END) AS "MIDDLE EAST"
-             |FROM region""".stripMargin))
+             |FROM region""".stripMargin)),
+
+    Q("dist_corr_matrix", { // §2.9 Pearson/PearsonAbsolute/Spearman/
+      // SpearmanAbsolute column distances (distance.py:586-786):
+      // dist = (1−r)/2, absolute variant 1−|r|, Spearman on average
+      // ranks. ONE pass: a single aggregate computes all six
+      // correlations over the ranked projection; the per-pair rows are
+      // then tiny selects from that one-row result.
+      val colsU = Seq("l_quantity", "l_extendedprice", "l_discount")
+      (s: SparkSession, d: String) => {
+        val ranked = li(s, d).select(colsU.flatMap(c => Seq(
+          col(c).cast("double").as(s"v_$c"),
+          (rank().over(Window.orderBy(col(c))) +
+            (count(lit(1)).over(Window.partitionBy(col(c))) - 1) / 2.0)
+            .as(s"r_$c"))): _*)
+        val pairs = for { i <- colsU.indices; j <- colsU.indices if i < j }
+          yield (colsU(i), colsU(j))
+        val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) => Seq(
+          exactCorr(col(s"v_$a"), col(s"v_$b")).as(s"rp_$i"),
+          exactCorr(col(s"r_$a"), col(s"r_$b")).as(s"rs_$i")) }
+        val one = ranked.agg(aggs.head, aggs.tail: _*)
+        pairs.zipWithIndex.map { case ((a, b), i) =>
+          one.select(lit(a).as("col_a"), lit(b).as("col_b"),
+            round((lit(1.0) - col(s"rp_$i")) / 2.0, 6).as("pearson_dist"),
+            round(lit(1.0) - abs(col(s"rp_$i")), 6).as("pearson_abs_dist"),
+            round((lit(1.0) - col(s"rs_$i")) / 2.0, 6).as("spearman_dist"),
+            round(lit(1.0) - abs(col(s"rs_$i")), 6).as("spearman_abs_dist"))
+        }.reduce(_.unionByName(_)).orderBy(col("col_a"), col("col_b"))
+      }
+    }, Some {
+      val colsU = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val rankedCols = colsU.map { c =>
+        s"""CAST($c AS DOUBLE) AS v_$c,
+           |RANK() OVER (ORDER BY $c) + (COUNT(*) OVER (PARTITION BY $c) - 1) / 2.0 AS r_$c"""
+          .stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      val pairs = for { i <- colsU.indices; j <- colsU.indices if i < j }
+        yield (colsU(i), colsU(j))
+      val aggCols = pairs.zipWithIndex.flatMap { case ((a, b), i) => Seq(
+        s"${sqlCorr(s"v_$a", s"v_$b")} AS rp_$i",
+        s"${sqlCorr(s"r_$a", s"r_$b")} AS rs_$i") }.mkString(",\n  ")
+      val selects = pairs.zipWithIndex.map { case ((a, b), i) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  ROUND((1.0 - rp_$i) / 2.0, 6) AS pearson_dist,
+           |  ROUND(1.0 - ABS(rp_$i), 6) AS pearson_abs_dist,
+           |  ROUND((1.0 - rs_$i) / 2.0, 6) AS spearman_dist,
+           |  ROUND(1.0 - ABS(rs_$i), 6) AS spearman_abs_dist
+           |FROM one""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ranked AS (SELECT $rankedCols FROM lineitem),
+         |one AS (SELECT
+         |  $aggCols
+         |FROM ranked)
+         |$selects
+         |ORDER BY col_a, col_b""".stripMargin
+    }),
+
+    Q("score_univar_regression", // UnivariateLinearRegression scorer
+      // (preprocess/score.py:107-157, sklearn f_regression): per-feature
+      // F = r²/(1−r²)·(n−2) against a continuous target — one aggregate
+      // over exact correlation sums.
+      (s, d) => {
+        val feats = Seq("l_quantity", "l_discount", "l_tax")
+        val fCols = feats.map { f =>
+          val r = exactCorr(col(f).cast("double"),
+            col("l_extendedprice").cast("double"))
+          round(r * r / (lit(1.0) - r * r) *
+            (count(lit(1)).cast(DoubleType) - 2.0), 6).as(s"f_$f")
+        }
+        li(s, d).agg(fCols.head, fCols.tail: _*)
+      },
+      Some {
+        val fs = Seq("l_quantity", "l_discount", "l_tax").map { f =>
+          val r = sqlCorr(s"CAST($f AS DOUBLE)", "CAST(l_extendedprice AS DOUBLE)")
+          s"ROUND(($r) * ($r) / (1.0 - ($r) * ($r)) * (CAST(COUNT(*) AS DOUBLE) - 2.0), 6) AS f_$f"
+        }.mkString(",\n  ")
+        s"SELECT\n  $fs\nFROM lineitem"
+      })
   )
 }

@@ -257,6 +257,42 @@ object MLQueries {
               |FROM tagged t JOIN maj m USING (seed) WHERE t.b >= 80
               |GROUP BY t.seed ORDER BY split""".stripMargin)),
 
+    Q("ml_eval_test_on_training", // TestOnTrainingData (testing.py:779):
+      // fit Majority on orders and score it on the same table.
+      (s, d) => Learners.testOnTrainingCA(
+        ord(s, d), Learners.Majority("o_orderstatus"), "o_orderstatus"),
+      Some("""WITH maj AS (
+             |  SELECT o_orderstatus AS pred FROM orders GROUP BY 1
+             |  ORDER BY COUNT(*) DESC, o_orderstatus ASC LIMIT 1)
+             |SELECT ROUND(SUM(CASE WHEN o_orderstatus = pred THEN 1 ELSE 0 END) * 1.0
+             |             / COUNT(*), 6) AS ca,
+             |       COUNT(*) AS n_test
+             |FROM orders CROSS JOIN maj""".stripMargin)),
+
+    Q("ml_eval_cv_feature", // CrossValidationFeature (testing.py:610):
+      // folds = values of o_orderpriority; fit Majority on the other
+      // values, score the held-out value. Fold count is the feature's
+      // cardinality — bounded and discrete.
+      (s, d) => Learners.crossValidateByFeatureCA(
+        ord(s, d), () => Learners.Majority("o_orderstatus"),
+        "o_orderstatus", "o_orderpriority")
+        .orderBy(col("fold")),
+      Some("""WITH folds AS (
+             |  SELECT DISTINCT CAST(o_orderpriority AS VARCHAR) AS f FROM orders),
+             |maj AS (
+             |  SELECT f.f, o.o_orderstatus AS pred
+             |  FROM folds f JOIN orders o
+             |    ON CAST(o.o_orderpriority AS VARCHAR) <> f.f
+             |  GROUP BY f.f, o.o_orderstatus
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY f.f
+             |    ORDER BY COUNT(*) DESC, o.o_orderstatus ASC) = 1)
+             |SELECT m.f AS fold,
+             |       ROUND(SUM(CASE WHEN o.o_orderstatus = m.pred THEN 1 ELSE 0 END) * 1.0
+             |             / COUNT(*), 6) AS ca,
+             |       COUNT(*) AS n_test
+             |FROM orders o JOIN maj m ON CAST(o.o_orderpriority AS VARCHAR) = m.f
+             |GROUP BY m.f ORDER BY fold""".stripMargin)),
+
     Q("ml_knn_class", // kNN classifier (classification/knn.py): 5-NN
       // euclidean majority vote over (c_acctbal, c_nationkey), test =
       // every 100th customer, train = the rest. Test side broadcast;
@@ -394,8 +430,25 @@ object MLQueries {
         col("l_quantity") > 25, iters = 10),
       None),
 
+    Q("ml_scoring_sheet", // scoringsheet.py (fasterrisk): binarize →
+      // sparse integer points via deterministic logistic GD → Platt
+      // link. Output = the learned sheet (rows-only: iterative fit;
+      // semantics pinned by LearnerTailSpec).
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val sheet = graft.ml.ScoringSheet.fit(c,
+          Seq("c_acctbal", "c_nationkey"),
+          col("c_mktsegment") === "BUILDING")
+        graft.ml.ScoringSheet.sheetDF(s, sheet)
+      }, None),
+
     Q("ml_logreg_embeddings", // MLlib logistic regression (rows-only)
       (s, d) => MLlibLearners.logisticOnEmbeddings(
+        emb(s, d), "embedding", "label"), None),
+
+    Q("ml_softmax_regression", // softmax_regression.py → multinomial
+      // family pinned, L2 = 1/n (rows-only: iterative L-BFGS fit)
+      (s, d) => MLlibLearners.softmaxOnEmbeddings(
         emb(s, d), "embedding", "label"), None),
 
     Q("ml_kmeans_embeddings", // MLlib seeded KMeans (rows-only)

@@ -254,6 +254,60 @@ object ScoringQueries {
         .agg(count(lit(1)).as("n"),
           min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
         .orderBy(col("mdl_bin")),
-      None)
+      None),
+
+    Q("score_rrelieff", // RReliefF for a continuous target (score.py
+      // RReliefF): ~100 references, k=3 neighbors, span-normalized
+      // Manhattan; W = NdCdA/NdC − (NdA−NdCdA)/(m−NdC). Features =
+      // priority digit + order epoch-day, target = o_totalprice.
+      (s, d) => ReliefF.rWeights(
+        ord(s, d).select(col("o_orderkey"),
+          substring(col("o_orderpriority"), 1, 1).cast("double").as("o_pri"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("double").as("o_odays"),
+          col("o_totalprice")),
+        "o_orderkey", Seq("o_pri", "o_odays"), "o_totalprice",
+        col("o_orderkey") <= 400, 3),
+      Some(s"""WITH base AS (
+              |  SELECT o_orderkey,
+              |         CAST(SUBSTRING(o_orderpriority, 1, 1) AS DOUBLE) AS o_pri,
+              |         CAST(DATE_DIFF('day', DATE '1970-01-01', o_orderdate) AS DOUBLE) AS o_odays,
+              |         o_totalprice
+              |  FROM orders),
+              |spans AS (
+              |  SELECT MAX(o_pri) - MIN(o_pri) AS span_p,
+              |         MAX(o_odays) - MIN(o_odays) AS span_d,
+              |         MAX(o_totalprice) - MIN(o_totalprice) AS span_y
+              |  FROM base),
+              |refs AS (SELECT o_orderkey AS rid, o_totalprice AS ry,
+              |                o_pri AS rp, o_odays AS rd
+              |         FROM base WHERE o_orderkey <= 400),
+              |pairs AS (
+              |  SELECT rid, o.o_orderkey AS oid,
+              |    ABS(rp - o.o_pri) / span_p AS da_p,
+              |    ABS(rd - o.o_odays) / span_d AS da_d,
+              |    ABS(rp - o.o_pri) / span_p
+              |      + ABS(rd - o.o_odays) / span_d AS dist,
+              |    ABS(ry - o.o_totalprice) / span_y AS dy
+              |  FROM refs CROSS JOIN spans
+              |  JOIN base o ON o.o_orderkey <> rid),
+              |topk AS (
+              |  SELECT * FROM (
+              |    SELECT pairs.*, ROW_NUMBER() OVER (
+              |      PARTITION BY rid ORDER BY dist ASC, oid ASC) AS rnk
+              |    FROM pairs)
+              |  WHERE rnk <= 3),
+              |agg AS (
+              |  SELECT ${sqlDetSum("dy")} AS ndc, COUNT(*) AS m,
+              |    ${sqlDetSum("da_p")} AS nda_p, ${sqlDetSum("dy * da_p")} AS ndcda_p,
+              |    ${sqlDetSum("da_d")} AS nda_d, ${sqlDetSum("dy * da_d")} AS ndcda_d
+              |  FROM topk)
+              |SELECT 'o_pri' AS feature,
+              |  ROUND(ndcda_p / ndc - (nda_p - ndcda_p) / (CAST(m AS DOUBLE) - ndc), 6) AS weight
+              |FROM agg
+              |UNION ALL
+              |SELECT 'o_odays' AS feature,
+              |  ROUND(ndcda_d / ndc - (nda_d - ndcda_d) / (CAST(m AS DOUBLE) - ndc), 6) AS weight
+              |FROM agg""".stripMargin))
   )
 }

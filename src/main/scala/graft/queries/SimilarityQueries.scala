@@ -140,6 +140,42 @@ object SimilarityQueries {
            |  ROUND($dot / (${sqlNorm("e.embedding")} * $cN), 6) AS cos_to_centroid
            |FROM embeddings e JOIN c ON e.label = c.label
            |ORDER BY e.vec_id""".stripMargin
+      }),
+
+    Q("dedup_embedding_cosine", // embedding-cosine near-dup pairs via
+      // banded hyperplane LSH (SimilarityOps.cosineNearDupPairs): 4 bands
+      // × 4 sign bits, candidates = same-band bucket collisions
+      // (equi-join), exact cosine ≥ 0.4 confirms. The dedup twin of
+      // MinHash-LSH banding, over vectors instead of shingles.
+      (s, d) => SimilarityOps.cosineNearDupPairs(
+          emb(s, d), "vec_id", "embedding", Dim,
+          threshold = 0.4, bands = 4, planesPerBand = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        def bucketExpr(band: Int): String = (0 until 4).map { bit =>
+          val j = band * 4 + bit
+          val proj = (1 to Dim).map(i =>
+            s"CAST(embedding[$i] AS DOUBLE) * ${SimilarityOps.planeComponent(j, i)}")
+            .mkString("(", " + ", ")")
+          s"CASE WHEN $proj > 0 THEN ${1L << bit} ELSE 0 END"
+        }.mkString(" + ")
+        val kSql = (0 until 4).map(b =>
+          s"SELECT vec_id, ($b) AS band, (${bucketExpr(b)}) AS bucket FROM embeddings")
+          .mkString("\nUNION ALL\n")
+        s"""WITH k AS (
+           |$kSql
+           |), cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM k a JOIN k b
+           |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM (
+           |  SELECT c.id_a, c.id_b,
+           |    ${sqlCos("e1.embedding", "e2.embedding")} AS cos
+           |  FROM cand c
+           |  JOIN embeddings e1 ON e1.vec_id = c.id_a
+           |  JOIN embeddings e2 ON e2.vec_id = c.id_b)
+           |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
       })
   )
 }

@@ -96,4 +96,62 @@ class LearnerTailSpec extends SparkSpec {
     // positive for monotone-increasing outcomes
     assert(w.getDouble(0) > 0.0)
   }
+
+  test("TestOnTrainingData of Majority equals the majority-class share") {
+    val df = (Seq.fill(7)("a") ++ Seq.fill(3)("b")).toDF("cls")
+    val r = graft.ml.Learners.testOnTrainingCA(df,
+      graft.ml.Learners.Majority("cls"), "cls").first()
+    assert(r.getDouble(0) == 0.7 && r.getLong(1) == 10L)
+  }
+
+  test("CrossValidationFeature: one row per fold value, leak-free majority") {
+    // fold feature g: value 'x' rows are all class a; the rest majority b.
+    // Training on g<>'x' must predict b, so fold 'x' scores CA 0.
+    val df = (Seq.fill(4)(("x", "a")) ++ Seq.fill(5)(("y", "b")) ++
+      Seq.fill(5)(("z", "b"))).toDF("g", "cls")
+    val rows = graft.ml.Learners.crossValidateByFeatureCA(df,
+        () => graft.ml.Learners.Majority("cls"), "cls", "g")
+      .as[(String, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(rows.keySet == Set("x", "y", "z"))
+    assert(rows("x")._1 == 0.0) // leak-free: trained majority is b
+    assert(rows("y")._1 == 1.0 && rows("z")._1 == 1.0)
+  }
+
+  test("scoring sheet: separable outcome yields a high-accuracy integer sheet") {
+    // outcome is exactly x >= 50 — one indicator should dominate
+    val df = (1 to 100).map(i => (i.toDouble, (i % 13).toDouble,
+      if (i >= 50) 1 else 0)).toDF("x", "z", "y")
+    val sheet = graft.ml.ScoringSheet.fit(df, Seq("x", "z"), col("y") === 1,
+      binsPerFeature = 4, numParams = 3, maxPoints = 5, iterations = 15)
+    assert(sheet.entries.nonEmpty &&
+      sheet.entries.forall(e => math.abs(e.points) <= 5))
+    val scored = sheet.predict(df)
+    val acc = scored.select(avg((col("prediction") === col("y")).cast("int")))
+      .first().getDouble(0)
+    assert(acc >= 0.9, s"sheet accuracy $acc")
+    // the dominant indicator is an x-threshold near the class boundary
+    val top = sheet.entries.maxBy(e => math.abs(e.points))
+    assert(top.feature == "x", s"dominant entry $top")
+  }
+
+  test("scoring sheet is deterministic across partitionings") {
+    val df = spark.read.parquet(s"$sf/customer.parquet")
+    val a = graft.ml.ScoringSheet.fit(df, Seq("c_acctbal", "c_nationkey"),
+      col("c_mktsegment") === "BUILDING")
+    val b = graft.ml.ScoringSheet.fit(df.repartition(9),
+      Seq("c_acctbal", "c_nationkey"), col("c_mktsegment") === "BUILDING")
+    assert(a == b)
+  }
+
+  test("softmax regression separates the embedding labels better than chance") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val conf = graft.ml.MLlibLearners.softmaxOnEmbeddings(e, "embedding", "label")
+      .as[(Double, Double, Long)].collect()
+    val n = conf.map(_._3).sum.toDouble
+    val correct = conf.filter(r => r._1 == r._2).map(_._3).sum.toDouble
+    val nClasses = conf.map(_._1).distinct.length
+    assert(correct / n > 1.5 / nClasses,
+      s"training accuracy ${correct / n} not above chance")
+  }
 }

@@ -144,4 +144,30 @@ class ScoringSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq.sortBy(_._1)
     assert(fast.nonEmpty && fast == slow)
   }
+
+  test("RReliefF ranks the predictive feature above the irrelevant one") {
+    // y tracks x1 exactly; x2 cycles independently of y
+    val df = (1 to 60).map { i =>
+      (i.toLong, i * 0.5, (i % 7).toDouble, i * 0.5 * 3.0)
+    }.toDF("id", "x1", "x2", "y")
+    val w = graft.functions.ReliefF.rWeights(df, "id", Seq("x1", "x2"), "y",
+        col("id") % 3 === 0, 3)
+      .as[(String, Double)].collect().toMap
+    assert(w("x1") > w("x2"),
+      s"predictive feature not ranked higher: $w")
+  }
+
+  test("RReliefF is deterministic across partitionings") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_custkey").cast("double").as("f1"),
+        substring(col("o_orderpriority"), 1, 1).cast("double").as("f2"))
+    val a = graft.functions.ReliefF.rWeights(df, "o_orderkey",
+      Seq("f1", "f2"), "o_totalprice", col("o_orderkey") <= 100, 3)
+      .as[(String, Double)].collect().toSeq.sortBy(_._1)
+    val b = graft.functions.ReliefF.rWeights(df.repartition(9), "o_orderkey",
+      Seq("f1", "f2"), "o_totalprice", col("o_orderkey") <= 100, 3)
+      .as[(String, Double)].collect().toSeq.sortBy(_._1)
+    assert(a.nonEmpty && a == b)
+  }
 }

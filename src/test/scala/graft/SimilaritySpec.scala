@@ -40,6 +40,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size <= bf.size)
   }
 
+  test("cosine near-dup pairs: threshold enforced, deduped, subset of brute force") {
+    val e = embeddings
+    val got = SimilarityOps.cosineNearDupPairs(e, "vec_id", "embedding", 64,
+        threshold = 0.3, bands = 4, planesPerBand = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.forall(_._3 >= 0.3))
+    assert(got.forall(p => p._1 < p._2))
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+    val all = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb")),
+        col("ida") < col("idb"))
+      .withColumn("c", SimilarityOps.cosineFixed(col("ea"), col("eb"), 64))
+      .filter(col("c") >= 0.3)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(got.forall(p => all.contains((p._1, p._2))),
+      "reported pair missing from brute-force ground truth")
+  }
+
+  test("cosine near-dup pairs deterministic across partitionings") {
+    val e = embeddings
+    val a = SimilarityOps.cosineNearDupPairs(e, "vec_id", "embedding", 64,
+        0.3, 4, 4).orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = SimilarityOps.cosineNearDupPairs(e.repartition(7), "vec_id",
+        "embedding", 64, 0.3, 4, 4).orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("IVF is deterministic across partitionings") {
     val e = embeddings
     val q = e.filter(col("vec_id") < 5)
