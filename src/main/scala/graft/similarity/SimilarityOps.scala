@@ -85,6 +85,48 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Bucket id over one LSH *band* — the sign bits of `planes` (a range
+    * of plane indices), so multiple independent bands can be derived
+    * from disjoint plane ranges. */
+  def lshBandBucket(vec: Column, dim: Int, planes: Range): Column =
+    planes.zipWithIndex.map { case (j, bit) =>
+      val proj = (1 to dim).map(i =>
+        element_at(vec, i).cast("double") * planeComponent(j, i)).reduce(_ + _)
+      when(proj > 0, math.pow(2, bit).toLong).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-duplicate pairs — the dedup shape (vs the ANN
+    * top-k shape above): ALL pairs with cosine ≥ `threshold`, found via
+    * banded random-hyperplane LSH. Each vector gets `bands` bucket keys
+    * (disjoint plane ranges of `planesPerBand` sign bits); a pair is a
+    * candidate iff it collides in at least one band (union + distinct),
+    * then the exact cosine filter keeps true near-dups.
+    *
+    * Scale shape: the corpus is shuffled on (band, bucket) — an
+    * equi-join, never an all-pairs theta join; recall is tuned by
+    * `bands` (more bands → more chances to collide) exactly like
+    * MinHash-LSH banding in text dedup. Candidates are deduped BEFORE
+    * the exact cosine so each surviving pair is scored once. */
+  def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
+                         dim: Int, threshold: Double, bands: Int,
+                         planesPerBand: Int): DataFrame = {
+    val keyed = (0 until bands).map { b =>
+      corpus.select(col(id).as("__id"), col(vec).as("__v"),
+        lit(b).as("band"),
+        lshBandBucket(col(vec), dim,
+          b * planesPerBand until (b + 1) * planesPerBand).as("bucket"))
+    }.reduce(_.unionByName(_))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__v").as("__va"), col("b.__v").as("__vb"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("cosine", cosineFixed(col("__va"), col("__vb"), dim))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** IVF (inverted-file) ANN — the FAISS-style scale path beside LSH:
     *
     *  1. coarse quantizer: `nlist` centroids seeded from the smallest
