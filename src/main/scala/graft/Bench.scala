@@ -10,12 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner frees broadcast/shuffle blocks only after a GC;
+      // the 30 min default periodicGC never fires within one bench run,
+      // so 148 queries' broadcasts pile up in the 8g heap and GC thrash
+      // contaminates later queries' timings (measured 2.4 s → 227 s on
+      // the same query between runs). Clean aggressively instead.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var sinceGC = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // drop any cached plans a query left
+      sinceGC += 1
+      if (sinceGC >= 10) { System.gc(); sinceGC = 0 }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -18,9 +18,11 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
       // read as int64 nanoseconds and convert with exact integer math.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var sinceGC = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -29,6 +31,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same hygiene as Bench: keep leaked caches/broadcasts from
+      // accumulating across 148 sequential queries in one 8g JVM
+      spark.catalog.clearCache()
+      sinceGC += 1
+      if (sinceGC >= 10) { System.gc(); sinceGC = 0 }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

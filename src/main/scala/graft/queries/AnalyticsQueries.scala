@@ -284,13 +284,20 @@ object AnalyticsQueries {
           exactCorr(col(s"v_$a"), col(s"v_$b")).as(s"rp_$i"),
           exactCorr(col(s"r_$a"), col(s"r_$b")).as(s"rs_$i")) }
         val one = ranked.agg(aggs.head, aggs.tail: _*)
-        pairs.zipWithIndex.map { case ((a, b), i) =>
-          one.select(lit(a).as("col_a"), lit(b).as("col_b"),
-            round((lit(1.0) - col(s"rp_$i")) / 2.0, 6).as("pearson_dist"),
-            round(lit(1.0) - abs(col(s"rp_$i")), 6).as("pearson_abs_dist"),
-            round((lit(1.0) - col(s"rs_$i")) / 2.0, 6).as("spearman_dist"),
-            round(lit(1.0) - abs(col(s"rs_$i")), 6).as("spearman_abs_dist"))
-        }.reduce(_.unionByName(_)).orderBy(col("col_a"), col("col_b"))
+        // stack (not union) unpivots the single row → a UNION of selects
+        // would let column pruning split the shared agg into one scan per
+        // pair (PlanSpec guards the single-scan shape)
+        val withD = one.select(pairs.indices.flatMap(i => Seq(
+          round((lit(1.0) - col(s"rp_$i")) / 2.0, 6).as(s"pd_$i"),
+          round(lit(1.0) - abs(col(s"rp_$i")), 6).as(s"pa_$i"),
+          round((lit(1.0) - col(s"rs_$i")) / 2.0, 6).as(s"sd_$i"),
+          round(lit(1.0) - abs(col(s"rs_$i")), 6).as(s"sa_$i"))): _*)
+        val stackArgs = pairs.zipWithIndex.map { case ((a, b), i) =>
+          s"'$a', '$b', pd_$i, pa_$i, sd_$i, sa_$i" }.mkString(", ")
+        withD.selectExpr(s"stack(${pairs.size}, $stackArgs) AS " +
+            "(col_a, col_b, pearson_dist, pearson_abs_dist, " +
+            "spearman_dist, spearman_abs_dist)")
+          .orderBy(col("col_a"), col("col_b"))
       }
     }, Some {
       val colsU = Seq("l_quantity", "l_extendedprice", "l_discount")

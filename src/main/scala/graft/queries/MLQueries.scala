@@ -326,33 +326,42 @@ object MLQueries {
              |ORDER BY c_custkey""".stripMargin)),
 
     Q("ml_knn_regress", // kNN regressor (regression/knn.py): mean
-      // o_totalprice of the 5 nearest orders by customer-key distance.
+      // c_acctbal of the 5 nearest customers in (nationkey, key-mod)
+      // space. Test side = every 100th customer — the broadcast pair
+      // volume stays at |test|·|train| ≈ 2M at sf0.1, the same proven
+      // shape as ml_knn_class (an orders-table fixture measured 10×
+      // that and 70 s in the bench).
       (s, d) => {
-        val o = ord(s, d)
+        val c = Tables.load(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey"), (col("c_custkey") % 97).as("c_mod"),
+          col("c_acctbal"))
         graft.ml.KNN.regress(
-          o.filter(col("o_orderkey") % 997 === 0),
-          o.filter(col("o_orderkey") % 997 =!= 0),
-          "o_orderkey", Seq("o_custkey"), "o_totalprice", 5)
-          .select(col("o_orderkey"), round(col("prediction"), 6).as("prediction"))
-          .orderBy(col("o_orderkey"))
+          c.filter(col("c_custkey") % 100 === 0),
+          c.filter(col("c_custkey") % 100 =!= 0),
+          "c_custkey", Seq("c_nationkey", "c_mod"), "c_acctbal", 5)
+          .select(col("c_custkey"), round(col("prediction"), 6).as("prediction"))
+          .orderBy(col("c_custkey"))
       },
       Some("""WITH test AS (
-             |  SELECT o_orderkey AS tid, CAST(o_custkey AS DOUBLE) AS t1
-             |  FROM orders WHERE o_orderkey % 997 = 0),
+             |  SELECT c_custkey AS tid, CAST(c_nationkey AS DOUBLE) AS t1,
+             |         CAST(c_custkey % 97 AS DOUBLE) AS t2
+             |  FROM customer WHERE c_custkey % 100 = 0),
              |train AS (
-             |  SELECT o_orderkey AS rid, CAST(o_custkey AS DOUBLE) AS r1,
-             |         o_totalprice AS y
-             |  FROM orders WHERE o_orderkey % 997 <> 0),
+             |  SELECT c_custkey AS rid, CAST(c_nationkey AS DOUBLE) AS r1,
+             |         CAST(c_custkey % 97 AS DOUBLE) AS r2,
+             |         c_acctbal AS y
+             |  FROM customer WHERE c_custkey % 100 <> 0),
              |topk AS (
              |  SELECT tid, y FROM (
-             |    SELECT tid, rid, (t1-r1)*(t1-r1) AS d2, y
+             |    SELECT tid, rid,
+             |      (t1-r1)*(t1-r1) + (t2-r2)*(t2-r2) AS d2, y
              |    FROM test CROSS JOIN train)
              |  QUALIFY ROW_NUMBER() OVER (
              |    PARTITION BY tid ORDER BY d2 ASC, rid ASC) <= 5)
-             |SELECT tid AS o_orderkey,
+             |SELECT tid AS c_custkey,
              |  ROUND(CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
              |    AS prediction
-             |FROM topk GROUP BY tid ORDER BY o_orderkey""".stripMargin)),
+             |FROM topk GROUP BY tid ORDER BY c_custkey""".stripMargin)),
 
     Q("ml_curvefit_exp", // CurveFitLearner (regression/curvefit.py) —
       // closed-form y = a·e^(bx) via log-linearization; the Gauss-Newton

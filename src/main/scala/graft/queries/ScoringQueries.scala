@@ -257,40 +257,39 @@ object ScoringQueries {
       None),
 
     Q("score_rrelieff", // RReliefF for a continuous target (score.py
-      // RReliefF): ~100 references, k=3 neighbors, span-normalized
-      // Manhattan; W = NdCdA/NdC − (NdA−NdCdA)/(m−NdC). Features =
-      // priority digit + order epoch-day, target = o_totalprice.
+      // RReliefF): m=100 references, k=3 neighbors, span-normalized
+      // Manhattan; W = NdCdA/NdC − (NdA−NdCdA)/(m−NdC). Same broadcast-
+      // refs pair volume as score_relieff (100 × |customer|) — a larger
+      // ref predicate on a bigger table turns the non-equi pair join
+      // into a bench-killing 60M-row BNLJ at sf0.1.
       (s, d) => ReliefF.rWeights(
-        ord(s, d).select(col("o_orderkey"),
-          substring(col("o_orderpriority"), 1, 1).cast("double").as("o_pri"),
-          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
-            .cast("double").as("o_odays"),
-          col("o_totalprice")),
-        "o_orderkey", Seq("o_pri", "o_odays"), "o_totalprice",
-        col("o_orderkey") <= 400, 3),
+        cust(s, d).select(col("c_custkey"),
+          col("c_nationkey").cast("double").as("c_nat"),
+          (col("c_custkey") % 97).cast("double").as("c_mod"),
+          col("c_acctbal")),
+        "c_custkey", Seq("c_nat", "c_mod"), "c_acctbal",
+        col("c_custkey") <= 100, 3),
       Some(s"""WITH base AS (
-              |  SELECT o_orderkey,
-              |         CAST(SUBSTRING(o_orderpriority, 1, 1) AS DOUBLE) AS o_pri,
-              |         CAST(DATE_DIFF('day', DATE '1970-01-01', o_orderdate) AS DOUBLE) AS o_odays,
-              |         o_totalprice
-              |  FROM orders),
+              |  SELECT c_custkey, CAST(c_nationkey AS DOUBLE) AS c_nat,
+              |         CAST(c_custkey % 97 AS DOUBLE) AS c_mod, c_acctbal
+              |  FROM customer),
               |spans AS (
-              |  SELECT MAX(o_pri) - MIN(o_pri) AS span_p,
-              |         MAX(o_odays) - MIN(o_odays) AS span_d,
-              |         MAX(o_totalprice) - MIN(o_totalprice) AS span_y
+              |  SELECT MAX(c_nat) - MIN(c_nat) AS span_n,
+              |         MAX(c_mod) - MIN(c_mod) AS span_m,
+              |         MAX(c_acctbal) - MIN(c_acctbal) AS span_y
               |  FROM base),
-              |refs AS (SELECT o_orderkey AS rid, o_totalprice AS ry,
-              |                o_pri AS rp, o_odays AS rd
-              |         FROM base WHERE o_orderkey <= 400),
+              |refs AS (SELECT c_custkey AS rid, c_acctbal AS ry,
+              |                c_nat AS rn, c_mod AS rm
+              |         FROM base WHERE c_custkey <= 100),
               |pairs AS (
-              |  SELECT rid, o.o_orderkey AS oid,
-              |    ABS(rp - o.o_pri) / span_p AS da_p,
-              |    ABS(rd - o.o_odays) / span_d AS da_d,
-              |    ABS(rp - o.o_pri) / span_p
-              |      + ABS(rd - o.o_odays) / span_d AS dist,
-              |    ABS(ry - o.o_totalprice) / span_y AS dy
+              |  SELECT rid, o.c_custkey AS oid,
+              |    ABS(rn - o.c_nat) / span_n AS da_n,
+              |    ABS(rm - o.c_mod) / span_m AS da_m,
+              |    ABS(rn - o.c_nat) / span_n
+              |      + ABS(rm - o.c_mod) / span_m AS dist,
+              |    ABS(ry - o.c_acctbal) / span_y AS dy
               |  FROM refs CROSS JOIN spans
-              |  JOIN base o ON o.o_orderkey <> rid),
+              |  JOIN base o ON o.c_custkey <> rid),
               |topk AS (
               |  SELECT * FROM (
               |    SELECT pairs.*, ROW_NUMBER() OVER (
@@ -299,15 +298,15 @@ object ScoringQueries {
               |  WHERE rnk <= 3),
               |agg AS (
               |  SELECT ${sqlDetSum("dy")} AS ndc, COUNT(*) AS m,
-              |    ${sqlDetSum("da_p")} AS nda_p, ${sqlDetSum("dy * da_p")} AS ndcda_p,
-              |    ${sqlDetSum("da_d")} AS nda_d, ${sqlDetSum("dy * da_d")} AS ndcda_d
+              |    ${sqlDetSum("da_n")} AS nda_n, ${sqlDetSum("dy * da_n")} AS ndcda_n,
+              |    ${sqlDetSum("da_m")} AS nda_m, ${sqlDetSum("dy * da_m")} AS ndcda_m
               |  FROM topk)
-              |SELECT 'o_pri' AS feature,
-              |  ROUND(ndcda_p / ndc - (nda_p - ndcda_p) / (CAST(m AS DOUBLE) - ndc), 6) AS weight
+              |SELECT 'c_nat' AS feature,
+              |  ROUND(ndcda_n / ndc - (nda_n - ndcda_n) / (CAST(m AS DOUBLE) - ndc), 6) AS weight
               |FROM agg
               |UNION ALL
-              |SELECT 'o_odays' AS feature,
-              |  ROUND(ndcda_d / ndc - (nda_d - ndcda_d) / (CAST(m AS DOUBLE) - ndc), 6) AS weight
+              |SELECT 'c_mod' AS feature,
+              |  ROUND(ndcda_m / ndc - (nda_m - ndcda_m) / (CAST(m AS DOUBLE) - ndc), 6) AS weight
               |FROM agg""".stripMargin))
   )
 }

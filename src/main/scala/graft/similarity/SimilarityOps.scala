@@ -110,19 +110,23 @@ object SimilarityOps {
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
                          dim: Int, threshold: Double, bands: Int,
                          planesPerBand: Int): DataFrame = {
+    // candidate generation is id-only: the wide vector column stays OUT
+    // of the (band, bucket) shuffle and the pair dedup — vectors are
+    // re-joined by id only for the ≪ n² surviving candidates
     val keyed = (0 until bands).map { b =>
-      corpus.select(col(id).as("__id"), col(vec).as("__v"),
-        lit(b).as("band"),
+      corpus.select(col(id).as("__id"), lit(b).as("band"),
         lshBandBucket(col(vec), dim,
           b * planesPerBand until (b + 1) * planesPerBand).as("bucket"))
     }.reduce(_.unionByName(_))
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.__v").as("__va"), col("b.__v").as("__vb"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("cosine", cosineFixed(col("__va"), col("__vb"), dim))
+    cand
+      .join(corpus.select(col(id).as("id_a"), col(vec).as("__va")), "id_a")
+      .join(corpus.select(col(id).as("id_b"), col(vec).as("__vb")), "id_b")
+      .withColumn("cosine", cosineFixed(col("__va"), col("__vb"), dim))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

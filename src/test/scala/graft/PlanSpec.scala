@@ -62,4 +62,19 @@ class PlanSpec extends SparkSpec {
     val p = plan("ml_dbscan_1d")
     assert(!p.contains("Exchange SinglePartition"))
   }
+
+  test("embedding near-dup candidates come from a band equi-join (no theta join)") {
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("correlation distance matrix reads lineitem once") {
+    val p = plan("dist_corr_matrix")
+    // one ranked projection feeds all pairs: a single lineitem scan
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p.linesIterator
+      .filter(_.contains("FileScan")).mkString("\n"))
+  }
 }
