@@ -203,6 +203,72 @@ object Learners {
         .select(round(col("__u") /
           (col("__p").cast(DoubleType) * col("__n")), 6).as("auc"))
     }
+
+    /** ROC curve points (reference Orange/evaluation/performance_curves
+      * .py + widgets/evaluate/owrocanalysis.py): one (threshold, fpr,
+      * tpr) row per distinct score, descending threshold semantics
+      * ("predict positive when score ≥ t"). Scale shape: groupBy on the
+      * score FIRST (map-side combined, one scan), window only over the
+      * tiny per-score table — same device as [[auc]]. */
+    def rocCurve(df: DataFrame, isPos: Column, score: Column): DataFrame = {
+      val byScore = df.groupBy(score.as("threshold")).agg(
+        sum(when(isPos, 1L).otherwise(0L)).as("__np"),
+        sum(when(isPos, 0L).otherwise(1L)).as("__nn"))
+      val desc = Window.orderBy(col("threshold").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      byScore
+        .withColumn("__ctp", sum(col("__np")).over(desc))
+        .withColumn("__cfp", sum(col("__nn")).over(desc))
+        .withColumn("__p", sum(col("__np")).over(tot))
+        .withColumn("__n", sum(col("__nn")).over(tot))
+        .select(col("threshold"),
+          round(col("__cfp").cast(DoubleType) / col("__n"), 6).as("fpr"),
+          round(col("__ctp").cast(DoubleType) / col("__p"), 6).as("tpr"))
+        .orderBy(col("threshold").desc)
+    }
+
+    /** Cumulative-gains / lift curve (widgets/evaluate/owliftcurve.py):
+      * per distinct score threshold, the population fraction contacted
+      * (rate), the fraction of all positives captured (gain), and
+      * lift = gain / rate. Same grouped-then-window shape as [[rocCurve]]. */
+    def liftCurve(df: DataFrame, isPos: Column, score: Column): DataFrame = {
+      val byScore = df.groupBy(score.as("threshold")).agg(
+        sum(when(isPos, 1L).otherwise(0L)).as("__np"),
+        count(lit(1)).as("__cnt"))
+      val desc = Window.orderBy(col("threshold").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      byScore
+        .withColumn("__ctp", sum(col("__np")).over(desc))
+        .withColumn("__crows", sum(col("__cnt")).over(desc))
+        .withColumn("__p", sum(col("__np")).over(tot))
+        .withColumn("__all", sum(col("__cnt")).over(tot))
+        .select(col("threshold"),
+          round(col("__crows").cast(DoubleType) / col("__all"), 6).as("rate"),
+          round(col("__ctp").cast(DoubleType) / col("__p"), 6).as("gain"),
+          round((col("__ctp").cast(DoubleType) / col("__p")) /
+                (col("__crows").cast(DoubleType) / col("__all")), 6).as("lift"))
+        .orderBy(col("threshold").desc)
+    }
+
+    /** Calibration / reliability curve (widgets/evaluate/
+      * owcalibrationplot.py): bucket predicted probability into
+      * `bins` equal-width cells, emit mean predicted vs observed
+      * positive rate per cell. ONE map-side-combined aggregation. */
+    def calibrationCurve(df: DataFrame, isPos: Column, p: Column,
+                         bins: Int): DataFrame = {
+      val bin = least(floor(p * bins).cast("long"), lit(bins - 1L))
+      df.groupBy(bin.as("bin")).agg(
+          round(sum(round(p, 12).cast(DecimalType(38, 14)))
+            .cast(DoubleType) / count(lit(1)), 6).as("mean_pred"),
+          round(sum(when(isPos, 1L).otherwise(0L)).cast(DoubleType) /
+            count(lit(1)), 6).as("frac_pos"),
+          count(lit(1)).as("n"))
+        .orderBy(col("bin"))
+    }
   }
 
   /** Hash-based k-fold assignment (Orange CrossValidation,

@@ -347,6 +347,150 @@ object AnalyticsQueries {
           s"ROUND(($r) * ($r) / (1.0 - ($r) * ($r)) * (CAST(COUNT(*) AS DOUBLE) - 2.0), 6) AS f_$f"
         }.mkString(",\n  ")
         s"SELECT\n  $fs\nFROM lineitem"
-      })
+      }),
+
+    Q("dist_jaccard_rows", // §2.9 Jaccard between rows on binarized
+      // features (distance.py:468-585: x>threshold → 1, dist = 1 −
+      // |a∧b|/|a∨b|; both-empty pairs are distance 0 like sklearn).
+      (s, d) => {
+        def bins(p: String) = Seq(
+          when(col("c_acctbal") > 0, 1).otherwise(0).as(s"b1$p"),
+          when(col("c_mktsegment") === "BUILDING", 1).otherwise(0).as(s"b2$p"),
+          when(col("c_nationkey") >= 12, 1).otherwise(0).as(s"b3$p"),
+          when(col("c_acctbal") > 5000, 1).otherwise(0).as(s"b4$p"))
+        val refs = cust(s, d).filter(col("c_custkey") <= 30)
+        val a = refs.select(col("c_custkey").as("k1") +: bins("a"): _*)
+        val b = refs.select(col("c_custkey").as("k2") +: bins("b"): _*)
+        val inter = (1 to 4).map(i =>
+          col(s"b${i}a") * col(s"b${i}b")).reduce(_ + _)
+        val union = (1 to 4).map(i =>
+          greatest(col(s"b${i}a"), col(s"b${i}b"))).reduce(_ + _)
+        a.join(b, col("k1") < col("k2"))
+          .select(col("k1"), col("k2"),
+            when(union === 0, 0.0)
+              .otherwise(round(lit(1.0) - inter / union.cast(DoubleType), 6))
+              .as("jaccard_dist"))
+          .orderBy(col("k1"), col("k2"))
+      },
+      Some("""WITH bin AS (
+             |  SELECT c_custkey AS k,
+             |         CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS b1,
+             |         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS b2,
+             |         CASE WHEN c_nationkey >= 12 THEN 1 ELSE 0 END AS b3,
+             |         CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS b4
+             |  FROM customer WHERE c_custkey <= 30)
+             |SELECT a.k AS k1, b.k AS k2,
+             |  CASE WHEN GREATEST(a.b1,b.b1)+GREATEST(a.b2,b.b2)
+             |           +GREATEST(a.b3,b.b3)+GREATEST(a.b4,b.b4) = 0 THEN 0.0
+             |  ELSE ROUND(1.0 - (a.b1*b.b1 + a.b2*b.b2 + a.b3*b.b3 + a.b4*b.b4)
+             |    / CAST(GREATEST(a.b1,b.b1)+GREATEST(a.b2,b.b2)
+             |          +GREATEST(a.b3,b.b3)+GREATEST(a.b4,b.b4) AS DOUBLE), 6)
+             |  END AS jaccard_dist
+             |FROM bin a JOIN bin b ON a.k < b.k
+             |ORDER BY k1, k2""".stripMargin)),
+
+    Q("dist_columns_axis", // §2.9 axis=0: distances BETWEEN ATTRIBUTES
+      // (each column is a vector over all rows — distance.py's axis
+      // parameter). ONE map-side-combined aggregation per table scan:
+      // the shape survives any row count, no pair table materializes.
+      (s, d) => {
+        val q = col("l_quantity") / 50.0
+        val dc = col("l_discount") * 10.0
+        val t = col("l_tax") * 10.0
+        li(s, d).agg(
+          round(sqrt(detSum((q - dc) * (q - dc))), 6).as("d_qty_disc"),
+          round(sqrt(detSum((q - t) * (q - t))), 6).as("d_qty_tax"),
+          round(sqrt(detSum((dc - t) * (dc - t))), 6).as("d_disc_tax"))
+      },
+      Some { // same detSum grid as the Spark side
+        def e(a: String, b: String) =
+          s"ROUND(SQRT(${sqlDetSum(s"(($a) - ($b)) * (($a) - ($b))")}), 6)"
+        s"""SELECT
+           |  ${e("l_quantity / 50.0", "l_discount * 10.0")} AS d_qty_disc,
+           |  ${e("l_quantity / 50.0", "l_tax * 10.0")} AS d_qty_tax,
+           |  ${e("l_discount * 10.0", "l_tax * 10.0")} AS d_disc_tax
+           |FROM lineitem""".stripMargin
+      }),
+
+    Q("dist_euclidean_normalized", // §2.9 Euclidean with normalization
+      // (distance.py:80-255, normalize=True): z-score each feature by
+      // GLOBAL exact stats, then pairwise distance among reference rows.
+      // The z values are rounded to 6 decimals BEFORE pairing so both
+      // engines feed sqrt identical inputs (1-ulp quotient drift is the
+      // known cross-engine hazard; normalize_zscore documents it).
+      (s, d) => {
+        val st = cust(s, d).agg(
+          exactMean(col("c_acctbal")).as("m"),
+          sqrt(exactVarSamp(col("c_acctbal"))).as("sd"),
+          exactMean(col("c_nationkey").cast(DoubleType)).as("mn"),
+          sqrt(exactVarSamp(col("c_nationkey").cast(DoubleType))).as("sdn"))
+        val z = cust(s, d).filter(col("c_custkey") <= 15)
+          .crossJoin(broadcast(st))
+          .select(col("c_custkey").as("k"),
+            round((col("c_acctbal") - col("m")) / col("sd"), 6).as("za"),
+            round((col("c_nationkey") - col("mn")) / col("sdn"), 6).as("zn"))
+        val a = z.select(col("k").as("k1"), col("za").as("za1"), col("zn").as("zn1"))
+        val b = z.select(col("k").as("k2"), col("za").as("za2"), col("zn").as("zn2"))
+        a.join(b, col("k1") < col("k2"))
+          .select(col("k1"), col("k2"),
+            round(SimilarityOps.euclidean(Seq(
+              (col("za1"), col("za2")), (col("zn1"), col("zn2")))), 6)
+              .as("dist"))
+          .orderBy(col("k1"), col("k2"))
+      },
+      Some(s"""WITH st AS (
+              |  SELECT ${sqlMean("c_acctbal")} AS m,
+              |         ${sqlStdSamp("c_acctbal")} AS sd,
+              |         ${sqlMean("CAST(c_nationkey AS DOUBLE)")} AS mn,
+              |         ${sqlStdSamp("CAST(c_nationkey AS DOUBLE)")} AS sdn
+              |  FROM customer),
+              |z AS (SELECT c_custkey AS k,
+              |        ROUND((c_acctbal - m) / sd, 6) AS za,
+              |        ROUND((c_nationkey - mn) / sdn, 6) AS zn
+              |      FROM customer CROSS JOIN st WHERE c_custkey <= 15)
+              |SELECT a.k AS k1, b.k AS k2,
+              |  ROUND(SQRT((a.za - b.za)*(a.za - b.za)
+              |           + (a.zn - b.zn)*(a.zn - b.zn)), 6) AS dist
+              |FROM z a JOIN z b ON a.k < b.k
+              |ORDER BY k1, k2""".stripMargin)),
+
+    Q("dist_manhattan_mad", // §2.9 Manhattan with median/MAD
+      // normalization (distance.py:256-393): x' = (x − median)/(2·MAD),
+      // then pairwise L1 among reference rows. Exact interpolated
+      // percentile on both engines; normalized values rounded before
+      // pairing (same device as dist_euclidean_normalized).
+      (s, d) => {
+        val c0 = cust(s, d)
+        val st1 = c0.agg(
+          round(percentile(col("c_acctbal"), lit(0.5)), 6).as("med"))
+        val st2 = c0.crossJoin(broadcast(st1)).agg(
+          round(percentile(abs(col("c_acctbal") - col("med")), lit(0.5)), 6)
+            .as("mad"))
+        val z = c0.filter(col("c_custkey") <= 15)
+          .crossJoin(broadcast(st1)).crossJoin(broadcast(st2))
+          .select(col("c_custkey").as("k"),
+            round((col("c_acctbal") - col("med")) / (col("mad") * 2.0), 6)
+              .as("xn"))
+        val a = z.select(col("k").as("k1"), col("xn").as("x1"))
+        val b = z.select(col("k").as("k2"), col("xn").as("x2"))
+        a.join(b, col("k1") < col("k2"))
+          .select(col("k1"), col("k2"),
+            round(abs(col("x1") - col("x2")), 6).as("dist"))
+          .orderBy(col("k1"), col("k2"))
+      },
+      Some("""WITH st1 AS (
+             |  SELECT ROUND(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 6) AS med
+             |  FROM customer),
+             |st2 AS (
+             |  SELECT ROUND(CAST(quantile_cont(ABS(c_acctbal - med), 0.5) AS DOUBLE), 6) AS mad
+             |  FROM customer CROSS JOIN st1),
+             |z AS (SELECT c_custkey AS k,
+             |        ROUND((c_acctbal - med) / (mad * 2.0), 6) AS xn
+             |      FROM customer CROSS JOIN st1 CROSS JOIN st2
+             |      WHERE c_custkey <= 15)
+             |SELECT a.k AS k1, b.k AS k2,
+             |  ROUND(ABS(a.xn - b.xn), 6) AS dist
+             |FROM z a JOIN z b ON a.k < b.k
+             |ORDER BY k1, k2""".stripMargin))
   )
 }

@@ -157,6 +157,71 @@ object MLQueries {
              |       / (CAST(SUM(np) AS DOUBLE) * SUM(nn)), 6) AS auc
              |FROM w""".stripMargin)),
 
+    Q("ml_roc_curve", // performance_curves.py / owrocanalysis.py: one
+      // (threshold, fpr, tpr) point per distinct score. The scan
+      // aggregates by score first (map-side combine); the window runs
+      // over the ~50-row grouped table only — the 100 TB shape.
+      (s, d) => Learners.Scoring.rocCurve(
+        li(s, d), col("l_returnflag") === "R", col("l_quantity")),
+      Some("""WITH by_score AS (
+             |  SELECT l_quantity AS threshold,
+             |         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np,
+             |         SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nn
+             |  FROM lineitem GROUP BY 1),
+             |w AS (
+             |  SELECT threshold,
+             |    SUM(np) OVER (ORDER BY threshold DESC ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+             |    SUM(nn) OVER (ORDER BY threshold DESC ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp,
+             |    SUM(np) OVER () AS p, SUM(nn) OVER () AS n
+             |  FROM by_score)
+             |SELECT threshold,
+             |  ROUND(CAST(cfp AS DOUBLE) / n, 6) AS fpr,
+             |  ROUND(CAST(ctp AS DOUBLE) / p, 6) AS tpr
+             |FROM w ORDER BY threshold DESC""".stripMargin)),
+
+    Q("ml_lift_curve", // owliftcurve.py cumulative gains + lift: per
+      // score threshold, contacted fraction (rate), positives captured
+      // (gain), lift = gain/rate. Same grouped-then-window shape.
+      (s, d) => Learners.Scoring.liftCurve(
+        li(s, d), col("l_returnflag") === "R", col("l_quantity")),
+      Some("""WITH by_score AS (
+             |  SELECT l_quantity AS threshold,
+             |         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np,
+             |         COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |w AS (
+             |  SELECT threshold,
+             |    SUM(np) OVER (ORDER BY threshold DESC ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+             |    SUM(cnt) OVER (ORDER BY threshold DESC ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND CURRENT ROW) AS crows,
+             |    SUM(np) OVER () AS p, SUM(cnt) OVER () AS nall
+             |  FROM by_score)
+             |SELECT threshold,
+             |  ROUND(CAST(crows AS DOUBLE) / nall, 6) AS rate,
+             |  ROUND(CAST(ctp AS DOUBLE) / p, 6) AS gain,
+             |  ROUND((CAST(ctp AS DOUBLE) / p) /
+             |        (CAST(crows AS DOUBLE) / nall), 6) AS lift
+             |FROM w ORDER BY threshold DESC""".stripMargin)),
+
+    Q("ml_calibration_curve", // owcalibrationplot.py reliability
+      // diagram: 10 equal-width probability cells, mean predicted vs
+      // observed positive rate — one map-side-combined aggregation;
+      // probability is the same deterministic affine map as
+      // ml_eval_classification_ext.
+      (s, d) => Learners.Scoring.calibrationCurve(
+        li(s, d), col("l_returnflag") === "R",
+        col("l_discount") * 9 + 0.05, bins = 10),
+      Some("""SELECT LEAST(CAST(FLOOR((l_discount * 9 + 0.05) * 10) AS BIGINT), 9) AS bin,
+             |  ROUND(CAST(SUM(CAST(ROUND(l_discount * 9 + 0.05, 12) AS DECIMAL(38,14))) AS DOUBLE)
+             |        / COUNT(*), 6) AS mean_pred,
+             |  ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             |        * 1.0 / COUNT(*), 6) AS frac_pos,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     Q("ml_eval_classification_ext", // F1 / specificity / MCC / LogLoss
       // (scoring.py:207,340,394,288) over the same deterministic rule
       // classifier as ml_eval_classification; log-loss probability is a
@@ -648,6 +713,41 @@ object MLQueries {
         Seq(("qty", "l_quantity / 50.0"), ("disc", "l_discount * 10.0")),
         "CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END",
         iterations = 15, lr = 60.0))),
+
+    Q("ml_svr_linear", // regression/svm.py LinearSVR → full-batch GD on
+      // the ε-insensitive loss: subgradient sign(z−y)·x outside the
+      // ε-tube, 0 inside. Same oracle-exact device as ml_sgd_logreg
+      // (scaled-long gradient sums + per-step 10-decimal weight
+      // rounding, SQL twin unrolled as CTEs); price ≈ β·qty is the
+      // genuinely linear TPC-H relation, so the fit converges visibly.
+      (s, d) => graft.ml.SGD.linearGD(
+        li(s, d),
+        Seq(("qty", col("l_quantity") / 50.0)),
+        col("l_extendedprice") / 100000.0,
+        iterations = 12, lr = 0.5,
+        graft.ml.SGD.EpsilonInsensitiveLoss(0.05)),
+      Some(graft.ml.SGD.linearGDSql(
+        "lineitem",
+        Seq(("qty", "l_quantity / 50.0")),
+        "l_extendedprice / 100000.0",
+        iterations = 12, lr = 0.5,
+        graft.ml.SGD.EpsilonInsensitiveLoss(0.05)))),
+
+    Q("ml_sgd_hinge", // classification/sgd.py with hinge loss (linear
+      // SVC subgradient −y·x where y·z<1, y ∈ {−1,+1}) — the
+      // oracle-exact twin of the MLlib LinearSVC fit (ml_linear_svc,
+      // rows-only); same deterministic-GD machinery as ml_sgd_logreg.
+      (s, d) => graft.ml.SGD.linearGD(
+        li(s, d),
+        Seq(("qty", col("l_quantity") / 50.0),
+            ("disc", col("l_discount") * 10.0)),
+        when(col("l_quantity") > 25, 1).otherwise(-1),
+        iterations = 12, lr = 1.0, graft.ml.SGD.HingeLoss),
+      Some(graft.ml.SGD.linearGDSql(
+        "lineitem",
+        Seq(("qty", "l_quantity / 50.0"), ("disc", "l_discount * 10.0")),
+        "CASE WHEN l_quantity > 25 THEN 1 ELSE -1 END",
+        iterations = 12, lr = 1.0, graft.ml.SGD.HingeLoss))),
 
     Q("ml_som", // projection/som.py — batch SOM, 3×3 grid over the
       // embeddings table (deterministic init/epochs; rows-only).

@@ -71,6 +71,19 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"))
   }
 
+  test("column-axis distances are ONE scan with map-side partial agg") {
+    val p = plan("dist_columns_axis")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p.linesIterator
+      .filter(_.contains("FileScan")).mkString("\n"))
+    assert(p.contains("partial_"))
+  }
+
+  test("kNN learner broadcasts the test side (train corpus never shuffles)") {
+    val p = plan("ml_knn_class")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("correlation distance matrix reads lineitem once") {
     val p = plan("dist_corr_matrix")
     // one ranked projection feeds all pairs: a single lineitem scan
