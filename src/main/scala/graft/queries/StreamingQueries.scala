@@ -165,6 +165,19 @@ object StreamingQueries {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    Q("stream_dedup_fingerprint", // streaming near-dup filter for a
+      // document feed: canonical content fingerprint (lowercased,
+      // whitespace-collapsed rolling hash) → dropDuplicates keyed state
+      // → unique-doc counts per language. Oracle = batch distinct count
+      // over the same fingerprint expression.
+      (s, d) => graft.streaming.StreamOps
+        .streamingFingerprintDedup(s, d, "stream_fp_dedup_sink")
+        .orderBy(col("lang")),
+      Some(s"""SELECT lang, COUNT(DISTINCT
+             |    ${SqlGen.sqlHash32("trim(regexp_replace(lower(text), ' +', ' ', 'g'))")}) AS n_unique_docs
+             |FROM documents GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
     Q("stream_stateful_user_stats", // mapGroupsWithState custom state:
       // per-user running count / exact total / max inter-event gap.
       // Oracle = batch SQL twin (stream-batch equivalence).

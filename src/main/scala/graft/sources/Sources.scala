@@ -63,6 +63,23 @@ object Sources {
     fromFile(spark, tmp.getAbsolutePath)
   }
 
+  /** Bucketed sink: write `df` hash-bucketed (and bucket-sorted) on
+    * `bucketCols` as catalog table `name` with data at `path`. Two
+    * tables bucketed the same way join WITHOUT any shuffle — both sides
+    * scan pre-partitioned buckets and sort-merge in place. This is the
+    * co-located-join strategy for 100 TB fact tables: pay one shuffle at
+    * WRITE time, never again per query (Spark has no Hive dependency
+    * here — bucket metadata lives in the in-memory/derby catalog;
+    * BucketingSpec asserts the no-Exchange plan). */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+                    bucketCols: Seq[String], buckets: Int): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path)
+    w.saveAsTable(name)
+  }
+
   /** SqlTable source (Orange/data/sql/table.py:27-95): the reference
     * materializes a DB table/query lazily; the Spark-native equivalent
     * is the JDBC source with predicate pushdown. `partitionColumn` /

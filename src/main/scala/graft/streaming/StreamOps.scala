@@ -146,6 +146,32 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming content-fingerprint deduplication — the streaming form of
+    * the training-data near-dup filter: fingerprint each arriving
+    * document (canonical rolling hash, a pure column expression), keep
+    * the first per (lang, fingerprint) via dropDuplicates keyed state,
+    * count survivors per language. Deterministic regardless of arrival
+    * order because the OUTPUT is the distinct (lang, fp) set, not the
+    * surviving doc ids. At scale the dedup state is RocksDB-backed and
+    * bounded by withWatermark + key expiry; the fixture drain keeps all
+    * state. */
+  def streamingFingerprintDedup(spark: SparkSession, sfDir: String,
+                                sinkName: String): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .select(col("lang"),
+        graft.text.TextOps.canonicalFingerprint(col("text")).as("fp"))
+      .dropDuplicates("lang", "fp")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique_docs"))
+    val q = stream.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** Arbitrary stateful aggregation via mapGroupsWithState (SURVEY §2.12,
     * KeyValueGroupedDataset custom state): per-user running event count,
     * value total, and max inter-event gap. State is one small record per
