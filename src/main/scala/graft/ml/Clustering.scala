@@ -237,6 +237,73 @@ object Clustering {
     * Cluster ids are min core point ids (stable, deterministic). The
     * 1-D specialization above is the oracle-checked twin; ClusteringSpec
     * asserts both produce the same partition on 1-D data. */
+  /** Exact silhouette samples (reference widgets/visualize/
+    * owsilhouetteplot.py → sklearn silhouette_samples): per point,
+    * a = mean distance to its own cluster's other members, b = the
+    * smallest mean distance to any other cluster, s = (b−a)/max(a,b);
+    * singleton clusters score 0 by convention.
+    *
+    * All-pairs by construction (the metric itself is O(n²)) — callers
+    * cap the input like the reference widget does (it draws ≤ a few
+    * thousand rows); [[silhouetteSimplified]] is the 100 TB path. The
+    * pair join groups straight into (point, other-cluster) means, so the
+    * shuffle payload is the grouped means, never the raw pair list.
+    * Deterministic: distances are per-pair doubles through the
+    * order-independent 12-decimal sum; SQRT is IEEE-exact in both
+    * engines. */
+  def silhouetteExact(df: DataFrame, id: String, cluster: String,
+                      features: Seq[String]): DataFrame = {
+    import graft.core.Tables.detSum
+    val pts = df.select(col(id).as("pid") +: col(cluster).as("pc") +:
+      features.map(f => col(f).as(s"a_$f")): _*)
+    val oth = df.select(col(id).as("oid") +: col(cluster).as("oc") +:
+      features.map(f => col(f).as(s"b_$f")): _*)
+    val dist = sqrt(features.map(f =>
+      (col(s"a_$f") - col(s"b_$f")) * (col(s"a_$f") - col(s"b_$f")))
+      .reduce(_ + _))
+    // mean distance from each point to each cluster; own-cluster mean
+    // divides by |C|−1 automatically because pid ≠ oid drops self
+    val means = pts.join(oth, col("pid") =!= col("oid"))
+      .groupBy(col("pid"), col("pc"), col("oc"))
+      .agg((detSum(dist) / count(lit(1))).as("md"))
+    means.groupBy(col("pid"), col("pc"))
+      .agg(max(when(col("oc") === col("pc"), col("md"))).as("a"),
+        min(when(col("oc") =!= col("pc"), col("md"))).as("b"))
+      .select(col("pid"), col("pc"),
+        round(when(col("a").isNull || col("b").isNull, 0.0)
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))),
+          6).as("s"))
+  }
+
+  /** Simplified (centroid-based) silhouette — the standard large-scale
+    * surrogate (Hruschka et al. 2004): a = distance to the point's own
+    * cluster centroid, b = min distance to any other centroid. One
+    * centroid aggregation + one broadcast join over k centroids: O(n·k),
+    * no pair table — this is the shape that survives 100 TB. */
+  def silhouetteSimplified(df: DataFrame, id: String, cluster: String,
+                           features: Seq[String]): DataFrame = {
+    import graft.core.Tables.{detSum, exactMean}
+    val centCols = features.map(f => exactMean(col(f)).as(s"c_$f"))
+    val cents = df.groupBy(col(cluster).as("cc"))
+      .agg(centCols.head, centCols.tail: _*)
+    val dist = sqrt(features.map(f =>
+      (col(f) - col(s"c_$f")) * (col(f) - col(s"c_$f"))).reduce(_ + _))
+    val ab = df
+      .select(col(id).as("pid") +: col(cluster).as("pc") +:
+        features.map(col): _*)
+      .crossJoin(broadcast(cents)) // k rows — a map-side nested loop
+      .withColumn("d", dist)
+      .groupBy(col("pid"), col("pc"))
+      .agg(max(when(col("cc") === col("pc"), col("d"))).as("a"),
+        min(when(col("cc") =!= col("pc"), col("d"))).as("b"))
+    ab.withColumn("s",
+      when(col("b").isNull || greatest(col("a"), col("b")) === 0.0, 0.0)
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .groupBy(col("pc"))
+      .agg(round(detSum(col("s")) / count(lit(1)), 6).as("mean_s"),
+        count(lit(1)).as("n"))
+  }
+
   def dbscanGrid(df: DataFrame, id: String, features: Seq[String],
                  eps: Double, minPts: Int): DataFrame = {
     val pts = df.select(col(id).as("pid") +:

@@ -1,0 +1,153 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+import graft.queries.SqlGen._
+
+/** Closed-form regularized linear regression (reference
+  * Orange/regression/linear.py:42 RidgeRegressionLearner, :53
+  * LassoRegressionLearner, :65 ElasticNetLearner — sklearn objectives).
+  *
+  * The reference delegates to sklearn's iterative solvers; for the small
+  * feature counts these learners are used with in Orange workflows the
+  * normal equations have exact closed forms, which is what we compute —
+  * so the fit is ONE or TWO distributed aggregations instead of an
+  * iterative descent, and the result is oracle-verifiable.
+  *
+  * Numerics: every sufficient statistic is computed CENTERED
+  * (Σ(x−x̄)(y−ȳ) with the means joined back, never Σxy − ΣxΣy/n), the
+  * same catastrophic-cancellation-safe shape the ANOVA scorer uses:
+  * centered product terms are O(spread²) and survive the 12-decimal
+  * deterministic-sum grid at any row count. Callers pre-scale features
+  * to ~[0,1] like the GD learners do.
+  *
+  * Scale shape: pass 1 = one map-side-combined agg (means), pass 2 = one
+  * agg over the mean-broadcast rows (centered moments). Weights come out
+  * as scalar expressions in the same plan — no driver round-trips, no
+  * iteration; this is the 100 TB shape (2 scans total, both reductions).
+  */
+object LinearClosed {
+
+  /** Ridge with two features: solve (XᶜᵀXᶜ + αI)w = Xᶜᵀyᶜ on centered
+    * data via Cramer's rule (intercept unpenalized, as sklearn does —
+    * centering achieves exactly that), b = ȳ − w·x̄. */
+  def ridge2(df: DataFrame, f1: (String, Column), f2: (String, Column),
+             y: Column, alpha: Double): DataFrame = {
+    val base = df.select(f1._2.as("x1"), f2._2.as("x2"), y.cast("double").as("yy"))
+    val means = base.agg(
+      (detSum(col("x1")) / count(lit(1))).as("m1"),
+      (detSum(col("x2")) / count(lit(1))).as("m2"),
+      (detSum(col("yy")) / count(lit(1))).as("my"))
+    val c = base.crossJoin(broadcast(means))
+    val d1 = col("x1") - col("m1"); val d2 = col("x2") - col("m2")
+    val dy = col("yy") - col("my")
+    val mom = c.agg(
+      detSum(d1 * d1).as("s11"), detSum(d2 * d2).as("s22"),
+      detSum(d1 * d2).as("s12"),
+      detSum(d1 * dy).as("s1y"), detSum(d2 * dy).as("s2y"),
+      max(col("m1")).as("m1"), max(col("m2")).as("m2"), max(col("my")).as("my"))
+    val a11 = col("s11") + alpha; val a22 = col("s22") + alpha
+    val det = a11 * a22 - col("s12") * col("s12")
+    val w1 = (col("s1y") * a22 - col("s2y") * col("s12")) / det
+    val w2 = (col("s2y") * a11 - col("s1y") * col("s12")) / det
+    mom.select(
+      round(w1, 8).as(s"w_${f1._1}"),
+      round(w2, 8).as(s"w_${f2._1}"),
+      round(col("my") - w1 * col("m1") - w2 * col("m2"), 8).as("intercept"))
+  }
+
+  /** DuckDB twin of [[ridge2]] — identical centered sums and Cramer
+    * arithmetic, so the doubles agree bit-for-bit after the final ROUND. */
+  def ridge2Sql(table: String, f1: (String, String), f2: (String, String),
+                ySql: String, alpha: Double): String = {
+    val (n1, e1) = f1; val (n2, e2) = f2
+    s"""WITH means AS (
+       |  SELECT ${sqlDetSum(e1)} / COUNT(*) AS m1,
+       |         ${sqlDetSum(e2)} / COUNT(*) AS m2,
+       |         ${sqlDetSum(ySql)} / COUNT(*) AS my
+       |  FROM $table),
+       |mom AS (
+       |  SELECT
+       |    ${sqlDetSum(s"(($e1) - m1) * (($e1) - m1)")} AS s11,
+       |    ${sqlDetSum(s"(($e2) - m2) * (($e2) - m2)")} AS s22,
+       |    ${sqlDetSum(s"(($e1) - m1) * (($e2) - m2)")} AS s12,
+       |    ${sqlDetSum(s"(($e1) - m1) * (($ySql) - my)")} AS s1y,
+       |    ${sqlDetSum(s"(($e2) - m2) * (($ySql) - my)")} AS s2y,
+       |    MAX(m1) AS m1, MAX(m2) AS m2, MAX(my) AS my
+       |  FROM $table CROSS JOIN means)
+       |SELECT
+       |  ROUND((s1y * (s22 + $alpha) - s2y * s12) /
+       |        ((s11 + $alpha) * (s22 + $alpha) - s12 * s12), 8) AS w_$n1,
+       |  ROUND((s2y * (s11 + $alpha) - s1y * s12) /
+       |        ((s11 + $alpha) * (s22 + $alpha) - s12 * s12), 8) AS w_$n2,
+       |  ROUND(my - ((s1y * (s22 + $alpha) - s2y * s12) /
+       |              ((s11 + $alpha) * (s22 + $alpha) - s12 * s12)) * m1
+       |           - ((s2y * (s11 + $alpha) - s1y * s12) /
+       |              ((s11 + $alpha) * (s22 + $alpha) - s12 * s12)) * m2,
+       |        8) AS intercept
+       |FROM mom""".stripMargin
+  }
+
+  /** Lasso + elastic net, single feature — the soft-threshold coordinate
+    * solution, which IS the converged sklearn solution for one feature:
+    *   lasso (objective 1/(2n)‖yᶜ−xᶜw‖² + α|w|):
+    *     w = soft(ρ/n, α) / (S/n)
+    *   enet (…+ α·l1r|w| + ½α(1−l1r)w²):
+    *     w = soft(ρ/n, α·l1r) / (S/n + α(1−l1r))
+    * with ρ = Σxᶜyᶜ, S = Σxᶜ², soft(z,t) = sign(z)·max(|z|−t, 0).
+    * Emits both fits in one row (shared sufficient statistics). */
+  def lassoEnet1(df: DataFrame, feat: (String, Column), y: Column,
+                 alphaLasso: Double, alphaEnet: Double,
+                 l1Ratio: Double): DataFrame = {
+    val base = df.select(feat._2.as("x"), y.cast("double").as("yy"))
+    val means = base.agg(
+      (detSum(col("x")) / count(lit(1))).as("mx"),
+      (detSum(col("yy")) / count(lit(1))).as("my"), count(lit(1)).as("n"))
+    val c = base.crossJoin(broadcast(means))
+    val dx = col("x") - col("mx"); val dy = col("yy") - col("my")
+    val mom = c.agg(
+      detSum(dx * dy).as("rho"), detSum(dx * dx).as("s"),
+      max(col("mx")).as("mx"), max(col("my")).as("my"), max(col("n")).as("n"))
+    def soft(z: Column, t: Double): Column =
+      signum(z) * greatest(abs(z) - t, lit(0.0))
+    val n = col("n").cast("double")
+    val wL = soft(col("rho") / n, alphaLasso) / (col("s") / n)
+    val wE = soft(col("rho") / n, alphaEnet * l1Ratio) /
+      (col("s") / n + alphaEnet * (1.0 - l1Ratio))
+    mom.select(
+      round(wL, 8).as("w_lasso"),
+      round(col("my") - wL * col("mx"), 8).as("b_lasso"),
+      round(wE, 8).as("w_enet"),
+      round(col("my") - wE * col("mx"), 8).as("b_enet"))
+  }
+
+  /** DuckDB twin of [[lassoEnet1]]. */
+  def lassoEnet1Sql(table: String, featSql: String, ySql: String,
+                    alphaLasso: Double, alphaEnet: Double,
+                    l1Ratio: Double): String = {
+    def soft(z: String, t: String) =
+      s"(CASE WHEN ($z) > 0 THEN 1.0 WHEN ($z) < 0 THEN -1.0 ELSE 0.0 END" +
+      s" * GREATEST(ABS($z) - ($t), 0.0))"
+    val tE = s"$alphaEnet * $l1Ratio"
+    val wL = soft("rho / n", alphaLasso.toString) + " / (s / n)"
+    val wE = soft("rho / n", tE) + s" / (s / n + $alphaEnet * (1.0 - $l1Ratio))"
+    s"""WITH means AS (
+       |  SELECT ${sqlDetSum(featSql)} / COUNT(*) AS mx,
+       |         ${sqlDetSum(ySql)} / COUNT(*) AS my,
+       |         CAST(COUNT(*) AS DOUBLE) AS n
+       |  FROM $table),
+       |mom AS (
+       |  SELECT
+       |    ${sqlDetSum(s"(($featSql) - mx) * (($ySql) - my)")} AS rho,
+       |    ${sqlDetSum(s"(($featSql) - mx) * (($featSql) - mx)")} AS s,
+       |    MAX(mx) AS mx, MAX(my) AS my, MAX(n) AS n
+       |  FROM $table CROSS JOIN means)
+       |SELECT
+       |  ROUND($wL, 8) AS w_lasso,
+       |  ROUND(my - ($wL) * mx, 8) AS b_lasso,
+       |  ROUND($wE, 8) AS w_enet,
+       |  ROUND(my - ($wE) * mx, 8) AS b_enet
+       |FROM mom""".stripMargin
+  }
+}

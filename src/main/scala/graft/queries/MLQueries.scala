@@ -877,6 +877,155 @@ object MLQueries {
              |    ROW_NUMBER() OVER (ORDER BY laplace DESC, feature ASC,
              |      value ASC) AS rank
              |  FROM rules)
-             |WHERE rank <= 5 ORDER BY rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY rank""".stripMargin)),
+
+    Q("ml_ridge_regression", // regression/linear.py:42 Ridge — the
+      // 2-feature normal equations have an exact Cramer closed form on
+      // centered sums, so the "iterative sklearn solver" collapses to
+      // TWO aggregation scans (means, then centered moments) and the
+      // fit is oracle-exact. Features pre-scaled like the GD learners;
+      // y is a known combination (0.7·qty + 0.2·disc + tax term), so
+      // the recovered weights visibly shrink from (0.7, 0.2) with α.
+      (s, d) => graft.ml.LinearClosed.ridge2(
+        li(s, d),
+        ("qty", col("l_quantity") / 50.0),
+        ("disc", col("l_discount") * 10.0),
+        col("l_quantity") / 50.0 * 0.7 + col("l_discount") * 10.0 * 0.2 +
+          col("l_tax") * 0.5, alpha = 1.0),
+      Some(graft.ml.LinearClosed.ridge2Sql(
+        "lineitem",
+        ("qty", "l_quantity / 50.0"),
+        ("disc", "l_discount * 10.0"),
+        "l_quantity / 50.0 * 0.7 + l_discount * 10.0 * 0.2 + l_tax * 0.5",
+        alpha = 1.0))),
+
+    Q("ml_lasso_elasticnet", // regression/linear.py:53 Lasso + :65
+      // ElasticNet — single-feature soft-threshold coordinate solution
+      // (the converged sklearn answer), same two-scan centered-moment
+      // shape as ml_ridge_regression; both fits share one plan.
+      (s, d) => graft.ml.LinearClosed.lassoEnet1(
+        li(s, d),
+        ("qty", col("l_quantity") / 50.0),
+        col("l_quantity") / 50.0 * 0.7 + col("l_tax") * 0.5,
+        alphaLasso = 0.001, alphaEnet = 0.001, l1Ratio = 0.5),
+      Some(graft.ml.LinearClosed.lassoEnet1Sql(
+        "lineitem", "l_quantity / 50.0",
+        "l_quantity / 50.0 * 0.7 + l_tax * 0.5",
+        alphaLasso = 0.001, alphaEnet = 0.001, l1Ratio = 0.5))),
+
+    Q("ml_adaboost_stumps", { // ensembles/ada_boost.py (sklearn SAMME;
+      // binary = AdaBoost.M1) over depth-1 stumps. Each round scores
+      // ALL candidate stumps in ONE map-side-combined aggregation via
+      // the w = exp(−y·F) identity (weights never materialized);
+      // 10-decimal error/alpha rounding pins the stump sequence to the
+      // CTE-unrolled DuckDB twin — an oracle-exact boosted ensemble.
+      val cands = graft.ml.AdaBoost.candidates(Seq(
+        "qty" -> Seq(10.0, 25.0, 40.0),
+        "disc" -> Seq(0.02, 0.05, 0.08)))
+      (s: SparkSession, d: String) => graft.ml.AdaBoost.fitStumps(
+        li(s, d),
+        Map("qty" -> col("l_quantity"), "disc" -> col("l_discount")),
+        when(col("l_extendedprice") > 30000, 1.0).otherwise(-1.0),
+        cands, rounds = 3)
+    },
+      Some(graft.ml.AdaBoost.fitStumpsSql(
+        "lineitem",
+        Map("qty" -> "l_quantity", "disc" -> "l_discount"),
+        "CASE WHEN l_extendedprice > 30000 THEN 1.0 ELSE -1.0 END",
+        graft.ml.AdaBoost.candidates(Seq(
+          "qty" -> Seq(10.0, 25.0, 40.0),
+          "disc" -> Seq(0.02, 0.05, 0.08))), rounds = 3))),
+
+    Q("ml_stacking", // ensembles/stack.py StackedLearner: out-of-fold
+      // Majority + NaiveBayes predictions feed a logistic-GD meta
+      // learner. Deterministic end-to-end (hash folds, aggregation
+      // bases, rounded GD) but the SQL twin would be NB-per-fold ×
+      // unrolled GD — rows-only, pinned by StackingSpec. The class is
+      // an OR of two bin-visible conditions (this synthetic data has no
+      // natural cross-column signal), so NB genuinely beats Majority
+      // and the meta weights visibly favor it (w_nb ≫ w_maj).
+      (s, d) => graft.ml.Stacking.fitCA(
+        li(s, d)
+          .withColumn("qty_bin",
+            floor(col("l_quantity") / 10).cast("int").cast("string"))
+          .withColumn("disc_bin",
+            floor(col("l_discount") * 100 / 3).cast("int").cast("string"))
+          .withColumn("cls",
+            when(col("l_quantity") > 25 || col("l_discount") > 0.05, "hi")
+              .otherwise("lo")),
+        nbFeatures = Seq("qty_bin", "disc_bin"),
+        target = "cls", posClass = "hi",
+        foldKey = col("l_orderkey"), k = 4), None),
+
+    Q("ml_silhouette", // widgets/visualize/owsilhouetteplot.py →
+      // sklearn silhouette_samples: exact all-pairs silhouette on a
+      // capped fixture (the reference widget draws ≤ a few thousand
+      // rows too); clusters = acctbal bands, so separation is real.
+      (s, d) => {
+        val pts = Tables.load(s, d, "customer")
+          .filter(col("c_custkey") <= 300)
+          .select(col("c_custkey").as("pid"),
+            floor(col("c_acctbal") / 4000).as("cluster"),
+            (col("c_acctbal") / 1000.0).as("x"))
+        graft.ml.Clustering.silhouetteExact(pts, "pid", "cluster", Seq("x"))
+          .withColumnRenamed("pc", "cluster")
+          .orderBy(col("pid"))
+      },
+      Some(s"""WITH pts AS (
+              |  SELECT c_custkey AS pid,
+              |         CAST(FLOOR(c_acctbal / 4000) AS BIGINT) AS pc,
+              |         c_acctbal / 1000.0 AS x
+              |  FROM customer WHERE c_custkey <= 300),
+              |means AS (
+              |  SELECT a.pid, a.pc, b.pc AS oc,
+              |    ${sqlDetSum("SQRT((a.x - b.x)*(a.x - b.x))")} / COUNT(*) AS md
+              |  FROM pts a JOIN pts b ON a.pid <> b.pid
+              |  GROUP BY a.pid, a.pc, b.pc),
+              |ab AS (
+              |  SELECT pid, pc AS cluster,
+              |    MAX(CASE WHEN oc = pc THEN md END) AS a,
+              |    MIN(CASE WHEN oc <> pc THEN md END) AS b
+              |  FROM means GROUP BY pid, pc)
+              |SELECT pid, cluster,
+              |  ROUND(CASE WHEN a IS NULL OR b IS NULL THEN 0.0
+              |        ELSE (b - a) / GREATEST(a, b) END, 6) AS s
+              |FROM ab ORDER BY pid""".stripMargin)),
+
+    Q("ml_silhouette_simplified", // centroid-based silhouette (Hruschka
+      // et al. 2004) — the O(n·k) surrogate that replaces the O(n²)
+      // pair table at scale: one centroid agg + one broadcast join over
+      // k centroids. Runs over the FULL customer table.
+      (s, d) => {
+        val pts = Tables.load(s, d, "customer")
+          .select(col("c_custkey").as("pid"),
+            floor(col("c_acctbal") / 4000).as("cluster"),
+            (col("c_acctbal") / 1000.0).as("x"))
+        graft.ml.Clustering.silhouetteSimplified(pts, "pid", "cluster",
+            Seq("x"))
+          .withColumnRenamed("pc", "cluster")
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH pts AS (
+              |  SELECT c_custkey AS pid,
+              |         CAST(FLOOR(c_acctbal / 4000) AS BIGINT) AS pc,
+              |         c_acctbal / 1000.0 AS x
+              |  FROM customer),
+              |cents AS (
+              |  SELECT pc AS cc, ${sqlMean("x")} AS c_x
+              |  FROM pts GROUP BY pc),
+              |ab AS (
+              |  SELECT pid, pc,
+              |    MAX(CASE WHEN cc = pc THEN SQRT((x - c_x)*(x - c_x)) END) AS a,
+              |    MIN(CASE WHEN cc <> pc THEN SQRT((x - c_x)*(x - c_x)) END) AS b
+              |  FROM pts CROSS JOIN cents GROUP BY pid, pc),
+              |sil AS (
+              |  SELECT pc,
+              |    CASE WHEN b IS NULL OR GREATEST(a, b) = 0.0 THEN 0.0
+              |         ELSE (b - a) / GREATEST(a, b) END AS s
+              |  FROM ab)
+              |SELECT pc AS cluster,
+              |  ROUND(${sqlDetSum("s")} / COUNT(*), 6) AS mean_s,
+              |  COUNT(*) AS n
+              |FROM sil GROUP BY pc ORDER BY cluster""".stripMargin))
   )
 }

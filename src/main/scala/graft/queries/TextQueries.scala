@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Tables._
@@ -328,6 +329,53 @@ object TextQueries {
              |  FROM m)
              |SELECT media_id, width, height,
              |  CAST(LEAST(len, GREATEST(1, (width * height) // 64)) AS BIGINT) AS out_bytes
-             |FROM s ORDER BY media_id""".stripMargin))
+             |FROM s ORDER BY media_id""".stripMargin)),
+
+    Q("text_tfidf_topk", // TF-IDF keyword extraction per document —
+      // the standard training-data-pipeline relevance signal (sklearn
+      // smooth-idf formula: idf = ln((1+N)/(1+df)) + 1). Scale shape:
+      // tf = one (doc,term) groupBy of the exploded tokens (map-side
+      // combined); df = one groupBy of the ALREADY-AGGREGATED tf table
+      // (so hot stopword terms cost counts, not row fan-out); the
+      // tf ⋈ df equi-join carries only aggregates. The idf is rounded
+      // to 12 decimals before the tf multiply so the ln() ulp never
+      // reaches the ranking.
+      (s, d) => {
+        val docsT = docs(s, d)
+        val n = docsT.agg(count(lit(1)).as("n"))
+        val tf = docsT
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term").asc)
+        tf.join(dfreq, "term").crossJoin(broadcast(n))
+          .withColumn("tfidf", round(col("tf").cast("double") *
+            round(log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) +
+              1.0, 12), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
+          .orderBy(col("doc_id"), col("term"))
+      },
+      Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+             |toks AS (SELECT doc_id,
+             |  unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+             |  FROM toks GROUP BY doc_id, term),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf,
+             |    ROUND(CAST(tf.tf AS DOUBLE) *
+             |      ROUND(LN((1.0 + n.n) / (1.0 + dfreq.df)) + 1.0, 12),
+             |      6) AS tfidf
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tf, tfidf FROM (
+             |  SELECT doc_id, term, tf, tfidf,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY tfidf DESC, term ASC) AS rn
+             |  FROM scored)
+             |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin))
   )
 }
