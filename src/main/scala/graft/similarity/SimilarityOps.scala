@@ -21,16 +21,18 @@ import graft.core.Tables._
   */
 object SimilarityOps {
 
-  /** Fixed-dimension dot product as a left-assoc chain (deterministic). */
+  /** Dot product over array<float> vectors — the native codegen'd
+    * Catalyst expression (graft.functions.VectorExprs.DotProductF),
+    * which accumulates in the same ascending left-to-right order as
+    * the explicit 64-term chains the DuckDB oracles spell out, so the
+    * doubles agree bit-for-bit. `dim` documents the fixture dimension
+    * (every stored vector is exactly dim long; the kernel loops the
+    * full array). */
   def dotFixed(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
+    graft.functions.VectorExprs.dotF(a, b)
 
   def norm2Fixed(a: Column, dim: Int): Column =
-    sqrt((1 to dim).map { i =>
-      val x = element_at(a, i).cast("double"); x * x
-    }.reduce(_ + _))
+    graft.functions.VectorExprs.norm2F(a)
 
   def cosineFixed(a: Column, b: Column, dim: Int): Column =
     dotFixed(a, b, dim) / (norm2Fixed(a, dim) * norm2Fixed(b, dim))
@@ -162,11 +164,15 @@ object SimilarityOps {
     def centDF = broadcast(centroids.toDF("list_id", "cent"))
     def assign(df: DataFrame, vcol: String, idcol: String,
                rank: Int): DataFrame = {
-      val dot = aggregate(zip_with(col(vcol).cast("array<double>"),
-        col("cent"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-      val nv = sqrt(aggregate(col(vcol).cast("array<double>"),
-        lit(0.0), (a, x) => a + x * x))
-      val nc = sqrt(aggregate(col("cent"), lit(0.0), (a, x) => a + x * x))
+      // native codegen'd kernels (VectorExprs) — same ascending
+      // accumulation order as the zip_with/aggregate lambdas they
+      // replace, so assignments are unchanged; the lambda-per-element
+      // frames are gone from the n×nlist hot loop
+      val dot = graft.functions.VectorExprs.dotD(
+        col(vcol).cast("array<double>"), col("cent"))
+      val nv = graft.functions.VectorExprs.norm2D(
+        col(vcol).cast("array<double>"))
+      val nc = graft.functions.VectorExprs.norm2D(col("cent"))
       val w = Window.partitionBy(col(idcol))
         .orderBy((dot / (nv * nc)).desc, col("list_id").asc)
       df.crossJoin(centDF)
