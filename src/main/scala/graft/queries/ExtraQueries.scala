@@ -65,6 +65,71 @@ object ExtraQueries {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }),
 
+    Q("purge_remove_sparse", // preprocess/preprocess.py:572 RemoveSparse:
+      // drop features whose zero-or-missing count exceeds a proportion
+      // threshold (filter0 semantics). ONE wide aggregation profiles
+      // every feature; the keep decision is pure arithmetic on it.
+      (s, d) => {
+        val cols = Seq("l_quantity", "l_discount", "l_tax")
+        val thr = 0.05 // proportion, reference default
+        val li = Tables.load(s, d, "lineitem")
+        val aggs = count(lit(1)).as("n_rows") +: cols.map { c =>
+          sum(when(col(c) === 0 || col(c).isNull, 1L).otherwise(0L))
+            .as(s"${c}_sparse")
+        }
+        val wide = li.agg(aggs.head, aggs.tail: _*)
+        cols.map { c =>
+          wide.select(lit(c).as("column_name"),
+            col(s"${c}_sparse").as("n_sparse"),
+            (col(s"${c}_sparse") <= col("n_rows") * thr).as("keep"))
+        }.reduce(_.union(_)).orderBy(col("column_name"))
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_discount", "l_tax")
+        cols.map { c =>
+          s"""SELECT '$c' AS column_name,
+             |CAST(SUM(CASE WHEN $c = 0 OR $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sparse,
+             |SUM(CASE WHEN $c = 0 OR $c IS NULL THEN 1 ELSE 0 END)
+             |  <= COUNT(*) * 0.05 AS keep
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }),
+
+    Q("select_random_features", // preprocess/fss.py:106
+      // SelectRandomFeatures: keep a seeded random k of the features.
+      // "Random" is the engine's portable md5 device (hashVal32 of
+      // feature name + seed), so the draw is reproducible on any
+      // cluster AND recomputable by the oracle — selection is a
+      // data-independent domain transform, exactly like the reference
+      // (it samples attribute NAMES, never scans rows).
+      (s, d) => {
+        import s.implicits._
+        val feats = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_linenumber")
+        val k = 2
+        val hv = Tables.hashVal32(concat(col("feature"), lit("_seed7")))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("hv").asc, col("feature").asc)
+        feats.toDF("feature")
+          .withColumn("hv", hv)
+          .withColumn("rank", row_number().over(w))
+          .withColumn("selected", col("rank") <= k)
+          .orderBy(col("feature"))
+      },
+      Some {
+        val feats = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_linenumber")
+        val values = feats.map(f => s"('$f')").mkString(", ")
+        s"""WITH f(feature) AS (VALUES $values),
+           |h AS (SELECT feature,
+           |  ${Tables.hashVal32Sql("feature || '_seed7'")} AS hv FROM f),
+           |r AS (SELECT feature, hv,
+           |  ROW_NUMBER() OVER (ORDER BY hv ASC, feature ASC) AS rank
+           |  FROM h)
+           |SELECT feature, hv, rank, rank <= 2 AS selected
+           |FROM r ORDER BY feature""".stripMargin
+      }),
+
     Q("randomize_shuffle", // owrandomize.py: permute a column independently
       // of the rest — deterministic permutation via two row_number orders.
       (s, d) => {

@@ -196,6 +196,28 @@ object StreamingQueries {
              |SELECT user_id, COUNT(*) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
              |  COALESCE(MAX(gap), 0) AS max_gap_s
-             |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("stream_stream_join", // watermarked stream-stream interval join:
+      // views ⋈ same-user purchases within 1 hour AFTER the view —
+      // the funnel/attribution shape. Event-time range condition bounds
+      // both sides' join state; the per-user rollup happens on the
+      // materialized append output. Oracle = the equivalent batch join.
+      (s, d) => graft.streaming.StreamOps
+        .viewPurchaseJoin(s, d, gapSec = 3600, "stream_ss_join_sink")
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("view_id")).as("n_views_converted"),
+          exactSum(col("value")).as("attributed_value"))
+        .orderBy(col("user_id")),
+      Some("""SELECT v.user_id AS user_id, COUNT(*) AS n_pairs,
+             |  COUNT(DISTINCT v.event_id) AS n_views_converted,
+             |  CAST(SUM(CAST(p.value AS DECIMAL(38,6))) AS DOUBLE)
+             |    AS attributed_value
+             |FROM events v JOIN events p
+             |  ON p.user_id = v.user_id
+             |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+             |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 3600 SECONDS
+             |GROUP BY v.user_id ORDER BY user_id""".stripMargin))
   )
 }

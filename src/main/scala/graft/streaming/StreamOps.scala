@@ -220,4 +220,38 @@ object StreamOps {
     try q.processAllAvailable() finally q.stop()
     spark.table(sinkName)
   }
+
+  /** Stream-stream interval join (the remaining core Structured
+    * Streaming operator beside windows/state/dedup): views joined to
+    * the same user's purchases that land within `gapSec` seconds AFTER
+    * the view. Both sides carry watermarks and the join condition is an
+    * event-time range, so each side's buffered state is evicted once
+    * the other side's watermark passes — bounded state at any scale,
+    * the canonical funnel/attribution shape. Append output; the caller
+    * aggregates the materialized result (batch-side) to keep the
+    * streaming plan single-stateful-operator. */
+  def viewPurchaseJoin(spark: SparkSession, sfDir: String, gapSec: Int,
+                       sinkName: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("tsm").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tsm").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $gapSec SECONDS"))
+    val q = joined.writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
 }
