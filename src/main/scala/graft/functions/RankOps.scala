@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed fractional (average) ranking — the rank kernel behind
+  * Spearman correlation/distance (reference Orange/distance/distance.py:586-714
+  * `_spearmanr2`, which ranks via scipy.stats.rankdata "average").
+  *
+  * A naive `rank().over(Window.orderBy(c))` funnels the WHOLE table through
+  * one task — the canonical single-partition scale killer. This helper is the
+  * 100 TB shape: rank the *distinct values* with a two-pass prefix-sum over a
+  * range-partitioned frequency table, then map ranks back with an equi-join.
+  *
+  *  1. `groupBy(value)` → (value, cnt): one keyed shuffle, map-side combined;
+  *     output is ≤ #distinct rows (≪ rows for categorical-ish columns, ≈ rows
+  *     worst case — still fully parallel).
+  *  2. `repartitionByRange(value)` the frequency table; per-partition totals
+  *     roll into global offsets via a window over #partitions rows (tiny);
+  *     within-partition prefix sums run as a parallel window keyed by the
+  *     range-partition id. No stage ever holds more than 1/parts of the data.
+  *  3. Join (value → avg_rank) back on the value column — broadcast when the
+  *     distinct count is small, shuffle hash otherwise (AQE decides).
+  *
+  * avg_rank(v) = #rows_before(v) + (cnt(v) + 1) / 2 — identical to
+  * `RANK() + (COUNT() OVER (PARTITION BY v) − 1)/2`, so results are
+  * bit-identical to the window formulation the DuckDB oracles use.
+  * NULL values get no rank (dropped by the equi-join), matching the
+  * reference's masked-NaN handling.
+  */
+object RankOps {
+
+  /** (value → average rank) map for column `c` of `df`; output columns are
+    * (`c`, `rankOut`). `parts` bounds the per-task slice of the distinct-value
+    * table. */
+  def avgRankTable(df: DataFrame, c: String, rankOut: String,
+                   parts: Int = 32): DataFrame = {
+    val counts = df.select(col(c).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+    // Checkpoint AFTER stamping partition ids: both consumers below (offsets
+    // and prefix sums) must see the SAME range boundaries.
+    val ranged = counts.repartitionByRange(parts, col("__v").asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__cnt")).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(localW), lit(0L)))
+      .join(broadcast(offsets), "__pid")
+      .select(col("__v").as(c),
+        (col("__off") + col("__before") + (col("__cnt") + lit(1L)) / 2.0)
+          .as(rankOut))
+  }
+
+  /** Append an average-rank column `r_<c>` per column in `cols` (each joined
+    * from its own value→rank map). */
+  def withAvgRanks(df: DataFrame, cols: Seq[String],
+                   parts: Int = 32): DataFrame =
+    cols.foldLeft(df) { (acc, c) =>
+      acc.join(avgRankTable(df, c, s"r_$c", parts), Seq(c))
+    }
+}

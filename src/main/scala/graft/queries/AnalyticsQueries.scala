@@ -67,13 +67,14 @@ object AnalyticsQueries {
         terms
       }),
 
-    Q("spearman_rank_corr", // §2.9 Spearman: average ranks + exact Pearson
+    Q("spearman_rank_corr", // §2.9 Spearman: average ranks + exact Pearson.
+      // Ranks come from RankOps' distributed two-pass prefix-sum (no
+      // single-partition rank() window anywhere in the plan).
       (s, d) => {
-        val rx = rank().over(Window.orderBy(col("l_quantity"))) +
-          (count(lit(1)).over(Window.partitionBy(col("l_quantity"))) - 1) / 2.0
-        val ry = rank().over(Window.orderBy(col("l_extendedprice"))) +
-          (count(lit(1)).over(Window.partitionBy(col("l_extendedprice"))) - 1) / 2.0
-        li(s, d).select(rx.as("rx"), ry.as("ry"))
+        val cols2 = Seq("l_quantity", "l_extendedprice")
+        val base = li(s, d).select(cols2.map(c => col(c).cast("double").as(c)): _*)
+        graft.functions.RankOps.withAvgRanks(base, cols2)
+          .select(col("r_l_quantity").as("rx"), col("r_l_extendedprice").as("ry"))
           .agg(round(exactCorr(col("rx"), col("ry")), 6).as("spearman"))
       },
       Some(s"""SELECT ROUND(${sqlCorr("rx", "ry")}, 6) AS spearman FROM (
@@ -268,16 +269,17 @@ object AnalyticsQueries {
     Q("dist_corr_matrix", { // §2.9 Pearson/PearsonAbsolute/Spearman/
       // SpearmanAbsolute column distances (distance.py:586-786):
       // dist = (1−r)/2, absolute variant 1−|r|, Spearman on average
-      // ranks. ONE pass: a single aggregate computes all six
-      // correlations over the ranked projection; the per-pair rows are
-      // then tiny selects from that one-row result.
+      // ranks. ONE aggregate computes all six correlations over the
+      // ranked projection; the per-pair rows are then tiny selects from
+      // that one-row result. Ranks come from RankOps' distributed
+      // two-pass prefix-sum — the previous per-column global rank()
+      // windows each funneled the whole table through one task.
       val colsU = Seq("l_quantity", "l_extendedprice", "l_discount")
       (s: SparkSession, d: String) => {
-        val ranked = li(s, d).select(colsU.flatMap(c => Seq(
-          col(c).cast("double").as(s"v_$c"),
-          (rank().over(Window.orderBy(col(c))) +
-            (count(lit(1)).over(Window.partitionBy(col(c))) - 1) / 2.0)
-            .as(s"r_$c"))): _*)
+        val base = li(s, d).select(colsU.map(c => col(c).cast("double").as(c)): _*)
+        val ranked = graft.functions.RankOps.withAvgRanks(base, colsU)
+          .select(colsU.flatMap(c => Seq(
+            col(c).as(s"v_$c"), col(s"r_$c"))): _*)
         val pairs = for { i <- colsU.indices; j <- colsU.indices if i < j }
           yield (colsU(i), colsU(j))
         val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) => Seq(

@@ -84,10 +84,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("correlation distance matrix reads lineitem once") {
+  test("correlation distance matrix: one fact scan + no global rank window") {
     val p = plan("dist_corr_matrix")
-    // one ranked projection feeds all pairs: a single lineitem scan
+    // the joined stream reads lineitem once; per-column rank maps enter as
+    // pre-materialized (checkpointed) value→rank tables, each built from a
+    // single-column pruned scan — never via a global rank() window that
+    // would funnel the table through one task
     assert("FileScan parquet".r.findAllIn(p).length == 1, p.linesIterator
       .filter(_.contains("FileScan")).mkString("\n"))
+    assert(!p.contains("Window [rank("), "global rank window crept back in")
   }
 }
