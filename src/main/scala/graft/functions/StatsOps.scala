@@ -95,9 +95,14 @@ object StatsOps {
     * H(feature)=0 falls back to 1 as in the reference). One row:
     * (gain_ratio, info_gain, h_attr). Same contingency shuffle shape as
     * [[infoGain]]; all sums via detSum for oracle bit-stability. */
-  def gainRatio(df: DataFrame, feature: String, target: String): DataFrame = {
-    val cont = df.groupBy(col(feature).as("f"), col(target).as("c"))
-      .agg(count(lit(1)).as("n"))
+  def gainRatio(df: DataFrame, feature: String, target: String): DataFrame =
+    gainRatioFromCont(df.groupBy(col(feature).as("f"), col(target).as("c"))
+      .agg(count(lit(1)).as("n")))
+
+  /** gainRatio over a pre-computed (f, c, n) contingency — lets callers
+    * scoring MANY features share one grouping-sets scan instead of one
+    * contingency shuffle per feature (see multiFeatureContingency). */
+  def gainRatioFromCont(cont: DataFrame): DataFrame = {
     val tot  = cont.agg(sum("n").as("total"))
     val byF  = cont.groupBy(col("f")).agg(sum("n").as("nf"))
     val byC  = cont.groupBy(col("c")).agg(sum("n").as("nc"))
@@ -118,12 +123,40 @@ object StatsOps {
       round(col("h_attr"), 6).as("h_attr"))
   }
 
+  /** Every per-feature (feature-value, class) contingency in ONE scan and
+    * ONE shuffle via GROUPING SETS — the wide-scoring shape (owrank.py
+    * scores every feature of the domain; a separate contingency per
+    * feature would re-scan the fact table |features| times). The shared
+    * result is ≤ Σ_f |values(f)|·|classes| rows, checkpointed once; the
+    * returned per-feature slices are cheap filters on it, keyed by
+    * grouping_id so genuine NULL feature values can't collide with the
+    * grouping-set placeholder NULLs. */
+  def multiFeatureContingency(df: DataFrame, feats: Seq[String],
+                              target: String): Map[String, DataFrame] = {
+    val gcols = feats.map(col) :+ col(target)
+    val sets  = feats.map(f => Seq(col(f), col(target)))
+    val cont = df.groupingSets(sets, gcols: _*)
+      .agg(count(lit(1)).as("n"), grouping_id().as("__gid"))
+      .localCheckpoint(eager = true)
+    val k = feats.size
+    val all = (1 << (k + 1)) - 1 // every column excluded
+    feats.zipWithIndex.map { case (f, i) =>
+      // bit weight of column j in grouping_id is 2^(k−j), target is bit 0
+      val gid = all - (1 << (k - i)) - 1
+      f -> cont.filter(col("__gid") === gid)
+        .select(col(f).as("f"), col(target).as("c"), col("n"))
+    }.toMap
+  }
+
   /** Gini gain = Gini(class) − Σ_f p(f)·Gini(class|f) (score.py:328-337,
     * `_gini` at score.py:245-250). One row:
     * (gini_gain, gini_class, gini_cond). */
-  def giniGain(df: DataFrame, feature: String, target: String): DataFrame = {
-    val cont = df.groupBy(col(feature).as("f"), col(target).as("c"))
-      .agg(count(lit(1)).as("n"))
+  def giniGain(df: DataFrame, feature: String, target: String): DataFrame =
+    giniGainFromCont(df.groupBy(col(feature).as("f"), col(target).as("c"))
+      .agg(count(lit(1)).as("n")))
+
+  /** giniGain over a pre-computed (f, c, n) contingency (see gainRatioFromCont). */
+  def giniGainFromCont(cont: DataFrame): DataFrame = {
     val tot  = cont.agg(sum("n").as("total"))
     val byF  = cont.groupBy(col("f")).agg(sum("n").as("nf"))
     val byC  = cont.groupBy(col("c")).agg(sum("n").as("nc"))

@@ -177,10 +177,14 @@ object ExtraQueries {
           .withColumn("qty_bin", floor(col("l_quantity") / 10).cast("int").cast("string"))
           .withColumn("disc_bin", floor(col("l_discount") * 50).cast("int").cast("string"))
         val feats = Seq("l_returnflag", "qty_bin", "disc_bin")
+        // ONE grouping-sets scan builds all three contingencies; the
+        // entropy/gini algebra then runs over tiny checkpointed slices
+        val conts = graft.functions.StatsOps
+          .multiFeatureContingency(base, feats, "l_linestatus")
         val scores = feats.map { f =>
-          val gr = graft.functions.StatsOps.gainRatio(base, f, "l_linestatus")
+          val gr = graft.functions.StatsOps.gainRatioFromCont(conts(f))
             .select(col("info_gain"), col("gain_ratio"))
-          val gi = graft.functions.StatsOps.giniGain(base, f, "l_linestatus")
+          val gi = graft.functions.StatsOps.giniGainFromCont(conts(f))
             .select(col("gini_gain"))
           gr.crossJoin(gi).select(lit(f).as("feature"), col("info_gain"),
             col("gain_ratio"), col("gini_gain"))
