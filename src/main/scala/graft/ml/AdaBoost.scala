@@ -53,17 +53,56 @@ object AdaBoost {
       lit(c.pol.toDouble) *
         when(col(s"x_${c.feat}") <= c.thr, 1.0).otherwise(-1.0)
 
-    var picked = Vector.empty[(Int, Double, Double)] // (candIdx, alpha, err)
-    def fExpr: Column = picked.foldLeft(lit(0.0)) {
-      case (acc, (k, a, _)) => acc + lit(a) * h(cands(k))
+    // The picked stumps enter every round as a BROADCAST ROW
+    // (k_j candidate index + a_j alpha per round slot, −1/0.0 for rounds
+    // not yet played) instead of folded literals, so all R rounds and
+    // the final accuracy pass reuse ONE physical plan — the same device
+    // as SGD.linearGD; literal alphas forced a whole-stage-codegen
+    // recompile per round. a_j = 0 terms add exactly 0.0, so F (and the
+    // selection trajectory the oracle replays) is bit-identical to the
+    // folded form.
+    val stSchema = StructType((1 to rounds).flatMap(j => Seq(
+      StructField(s"k_$j", IntegerType, nullable = false),
+      StructField(s"a_$j", DoubleType, nullable = false))))
+    def stDF(picked: Vector[(Int, Double, Double)]) = {
+      val padded = picked.map(p => (p._1, p._2)) ++
+        Vector.fill(rounds - picked.size)((-1, 0.0))
+      spark.createDataFrame(java.util.Arrays.asList(
+        Row.fromSeq(padded.flatMap(p => Seq[Any](p._1, p._2)))), stSchema)
     }
+    // h of the round-j selection, dispatched on the broadcast k_j
+    def hSel(j: Int): Column = cands.zipWithIndex
+      .foldLeft(when(lit(false), 0.0)) { case (acc, (c, k)) =>
+        acc.when(col(s"k_$j") === k, h(c)) }.otherwise(lit(0.0))
+    def fExpr: Column = (1 to rounds).foldLeft(lit(0.0)) {
+      case (acc, j) => acc + col(s"a_$j") * hSel(j)
+    }
+
+    var picked = Vector.empty[(Int, Double, Double)] // (candIdx, alpha, err)
+    def staged = base.crossJoin(broadcast(stDF(picked)))
+    val nRows = base.count()
     for (_ <- 1 to rounds) {
+      // Scaled-long gradient sums when provably in envelope (same device
+      // as SGD.linearGD — DECIMAL(38) accumulation measured ~0.4 s per
+      // sum per 600k rows, and every round aggregates 2K+1 sums): each
+      // term is bounded by the weight bound B = exp(Σ|alpha|), so
+      // round(t·10¹²) stays an exact double while n·B ≤ 8·10⁶ keeps the
+      // long accumulator far from overflow. B is rounded to 6 decimals
+      // so both engines' libm exp() agree on the branch; outside the
+      // envelope, fall back to the order-independent DECIMAL sum.
+      val sumAbs = picked.foldLeft(0.0)((s, p) => s + math.abs(p._2))
+      val bnd = math.rint(math.exp(sumAbs) * 1e6) / 1e6
+      val scaledSafe = nRows >= 1 && nRows * bnd <= 8e6 && bnd <= 8000
+      def gSum(c: Column): Column =
+        if (scaledSafe)
+          (sum(round(c * 1e12, 0).cast("long")) / lit(1e12)).cast("double")
+        else detSum(c)
       val w = exp(-col("y") * fExpr)
-      val aggs = detSum(w).as("wsum") +: cands.zipWithIndex.map {
+      val aggs = gSum(w).as("wsum") +: cands.zipWithIndex.map {
         case (c, k) =>
-          detSum(w * (lit(1.0) - col("y") * h(c)) / 2.0).as(s"e_$k")
+          gSum(w * (lit(1.0) - col("y") * h(c)) / 2.0).as(s"e_$k")
       }
-      val row = base.agg(aggs.head, aggs.tail: _*).head()
+      val row = staged.agg(aggs.head, aggs.tail: _*).head()
       val wsum = row.getDouble(0)
       val errs = cands.indices.map(k =>
         k -> math.rint(row.getDouble(k + 1) / wsum * 1e10) / 1e10)
@@ -73,7 +112,7 @@ object AdaBoost {
       picked :+= ((bestK, alpha, err))
     }
     val pred = when(fExpr > 0, 1.0).otherwise(-1.0)
-    val acc = base.agg((sum(when(pred === col("y"), 1L).otherwise(0L)) /
+    val acc = staged.agg((sum(when(pred === col("y"), 1L).otherwise(0L)) /
       count(lit(1))).as("acc")).head().getDouble(0)
     base.unpersist()
 
@@ -112,19 +151,37 @@ object AdaBoost {
     def selJoins(upto: Int): String =
       (1 to upto).map(j => s" CROSS JOIN sel_$j").mkString
 
+    // twin of the Spark side's per-round envelope: same weight bound
+    // B = ROUND(EXP(Σ|alpha|), 6) (6-decimal rounding makes both
+    // engines' libm exp() agree on the branch), same n·B ≤ 8e6 test —
+    // scaled-long sums inside, DECIMAL(38,14) outside
+    def envSql(r: Int): String = {
+      // sel_j are 1-row CTEs; MIN() keeps the aggregate context valid
+      val sumAbs = if (r <= 1) "0.0"
+        else (1 until r).map(j => s"ABS(MIN(sel_$j.alpha))").mkString(" + ")
+      s"env_$r AS MATERIALIZED (SELECT COUNT(*) >= 1 AND " +
+        s"COUNT(*) * ROUND(EXP($sumAbs), 6) <= 8000000 AND " +
+        s"ROUND(EXP($sumAbs), 6) <= 8000 AS safe " +
+        s"FROM $table${selJoins(r - 1)})"
+    }
+    def gSumSql(t: String, r: Int): String = {
+      val fast =
+        s"(CAST(SUM(CAST(ROUND(($t) * 1e12, 0) AS BIGINT)) AS BIGINT) / 1e12)"
+      s"(CASE WHEN (SELECT safe FROM env_$r) THEN $fast ELSE ${sqlDetSum(t)} END)"
+    }
     val roundCtes = (1 to rounds).map { r =>
       val w = s"EXP(-($ySql) * (${fSql(r - 1)}))"
       val errCols = cands.zipWithIndex.map { case (c, k) =>
-        s"${sqlDetSum(s"$w * (1.0 - ($ySql) * ${hSql(c)}) / 2.0")} AS e_$k"
+        s"${gSumSql(s"$w * (1.0 - ($ySql) * ${hSql(c)}) / 2.0", r)} AS e_$k"
       }
       val errs =
-        s"errs_$r AS (SELECT ${sqlDetSum(w)} AS wsum, " +
+        s"${envSql(r)},\nerrs_$r AS MATERIALIZED (SELECT ${gSumSql(w, r)} AS wsum, " +
           s"${errCols.mkString(", ")} FROM $table${selJoins(r - 1)})"
       val unp = cands.indices.map(k =>
         s"SELECT $k AS k, ROUND(e_$k / wsum, 10) AS err FROM errs_$r")
-        .mkString("unp_" + r + " AS (", " UNION ALL ", ")")
+        .mkString("unp_" + r + " AS MATERIALIZED (", " UNION ALL ", ")")
       val sel =
-        s"""sel_$r AS (
+        s"""sel_$r AS MATERIALIZED (
            |  SELECT k, err,
            |    ROUND(0.5 * LN((1.0 - LEAST(GREATEST(err, 1e-10), 1.0 - 1e-10))
            |      / LEAST(GREATEST(err, 1e-10), 1.0 - 1e-10)), 10) AS alpha
@@ -134,7 +191,7 @@ object AdaBoost {
       s"$errs,\n$unp,\n$sel"
     }
     val accCte =
-      s"""acc AS (
+      s"""acc AS MATERIALIZED (
          |  SELECT ROUND(SUM(CASE WHEN (CASE WHEN (${fSql(rounds)}) > 0
          |    THEN 1.0 ELSE -1.0 END) = ($ySql) THEN 1 ELSE 0 END) * 1.0
          |    / COUNT(*), 6) AS acc
