@@ -198,6 +198,19 @@ object StreamingQueries {
              |  COALESCE(MAX(gap), 0) AS max_gap_s
              |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    Q("stream_static_enrich", // stream-static broadcast enrichment join
+      // (events ⋈ customer segment) feeding a tumbling-window agg —
+      // zero shuffle on the join, no join state. Oracle = batch twin.
+      (s, d) => graft.streaming.StreamOps
+        .staticEnrichedWindowAgg(s, d, "6 hours", "stream_enrich_sink")
+        .orderBy(col("bucket_start"), col("segment")),
+      Some(s"""SELECT CAST(FLOOR(FLOOR(epoch(e.ts)) / 21600) * 21600 AS BIGINT) AS bucket_start,
+              |  COALESCE(c.c_mktsegment, 'unknown') AS segment,
+              |  COUNT(*) AS n, ${sqlSum("e.value")} AS total_value
+              |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+              |GROUP BY 1, 2
+              |ORDER BY bucket_start, segment""".stripMargin)),
+
     Q("stream_stream_join", // watermarked stream-stream interval join:
       // views ⋈ same-user purchases within 1 hour AFTER the view —
       // the funnel/attribution shape. Event-time range condition bounds

@@ -221,6 +221,38 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Stream-static enrichment join: the events stream joined to a STATIC
+    * dimension (customer segments) before a windowed aggregation — the
+    * canonical streaming-enrichment shape. The static side is broadcast,
+    * so enrichment adds ZERO shuffle and no join state (unlike
+    * stream-stream joins, a static side needs no watermark/eviction);
+    * at scale the same plan re-broadcasts the dim per trigger while the
+    * stream side only shuffles once, into the windowed aggregation. */
+  def staticEnrichedWindowAgg(spark: SparkSession, sfDir: String,
+                              windowDur: String,
+                              sinkName: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = stream.join(broadcast(dim),
+      col("user_id") === col("c_custkey"), "left")
+    val agg = joined
+      .groupBy(window(col("ts"), windowDur),
+        coalesce(col("c_mktsegment"), lit("unknown")).as("segment"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("segment"), col("n"), col("total_value"))
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** Stream-stream interval join (the remaining core Structured
     * Streaming operator beside windows/state/dedup): views joined to
     * the same user's purchases that land within `gapSec` seconds AFTER
