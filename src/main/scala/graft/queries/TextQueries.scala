@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -148,6 +148,55 @@ object TextQueries {
               |JOIN sizes s2 ON s2.doc_id = id2
               |WHERE n_inter >= 2
               |ORDER BY id1, id2""".stripMargin)),
+
+    Q("text_repetition", // Gopher/C4-style repetition quality signals
+      // (Rae et al. 2021 "Scaling Language Models" §A1.1; Raffel et al.
+      // 2020 C4): top-2/3-gram mass fraction + duplicate-5-gram
+      // fraction per document. Pure per-row array expressions — ZERO
+      // shuffle at any corpus size; token/gram arrays are projected
+      // into real columns first (HOFs run interpreted, see
+      // TextOps.shinglesFromTokens).
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"),
+          TextOps.tokens(col("text")).as("ts"))
+        val withG = base.select(col("doc_id"),
+          TextOps.shinglesFromTokens(col("ts"), 2).as("g2"),
+          TextOps.shinglesFromTokens(col("ts"), 3).as("g3"),
+          TextOps.shinglesFromTokens(col("ts"), 5).as("g5"))
+        def topFrac(g: Column): Column = when(size(g) > 0,
+          array_max(transform(array_distinct(g),
+            d2 => size(filter(g, x => x === d2)))).cast("double") / size(g))
+          .otherwise(0.0)
+        def dupFrac(g: Column): Column = when(size(g) > 0,
+          (size(g) - size(array_distinct(g))).cast("double") / size(g))
+          .otherwise(0.0)
+        withG.select(col("doc_id"),
+            topFrac(col("g2")).as("top2_frac"),
+            topFrac(col("g3")).as("top3_frac"),
+            dupFrac(col("g5")).as("dup5_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def gramsSql(n: Int): String = {
+          val parts = (0 until n).map(k =>
+            if (k == 0) "ts[i]" else s"ts[i+$k]").mkString(" || ' ' || ")
+          val hi = if (n == 2) "len(ts)" else s"len(ts) - ${n - 2}"
+          s"CASE WHEN len(ts) >= $n THEN list_transform(range(1, $hi), i -> $parts) " +
+            "ELSE CAST([] AS VARCHAR[]) END"
+        }
+        def topFracSql(g: String): String =
+          s"CASE WHEN len($g) > 0 THEN CAST(list_max(list_transform(list_distinct($g), " +
+            s"d -> len(list_filter($g, x -> x = d)))) AS DOUBLE) / len($g) ELSE 0.0 END"
+        def dupFracSql(g: String): String =
+          s"CASE WHEN len($g) > 0 THEN CAST(len($g) - len(list_distinct($g)) AS DOUBLE) " +
+            s"/ len($g) ELSE 0.0 END"
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           |g AS (SELECT doc_id, ${gramsSql(2)} AS g2, ${gramsSql(3)} AS g3,
+           |  ${gramsSql(5)} AS g5 FROM t)
+           |SELECT doc_id, ${topFracSql("g2")} AS top2_frac,
+           |  ${topFracSql("g3")} AS top3_frac, ${dupFracSql("g5")} AS dup5_frac
+           |FROM g ORDER BY doc_id""".stripMargin
+      }),
 
     Q("text_normalize", // corpus normalization (lowercase, control→space,
       // whitespace collapse) — the standard pre-dedup cleanup pass;
