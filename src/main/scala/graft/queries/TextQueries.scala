@@ -149,6 +149,29 @@ object TextQueries {
               |WHERE n_inter >= 2
               |ORDER BY id1, id2""".stripMargin)),
 
+    Q("decontaminate_ngram", // benchmark-overlap decontamination (the
+      // GPT-3 appendix-C shape): corpus docs sharing any 5-gram with a
+      // deterministic pseudo-eval set (doc_id % 10 = 0) are flagged.
+      // Benchmark shingles broadcast; the corpus never shuffles on text.
+      (s, d) => {
+        val all0 = docs(s, d)
+        val bench = all0.filter(col("doc_id") % 10 === 0)
+        val corpus = all0.filter(col("doc_id") % 10 =!= 0)
+        DedupOps.contamination(corpus, bench, "doc_id", "text", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, len(ts) - 3),
+             |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+             |           ts[i+3] || ' ' || ts[i+4])) AS shingle
+             |  FROM t WHERE len(ts) >= 5),
+             |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+             |corpus AS (SELECT * FROM sh WHERE doc_id % 10 <> 0)
+             |SELECT doc_id, COUNT(*) AS n_hits, MIN(shingle) AS first_hit
+             |FROM corpus JOIN bench USING (shingle)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("text_repetition", // Gopher/C4-style repetition quality signals
       // (Rae et al. 2021 "Scaling Language Models" §A1.1; Raffel et al.
       // 2020 C4): top-2/3-gram mass fraction + duplicate-5-gram

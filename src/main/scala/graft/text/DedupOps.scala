@@ -42,6 +42,24 @@ object DedupOps {
         explode(TextOps.shinglesFromTokens(col("__ts"), n)).as("shingle"))
       .distinct()
 
+  /** Decontamination scan (the GPT-3 appendix-C / training-pipeline
+    * shape): flag corpus documents sharing any token n-gram with a
+    * benchmark/eval document set. The benchmark side is SMALL by
+    * construction (eval sets are thousands of docs, the corpus is
+    * billions), so its distinct shingle set BROADCASTS and the corpus
+    * shingles are probed with a broadcast hash join — the corpus never
+    * shuffles on text at any size; only the per-doc hit counts shuffle,
+    * keyed by id. Returns (id, n_hits, first_hit) per contaminated doc. */
+  def contamination(corpus: DataFrame, bench: DataFrame, id: String,
+                    text: String, n: Int): DataFrame = {
+    val corpusSh = shingleTable(corpus, id, text, n)
+    val benchSh = shingleTable(bench, id, text, n)
+      .select(col("shingle")).distinct()
+    corpusSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"), min(col("shingle")).as("first_hit"))
+  }
+
   /** N-gram Jaccard similarity for all pairs sharing ≥1 shingle;
     * keeps pairs with similarity ≥ threshold. Pure integer counting
     * until the final division → deterministic.

@@ -84,6 +84,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("decontamination probes benchmark shingles via broadcast (corpus never shuffles on text)") {
+    val p = plan("decontaminate_ngram")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("correlation distance matrix: one fact scan + no global rank window") {
     val p = plan("dist_corr_matrix")
     // the joined stream reads lineitem once; per-column rank maps enter as
