@@ -149,6 +149,53 @@ object TextQueries {
               |WHERE n_inter >= 2
               |ORDER BY id1, id2""".stripMargin)),
 
+    Q("mix_sampling_plan", // dataset-mixture sampling: given target
+      // per-source weights and a global token budget (40% of corpus,
+      // n_chars as the token proxy; src0-4 upweighted 3×), compute each
+      // source's keep-rate rate_s = min(1, T·w_s/(Σw·tok_s)) and take
+      // the deterministic md5-hash sample. Plan shape: ONE profiling
+      // aggregate (tiny result) → broadcast rates back → one filter
+      // scan + final rollup; the corpus is scanned twice, shuffled on
+      // nothing but the per-source rollup key.
+      (s, d) => {
+        val hot = Seq("src0", "src1", "src2", "src3", "src4")
+        val doc0 = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        val w = when(col("source").isin(hot: _*), 3.0).otherwise(1.0)
+        val stats = doc0.groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("tok_s")).withColumn("w", w)
+        val tot = stats.agg(sum(col("tok_s")).cast("double").as("tok_total"),
+          sum(col("w")).as("w_sum"))
+        val rates = stats.crossJoin(broadcast(tot)).select(col("source"),
+          least(lit(1.0), lit(0.4) * col("tok_total") * col("w") /
+            (col("w_sum") * col("tok_s").cast("double"))).as("rate"))
+        val hv = Tables.hashVal32(concat(col("doc_id").cast("string"), lit("_mix")))
+        doc0.join(broadcast(rates), "source")
+          .filter((hv % 10000).cast("double") < col("rate") * 10000)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("tok_kept"),
+            round(min(col("rate")), 6).as("rate"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val hv = Tables.hashVal32Sql("CAST(doc_id AS VARCHAR) || '_mix'")
+        s"""WITH stats AS (
+           |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS tok_s,
+           |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+           |         THEN 3.0 ELSE 1.0 END AS w
+           |  FROM documents GROUP BY source),
+           |tot AS (SELECT CAST(SUM(tok_s) AS DOUBLE) AS tok_total,
+           |               SUM(w) AS w_sum FROM stats),
+           |rates AS (SELECT source,
+           |    LEAST(1.0, 0.4 * tok_total * w / (w_sum * tok_s)) AS rate
+           |  FROM stats CROSS JOIN tot)
+           |SELECT source, COUNT(*) AS n_kept,
+           |  CAST(SUM(n_chars) AS BIGINT) AS tok_kept,
+           |  ROUND(MIN(rate), 6) AS rate
+           |FROM documents JOIN rates USING (source)
+           |WHERE CAST($hv % 10000 AS DOUBLE) < rate * 10000
+           |GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     Q("decontaminate_ngram", // benchmark-overlap decontamination (the
       // GPT-3 appendix-C shape): corpus docs sharing any 5-gram with a
       // deterministic pseudo-eval set (doc_id % 10 = 0) are flagged.
