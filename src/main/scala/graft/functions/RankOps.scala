@@ -59,6 +59,38 @@ object RankOps {
           .as(rankOut))
   }
 
+  /** Distributed row_number within stratum `strat`, ordered by `ord`
+    * (unique per row — a key column), appended as `out` (1-based). The
+    * naive `Window.partitionBy(strat).orderBy(ord)` funnels each stratum
+    * through ONE task — fatal when a stratum holds most of the table
+    * (e.g. class labels). Same two-pass shape as [[avgRankTable]]:
+    * range-partition by (strat, ord), per-(partition, stratum) counts
+    * roll into broadcastable offsets, the within-partition window runs
+    * keyed by (partition id, stratum) — parallelism ≥ #partitions at any
+    * stratum skew. Basis for stratified k-fold assignment
+    * (reference Orange/evaluation/testing.py CrossValidation stratified). */
+  def rowNumberWithin(df: DataFrame, strat: String, ord: String,
+                      out: String, parts: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(parts, col(strat).asc, col(ord).asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val offW = Window.partitionBy(col("__ostrat")).orderBy(col("__opid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid").as("__opid"),
+        col(strat).as("__ostrat"))
+      .agg(count(lit(1)).as("__pn"))
+      .withColumn("__off", coalesce(sum(col("__pn")).over(offW), lit(0L)))
+      .select(col("__opid"), col("__ostrat"), col("__off"))
+    val localW = Window.partitionBy(col("__pid"), col(strat))
+      .orderBy(col(ord).asc)
+    ranged
+      .withColumn("__lrn", row_number().over(localW))
+      .join(broadcast(offsets),
+        col("__pid") === col("__opid") && col(strat) === col("__ostrat"))
+      .withColumn(out, col("__off") + col("__lrn"))
+      .drop("__pid", "__opid", "__ostrat", "__off", "__lrn")
+  }
+
   /** Append an average-rank column `r_<c>` per column in `cols` (each joined
     * from its own value→rank map). */
   def withAvgRanks(df: DataFrame, cols: Seq[String],

@@ -279,8 +279,14 @@ object Learners {
     * on the held-out fold. Aggregation-based learners only (each fold
     * fit is a couple of small aggregations). */
   def crossValidateCA(df: DataFrame, learnerOf: () => Learner,
-                      target: String, foldKey: Column, k: Int): DataFrame = {
-    val withFold = df.withColumn("__fold", foldOf(foldKey, k))
+                      target: String, foldKey: Column, k: Int): DataFrame =
+    crossValidateCAFolds(df.withColumn("__fold", foldOf(foldKey, k)),
+      learnerOf, target, k)
+
+  /** [[crossValidateCA]] over a pre-assigned `__fold` column — used by the
+    * stratified protocol, whose fold assignment needs a rank pass. */
+  def crossValidateCAFolds(withFold: DataFrame, learnerOf: () => Learner,
+                           target: String, k: Int): DataFrame = {
     val perFold = (0 until k).map { f =>
       val train = withFold.filter(col("__fold") =!= f)
       val test = withFold.filter(col("__fold") === f)

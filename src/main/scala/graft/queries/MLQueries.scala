@@ -135,6 +135,42 @@ object MLQueries {
              |FROM folds JOIN maj USING (fold)
              |GROUP BY fold ORDER BY fold""".stripMargin)),
 
+    Q("ml_crossval_stratified", // Orange's DEFAULT CV protocol
+      // (evaluation/testing.py CrossValidation stratified=True): folds
+      // preserve class proportions. Assignment = round-robin within
+      // class by key order, (row_number within class − 1) mod k — exact
+      // per-fold proportions ±1. The within-class rank comes from
+      // RankOps' two-pass distributed row_number (a per-class window
+      // would funnel the majority class through one task).
+      (s, d) => {
+        val withFold = graft.functions.RankOps
+          .rowNumberWithin(ord(s, d), "o_orderstatus", "o_orderkey", "__rn")
+          .withColumn("__fold", pmod(col("__rn") - 1, lit(3L)))
+        Learners.crossValidateCAFolds(
+            withFold, () => Learners.Majority("o_orderstatus"),
+            "o_orderstatus", 3)
+          .select(col("fold"), round(col("ca"), 6).as("ca"), col("n_test"))
+          .orderBy(col("fold"))
+      },
+      Some("""WITH folds AS (
+             |  SELECT o_orderstatus,
+             |    (ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+             |                        ORDER BY o_orderkey) - 1) % 3 AS fold
+             |  FROM orders),
+             |maj AS (
+             |  SELECT t.fold,
+             |    (SELECT o_orderstatus FROM folds f
+             |     WHERE f.fold <> t.fold
+             |     GROUP BY o_orderstatus
+             |     ORDER BY COUNT(*) DESC, o_orderstatus ASC LIMIT 1) AS m
+             |  FROM (SELECT DISTINCT fold FROM folds) t)
+             |SELECT fold,
+             |  ROUND(SUM(CASE WHEN o_orderstatus = m THEN 1 ELSE 0 END) * 1.0
+             |        / COUNT(*), 6) AS ca,
+             |  COUNT(*) AS n_test
+             |FROM folds JOIN maj USING (fold)
+             |GROUP BY fold ORDER BY fold""".stripMargin)),
+
     Q("ml_eval_auc", // ROC AUC (scoring.py:226) as the Mann–Whitney rank
       // statistic with midranks for ties — positives l_returnflag='R'
       // scored by l_quantity (50 distinct values → heavy ties exercise

@@ -44,6 +44,18 @@ class RankOpsSpec extends SparkSpec {
     assert(math.abs(s - n * (n + 1) / 2.0) < 1e-6)
   }
 
+  test("rowNumberWithin matches the per-stratum window formulation") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val dist = RankOps.rowNumberWithin(df, "o_orderstatus", "o_orderkey",
+      "rn_dist", parts = 5)
+    val win = df.withColumn("rn_win", row_number().over(
+      Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))))
+    val joined = dist.join(win, Seq("o_orderkey", "o_orderstatus"))
+    assert(joined.count() == df.count())
+    assert(joined.filter(col("rn_dist") =!= col("rn_win")).count() == 0)
+  }
+
   test("no single-partition global sort of the full table in the plan") {
     val base = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_quantity").cast("double").as("l_quantity"))
