@@ -314,6 +314,46 @@ object PreprocessQueries {
            |ORDER BY o_orderkey""".stripMargin
       }),
 
+    Q("preprocess_pipeline", // PreprocessorList (preprocess.py:60-90):
+      // chained impute → normalize → discretize as ONE composed plan —
+      // the stage stats (mean, sd, min/max) are sub-aggregations feeding
+      // the next stage's expressions, exactly how a fitted preprocessor
+      // chain replays on a cluster. Imputed and normalized values are
+      // pinned to 6 decimals at the stage boundaries so the DECIMAL
+      // casts in downstream exact sums are digit-exact across engines
+      // (the recorded half-up/half-even cast hazard).
+      (s, d) => {
+        val base = li(s, d).select(
+          when(col("l_quantity") < 5, null).otherwise(col("l_quantity")).as("v"))
+        val m = base.agg(exactMean(col("v")).as("m"))
+        val imp = base.crossJoin(broadcast(m))
+          .select(round(coalesce(col("v"), col("m")), 6).as("v_imp"))
+        val st = imp.agg(exactMean(col("v_imp")).as("mm"),
+          exactStdSamp(col("v_imp")).as("sd"))
+        val norm = imp.crossJoin(broadcast(st))
+          .select(round((col("v_imp") - col("mm")) / col("sd"), 6).as("zr"))
+        val mx = norm.agg(min(col("zr")).as("mn"), max(col("zr")).as("mx"))
+        norm.crossJoin(broadcast(mx))
+          .select(col("zr"), least(floor((col("zr") - col("mn")) /
+            ((col("mx") - col("mn")) / 10)), lit(9.0)).cast("int").as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n"),
+            min(col("zr")).as("lo"), max(col("zr")).as("hi"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT CASE WHEN l_quantity < 5 THEN NULL ELSE l_quantity END AS v
+              |  FROM lineitem),
+              |imp AS (SELECT ROUND(COALESCE(v, m), 6) AS v_imp
+              |  FROM base CROSS JOIN (SELECT ${sqlMean("v")} AS m FROM base)),
+              |norm AS (SELECT ROUND((v_imp - mm) / sd, 6) AS zr
+              |  FROM imp CROSS JOIN (SELECT ${sqlMean("v_imp")} AS mm,
+              |    ${sqlStdSamp("v_imp")} AS sd FROM imp)),
+              |binned AS (SELECT zr,
+              |    CAST(LEAST(FLOOR((zr - mn) / ((mx - mn) / 10)), 9) AS INT) AS bin
+              |  FROM norm CROSS JOIN (SELECT MIN(zr) AS mn, MAX(zr) AS mx FROM norm))
+              |SELECT bin, COUNT(*) AS n, MIN(zr) AS lo, MAX(zr) AS hi
+              |FROM binned GROUP BY bin ORDER BY bin""".stripMargin)),
+
     Q("normalize_zscore", // Normalize by SD (normalize.py:11-110).
       // Rounded to 6 decimals: the raw quotient differs by 1 ulp between
       // engines at sf0.1 (sqrt-of-derived-variance divisor).
