@@ -330,8 +330,11 @@ object PreprocessQueries {
           .select(round(coalesce(col("v"), col("m")), 6).as("v_imp"))
         val st = imp.agg(exactMean(col("v_imp")).as("mm"),
           exactStdSamp(col("v_imp")).as("sd"))
+        // + 0.0 normalizes IEEE −0.0 (a value equal to the stage mean
+        // rounds to −0.0 in DuckDB but +0.0 in Spark)
         val norm = imp.crossJoin(broadcast(st))
-          .select(round((col("v_imp") - col("mm")) / col("sd"), 6).as("zr"))
+          .select((round((col("v_imp") - col("mm")) / col("sd"), 6) + 0.0)
+            .as("zr"))
         val mx = norm.agg(min(col("zr")).as("mn"), max(col("zr")).as("mx"))
         norm.crossJoin(broadcast(mx))
           .select(col("zr"), least(floor((col("zr") - col("mn")) /
@@ -345,7 +348,7 @@ object PreprocessQueries {
               |  FROM lineitem),
               |imp AS (SELECT ROUND(COALESCE(v, m), 6) AS v_imp
               |  FROM base CROSS JOIN (SELECT ${sqlMean("v")} AS m FROM base)),
-              |norm AS (SELECT ROUND((v_imp - mm) / sd, 6) AS zr
+              |norm AS (SELECT ROUND((v_imp - mm) / sd, 6) + 0.0 AS zr
               |  FROM imp CROSS JOIN (SELECT ${sqlMean("v_imp")} AS mm,
               |    ${sqlStdSamp("v_imp")} AS sd FROM imp)),
               |binned AS (SELECT zr,
