@@ -254,6 +254,50 @@ object Learners {
         .orderBy(col("threshold").desc)
     }
 
+    /** Full threshold-sweep performance zoo (evaluation/
+      * performance_curves.py `Curves`: ca/f1/sensitivity/specificity/
+      * ppv/npv/fpr per threshold — a row is classified positive when its
+      * score >= threshold). Same grouped-then-window shape as
+      * [[rocCurve]]: the fact table is reduced to per-distinct-score
+      * counts first (map-side combine), and the cumulative window runs
+      * over that tiny grouped table only — the 100 TB shape. Ratios whose
+      * denominator is empty (npv at the minimum threshold when no row
+      * scores below it) are emitted NULL instead of the reference's
+      * copy-the-neighbor patch (performance_curves.py:139-143). */
+    def performanceCurves(df: DataFrame, isPos: Column,
+                          score: Column): DataFrame = {
+      val byScore = df.groupBy(score.as("threshold")).agg(
+        sum(when(isPos, 1L).otherwise(0L)).as("__np"),
+        sum(when(isPos, 0L).otherwise(1L)).as("__nn"))
+      val desc = Window.orderBy(col("threshold").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val w = byScore
+        .withColumn("__tp", sum(col("__np")).over(desc))
+        .withColumn("__fp", sum(col("__nn")).over(desc))
+        .withColumn("__p", sum(col("__np")).over(tot))
+        .withColumn("__n", sum(col("__nn")).over(tot))
+      val tp = col("__tp").cast(DoubleType)
+      val fp = col("__fp").cast(DoubleType)
+      val p = col("__p").cast(DoubleType)
+      val n = col("__n").cast(DoubleType)
+      val fn = p - tp
+      val tn = n - fp
+      def safe(num: Column, den: Column): Column =
+        when(den === 0d, lit(null).cast(DoubleType))
+          .otherwise(round(num / den, 6))
+      w.select(col("threshold"),
+          round((tp + tn) / (p + n), 6).as("ca"),
+          round(lit(2d) * tp / (lit(2d) * tp + fp + fn), 6).as("f1"),
+          round(tp / p, 6).as("sens"),
+          round(tn / n, 6).as("spec"),
+          safe(tp, tp + fp).as("ppv"),
+          safe(tn, tn + fn).as("npv"),
+          round(fp / n, 6).as("fpr"))
+        .orderBy(col("threshold").desc)
+    }
+
     /** Calibration / reliability curve (widgets/evaluate/
       * owcalibrationplot.py): bucket predicted probability into
       * `bins` equal-width cells, emit mean predicted vs observed

@@ -50,4 +50,31 @@ object MergeOps {
 
   def antiJoin(data: DataFrame, subset: DataFrame, keys: Seq[String]): DataFrame =
     data.join(subset, keys, "left_anti")
+
+  /** Venn-diagram disjoint-region counts over n keyed inputs
+    * (widgets/visualize/owvenndiagram.py get_disjoint: for each of the
+    * 2^n − 1 inclusion masks, the number of distinct keys present in
+    * exactly that combination of inputs).
+    *
+    * Scale shape: each input collapses to its distinct keys tagged with
+    * bit 2^i (map-side combine), the union groups by key ONCE summing the
+    * bits (n inputs of any size → one shuffle on the key), and the final
+    * mask→count agg is over distinct keys only. No joins, no 2^n passes —
+    * the reference materializes 2^n Python sets; here every region falls
+    * out of one bitmask aggregation. */
+  def vennCounts(inputs: Seq[DataFrame], key: String): DataFrame = {
+    require(inputs.nonEmpty && inputs.size <= 62, "1..62 inputs")
+    val tagged = inputs.zipWithIndex.map { case (df, i) =>
+      df.select(col(key).cast("string").as("__key"))
+        .where(col("__key").isNotNull)
+        .distinct()
+        .select(col("__key"), lit(1L << i).as("__bit"))
+    }
+    tagged.reduce(_.unionByName(_))
+      .groupBy(col("__key"))
+      .agg(sum(col("__bit")).as("mask"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("mask"))
+  }
 }

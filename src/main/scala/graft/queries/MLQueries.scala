@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Tables._
-import graft.ml.{Learners, MLlibLearners}
+import graft.ml.{ClusterEval, Learners, MLlibLearners}
 import graft.queries.SqlGen._
 
 /** Learner/evaluation queries (SURVEY §2.11). Aggregation-based learners
@@ -257,6 +257,77 @@ object MLQueries {
              |        * 1.0 / COUNT(*), 6) AS frac_pos,
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    Q("ml_performance_curves", // evaluation/performance_curves.py Curves:
+      // the full threshold-sweep zoo (ca/f1/sens/spec/ppv/npv/fpr) on the
+      // distinct-score grid. Fact table collapses to per-score counts
+      // (map-side combine); the cumulative window runs over ~50 grouped
+      // rows only.
+      (s, d) => Learners.Scoring.performanceCurves(
+        li(s, d), col("l_returnflag") === "R", col("l_quantity")),
+      Some("""WITH by_score AS (
+             |  SELECT l_quantity AS threshold,
+             |         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np,
+             |         SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nn
+             |  FROM lineitem GROUP BY 1),
+             |w AS (
+             |  SELECT threshold,
+             |    SUM(np) OVER (ORDER BY threshold DESC ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             |    SUM(nn) OVER (ORDER BY threshold DESC ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             |    SUM(np) OVER () AS p, SUM(nn) OVER () AS n
+             |  FROM by_score)
+             |SELECT threshold,
+             |  ROUND(CAST(tp + (n - fp) AS DOUBLE) / (p + n), 6) AS ca,
+             |  ROUND(2.0 * tp / (2.0 * tp + fp + (p - tp)), 6) AS f1,
+             |  ROUND(CAST(tp AS DOUBLE) / p, 6) AS sens,
+             |  ROUND(CAST(n - fp AS DOUBLE) / n, 6) AS spec,
+             |  CASE WHEN tp + fp = 0 THEN NULL
+             |       ELSE ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS ppv,
+             |  CASE WHEN (n - fp) + (p - tp) = 0 THEN NULL
+             |       ELSE ROUND(CAST(n - fp AS DOUBLE) / ((n - fp) + (p - tp)), 6) END AS npv,
+             |  ROUND(CAST(fp AS DOUBLE) / n, 6) AS fpr
+             |FROM w ORDER BY threshold DESC""".stripMargin)),
+
+    Q("ml_ami_clustering", // evaluation/clustering.py:63
+      // AdjustedMutualInfoScore (sklearn adjusted_mutual_info_score,
+      // arithmetic average): deterministic quantity-bucket "clustering"
+      // vs l_returnflag. Distributed work is ONE contingency groupBy
+      // (k·c rows out regardless of input size); MI/H/E[MI] are driver
+      // scalar math over that tiny matrix, like the LDA closed form.
+      (s, d) => ClusterEval.adjustedMutualInfo(
+        li(s, d),
+        floor((col("l_quantity") - 1) / 10).cast("int").cast("string"),
+        col("l_returnflag")),
+      Some("""WITH lab AS (
+             |  SELECT CAST(CAST(FLOOR((l_quantity - 1) / 10) AS INT) AS VARCHAR) AS u,
+             |         l_returnflag AS v
+             |  FROM lineitem),
+             |cont AS (SELECT u, v, COUNT(*) AS n FROM lab GROUP BY 1, 2),
+             |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM cont),
+             |ma AS (SELECT u, CAST(SUM(n) AS DOUBLE) AS au FROM cont GROUP BY 1),
+             |mb AS (SELECT v, CAST(SUM(n) AS DOUBLE) AS bv FROM cont GROUP BY 1),
+             |mi AS (SELECT SUM((n / nn) * LN(nn * n / (au * bv))) AS mi
+             |       FROM cont JOIN ma USING (u) JOIN mb USING (v), tot),
+             |hu AS (SELECT -SUM((au / nn) * LN(au / nn)) AS h FROM ma, tot),
+             |hv AS (SELECT -SUM((bv / nn) * LN(bv / nn)) AS h FROM mb, tot),
+             |grid AS (
+             |  SELECT au, bv, nn,
+             |    UNNEST(GENERATE_SERIES(CAST(GREATEST(1, au + bv - nn) AS BIGINT),
+             |                           CAST(LEAST(au, bv) AS BIGINT))) AS nij
+             |  FROM ma, mb, tot),
+             |emi AS (
+             |  SELECT SUM((nij / nn) * LN(nn * nij / (au * bv)) * EXP(
+             |      LGAMMA(au + 1) + LGAMMA(bv + 1) + LGAMMA(nn - au + 1)
+             |    + LGAMMA(nn - bv + 1) - LGAMMA(nn + 1) - LGAMMA(nij + 1)
+             |    - LGAMMA(au - nij + 1) - LGAMMA(bv - nij + 1)
+             |    - LGAMMA(nn - au - bv + nij + 1))) AS emi
+             |  FROM grid)
+             |SELECT ROUND(mi.mi, 6) AS mi, ROUND(emi.emi, 6) AS emi,
+             |       ROUND(hu.h, 6) AS h_u, ROUND(hv.h, 6) AS h_v,
+             |       ROUND((mi.mi - emi.emi) / ((hu.h + hv.h) / 2 - emi.emi), 6) AS ami
+             |FROM mi, emi, hu, hv""".stripMargin)),
 
     Q("ml_eval_classification_ext", // F1 / specificity / MCC / LogLoss
       // (scoring.py:207,340,394,288) over the same deterministic rule

@@ -153,6 +153,30 @@ object RelationalQueries {
              |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)),
 
+    Q("venn_disjoint_counts", // owvenndiagram.py get_disjoint: distinct-key
+      // counts of every inclusion region across 3 sets (parts / parts ever
+      // ordered / parts ever returned). One bitmask aggregation — no 2^n
+      // set passes, no joins; see MergeOps.vennCounts.
+      (s, d) => MergeOps.vennCounts(
+        Seq(
+          part(s, d).select(col("p_partkey").as("k")),
+          li(s, d).select(col("l_partkey").as("k")),
+          li(s, d).filter(col("l_returnflag") === "R")
+            .select(col("l_partkey").as("k"))),
+        "k"),
+      Some("""WITH u AS (
+             |  SELECT k, CAST(SUM(b) AS BIGINT) AS mask FROM (
+             |    SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS k, 1 AS b
+             |    FROM part WHERE p_partkey IS NOT NULL
+             |    UNION ALL
+             |    SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS k, 2 AS b
+             |    FROM lineitem WHERE l_partkey IS NOT NULL
+             |    UNION ALL
+             |    SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS k, 4 AS b
+             |    FROM lineitem WHERE l_returnflag = 'R' AND l_partkey IS NOT NULL
+             |  ) GROUP BY k)
+             |SELECT mask, COUNT(*) AS n FROM u GROUP BY mask ORDER BY mask""".stripMargin)),
+
     // ----- §2.4 aggregation ---------------------------------------------
     Q("groupby_17agg", // Orange's full GroupBy aggregation set
       (s, d) => GroupByOps.agg17Exact(li(s, d),
