@@ -24,8 +24,9 @@ object Sources {
     else if (lower.endsWith(".basket")) BasketReader.read(spark, path)
     else if (lower.endsWith(".xlsx")) ExcelReader.read(spark, path)
     else if (lower.endsWith(".xls")) XlsReader.read(spark, path)
+    else if (lower.endsWith(".dst")) DistMatrixIO.readDst(spark, path)
     else throw new IllegalArgumentException(
-      s"unsupported extension: $path (expected .parquet/.tab/.tsv/.csv/.basket/.xlsx/.xls)")
+      s"unsupported extension: $path (expected .parquet/.tab/.tsv/.csv/.basket/.xlsx/.xls/.dst)")
   }
 
   /** Write a table by file extension — the reverse dispatch

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{DistMatrixIO, Sources}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** .dst distance-matrix file semantics (reference misc/distmatrix.py:
+  * _from_dst/save): header flags, lower-triangle symmetric storage,
+  * zero padding, row/col labels, round-trip. */
+class DistMatrixIOSpec extends SparkSpec {
+
+  private def write(body: String): String = {
+    val f = Files.createTempFile("graft_dst_", ".dst")
+    Files.write(f, body.getBytes(StandardCharsets.UTF_8))
+    f.toString
+  }
+
+  test("symmetric lower triangle expands to both triangles, zero-padded") {
+    // distmatrix.py:241 doc example shape: dimension, then lower triangle
+    val p = write("3 symmetric\n\n1\n2\t3\n")
+    val df = DistMatrixIO.readDst(spark, p)
+    assert(df.count() == 9)
+    def at(i: Int, j: Int): Double =
+      df.filter(col("i") === i && col("j") === j).head().getDouble(2)
+    assert(at(0, 0) == 0.0 && at(1, 0) == 1.0 && at(0, 1) == 1.0)
+    assert(at(2, 0) == 2.0 && at(0, 2) == 2.0 && at(2, 1) == 3.0)
+    assert(at(2, 2) == 0.0) // padded
+  }
+
+  test("asymmetric with row and col labels") {
+    val p = write(
+      "2\tasymmetric\trow_labels\tcol_labels\n" +
+        "cx\tcy\n" +
+        "ra\t1\t2\n" +
+        "rb\t3\t4\n")
+    val df = DistMatrixIO.readDst(spark, p)
+    val r = df.filter(col("i") === 0 && col("j") === 1).head()
+    assert(r.getDouble(2) == 2.0)
+    assert(r.getString(3) == "ra" && r.getString(4) == "cy")
+    // asymmetric: (1,0) keeps its own value
+    assert(df.filter(col("i") === 1 && col("j") === 0)
+      .head().getDouble(2) == 3.0)
+  }
+
+  test("obsolete 'labelled' alias and axis flag parse; bad flag rejected") {
+    val p = write("1\tlabelled\taxis=0\nrowx\t5\n")
+    val df = DistMatrixIO.readDst(spark, p)
+    assert(df.head().getString(3) == "rowx")
+    val bad = write("1\tbogus\n0\n")
+    intercept[IllegalArgumentException](DistMatrixIO.readDst(spark, bad))
+  }
+
+  test("write → read round-trips values and labels (symmetric)") {
+    import spark.implicits._
+    val long = (for (i <- 0 until 3; j <- 0 until 3) yield
+      (i, j, math.abs(i - j) * 1.5, s"r$i", s"c$j"))
+      .toDF("i", "j", "d", "row_label", "col_label")
+    val f = Files.createTempFile("graft_dst_rt_", ".dst").toString
+    DistMatrixIO.writeDst(long, 3, f, symmetric = true)
+    val back = Sources.fromFile(spark, f) // .dst dispatch
+    assert(back.count() == 9)
+    val diffs = back.alias("b").join(long.alias("l"), Seq("i", "j"))
+      .filter(col("b.d") =!= col("l.d"))
+      .count()
+    assert(diffs == 0)
+    assert(back.filter(col("i") === 2 && col("j") === 1)
+      .head().getString(3) == "r2")
+  }
+}
