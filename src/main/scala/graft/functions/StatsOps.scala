@@ -46,6 +46,30 @@ object StatsOps {
   def contingency(df: DataFrame, rowVar: String, colVar: String): DataFrame =
     df.groupBy(col(rowVar), col(colVar)).agg(count(lit(1)).as("n"))
 
+  /** Sieve / mosaic display statistics (widgets/visualize/owsieve.py:45-54,
+    * owmosaic.py): per contingency cell, the expected count under
+    * independence, the Pearson residual (obs − exp)/√exp and its χ²
+    * contribution. The fact table collapses to the contingency first;
+    * marginals come from windows over that tiny grouped table — the
+    * 100 TB shape (observed cell combos only, like the reference's
+    * contingency-based computation). */
+  def sieveResiduals(df: DataFrame, rowVar: String,
+                     colVar: String): DataFrame = {
+    val cont = contingency(df, rowVar, colVar)
+    val byRow = Window.partitionBy(col(rowVar))
+    val byCol = Window.partitionBy(col(colVar))
+    val tot = Window.partitionBy()
+    val e = (sum(col("n")).over(byRow) * sum(col("n")).over(byCol))
+      .cast("double") / sum(col("n")).over(tot)
+    cont
+      .withColumn("expected", round(e, 6))
+      .withColumn("residual",
+        round((col("n") - e) / sqrt(e), 6))
+      .withColumn("chisq",
+        round(pow(col("n") - e, 2) / e, 6))
+      .orderBy(col(rowVar), col(colVar))
+  }
+
   /** Pairwise Pearson correlation for the given column pairs in ONE
     * aggregation pass (owcorrelations.py:266). */
   def correlationPairs(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {

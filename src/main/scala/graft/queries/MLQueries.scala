@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Tables._
-import graft.ml.{ClusterEval, Learners, MLlibLearners}
+import graft.ml.{ClusterEval, Correspondence, Learners, MLlibLearners}
 import graft.queries.SqlGen._
 
 /** Learner/evaluation queries (SURVEY §2.11). Aggregation-based learners
@@ -328,6 +328,19 @@ object MLQueries {
              |       ROUND(hu.h, 6) AS h_u, ROUND(hv.h, 6) AS h_v,
              |       ROUND((mi.mi - emi.emi) / ((hu.h + hv.h) / 2 - emi.emi), 6) AS ami
              |FROM mi, emi, hu, hv""".stripMargin)),
+
+    Q("ml_correspondence", // owcorrespondence.py:381-421: CA of the
+      // quantity-bucket × returnflag contingency. Distributed stage =
+      // one contingency groupBy (k·c rows out); the generalized SVD runs
+      // on that tiny matrix driver-side (deterministic Jacobi, pinned
+      // signs). Rows-only: no SQL SVD — invariants (total inertia =
+      // χ²/N, weighted orthogonality, reconstruction) are spec-pinned.
+      (s, d) => Correspondence.rowCoordinates(
+          li(s, d),
+          floor((col("l_quantity") - 1) / 10).cast("int").cast("string"),
+          col("l_returnflag"), axes = 2)
+        .orderBy(col("category"), col("axis")),
+      None),
 
     Q("ml_eval_classification_ext", // F1 / specificity / MCC / LogLoss
       // (scoring.py:207,340,394,288) over the same deterministic rule

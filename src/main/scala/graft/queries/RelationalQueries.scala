@@ -282,6 +282,30 @@ object RelationalQueries {
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    Q("sieve_residuals", // sieve/mosaic display statistics
+      // (owsieve.py:45-54): expected-under-independence, Pearson
+      // residual, χ² contribution per contingency cell. Marginals via
+      // windows over the tiny grouped table, never the fact table.
+      (s, d) => graft.functions.StatsOps.sieveResiduals(
+        li(s, d).withColumn("qty_bin",
+          floor((col("l_quantity") - 1) / 10).cast("int").cast("string")),
+        "qty_bin", "l_returnflag"),
+      Some("""WITH cont AS (
+             |  SELECT CAST(CAST(FLOOR((l_quantity - 1) / 10) AS INT) AS VARCHAR) AS qty_bin,
+             |         l_returnflag, COUNT(*) AS n
+             |  FROM lineitem GROUP BY 1, 2),
+             |w AS (
+             |  SELECT qty_bin, l_returnflag, n,
+             |    CAST(SUM(n) OVER (PARTITION BY qty_bin) *
+             |         SUM(n) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+             |      / SUM(n) OVER () AS e
+             |  FROM cont)
+             |SELECT qty_bin, l_returnflag, n,
+             |  ROUND(e, 6) AS expected,
+             |  ROUND((n - e) / SQRT(e), 6) AS residual,
+             |  ROUND(POW(n - e, 2) / e, 6) AS chisq
+             |FROM w ORDER BY qty_bin, l_returnflag""".stripMargin)),
+
     Q("correlation", // exact-sum Pearson + covariance
       (s, d) => li(s, d).agg(
           exactCorr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
