@@ -283,6 +283,28 @@ object TextQueries {
              |    '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("text_pii_redact", // PII scrubbing (C4/Dolma-style corpus cleanup):
+      // emails / IPv4 / phone-shaped digit runs → typed placeholders.
+      // Codegen'd regexp chain, zero shuffle; RE2-safe patterns keep the
+      // DuckDB oracle byte-identical. Verified via md5 + changed flag so
+      // the full redacted text never ships to the compare.
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          md5(TextOps.redactPii(col("text"))).as("redacted_md5"),
+          (TextOps.redactPii(col("text")) =!= col("text"))
+            .cast("int").as("changed"))
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, text,
+             |    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |      '\+?\d{3}[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS red
+             |  FROM documents)
+             |SELECT doc_id, md5(red) AS redacted_md5,
+             |  CASE WHEN red <> text THEN 1 ELSE 0 END AS changed
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_canonicalize", // near-dup clustering + canonical selection
       // (the C4/RefinedWeb corpus-dedup finisher): Jaccard>=0.3 pairs
       // over doc-frequency-capped shingles (stop-shingles in > 50 docs

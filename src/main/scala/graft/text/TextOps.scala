@@ -91,6 +91,22 @@ object TextOps {
 
   def fingerprint(text: Column): Column = hashVal32(text)
 
+  /** PII redaction for training-corpus scrubbing (the C4/Dolma-style
+    * cleanup pass; beyond-reference pipeline op): emails, IPv4 addresses
+    * and phone-shaped digit runs become typed placeholder tokens. Pure
+    * codegen'd regexp_replace chain — zero shuffle, linear scan. The
+    * patterns are deliberately RE2-safe (no backrefs/lookaround) so the
+    * Spark (java.util.regex) and DuckDB (RE2) evaluations agree
+    * byte-for-byte and the query oracle can hash-compare the output. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "\\+?\\d{3}[-. ]?\\d{3}[-. ]?\\d{4}\\b", "<PHONE>")
+  }
+
   /** Canonical-form fingerprint: lowercase + collapsed whitespace first,
     * so near-identical formatting variants collide. */
   def canonicalFingerprint(text: Column): Column =

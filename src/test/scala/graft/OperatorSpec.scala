@@ -78,6 +78,23 @@ class OperatorSpec extends SparkSpec {
     assert(sh(0).isEmpty && sh(1) == Seq("a b c", "b c d"))
   }
 
+  test("PII redaction replaces emails, IPs, phone runs; leaves clean text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "contact bob.smith+spam@sub.example.co for info"),
+      (2L, "server at 192.168.001.1 port 8080"),
+      (3L, "call +1 555-123-4567 or 555.987.6543 now"),
+      (4L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        graft.text.TextOps.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> for info", out(1L))
+    assert(out(2L) == "server at <IP> port 8080", out(2L))
+    assert(out(3L) == "call +1 <PHONE> or <PHONE> now", out(3L))
+    assert(out(4L) == "nothing sensitive here at all")
+  }
+
   test("exact dedup keeps one representative per content") {
     import spark.implicits._
     val d = Seq((1L, "x y z"), (2L, "x y z"), (3L, "p q")).toDF("doc_id", "text")
