@@ -382,6 +382,33 @@ object TextQueries {
            |ORDER BY id1, id2""".stripMargin
       }),
 
+    Q("stream_dedup_minhash_bands", // streaming near-dup ingest filter:
+      // per-row MinHash signatures (array exprs, no shuffle) → LSH band
+      // buckets → dropDuplicates keyed state (the production front-door
+      // filter) → distinct-bucket counts per band. Arrival-order
+      // independent output; oracle = the batch signature aggregation.
+      (s, d) => graft.streaming.StreamOps
+        .streamingMinhashBandDedup(s, d, "stream_mh_band_sink")
+        .orderBy(col("band")),
+      Some {
+        val p = DedupOps.MinhashP
+        val h = sqlHash32("shingle")
+        val mins = DedupOps.MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(($h * $a + $b) % $p) AS m$j"
+        }.mkString(",\n    ")
+        val bandSelects = (0 until 8).map { band =>
+          s"SELECT $band AS band, COUNT(DISTINCT CONCAT(m${band * 2}, '_', m${band * 2 + 1})) AS n_buckets FROM sig"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH sh AS ($shingleSqlDistinct),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM sh GROUP BY doc_id),
+           |b AS (
+           |$bandSelects)
+           |SELECT band, n_buckets FROM b ORDER BY band""".stripMargin
+      }),
+
     Q("dedup_simhash", // 32-bit SimHash signatures per doc
       (s, d) => DedupOps.simhash(docs(s, d), "doc_id", "text")
         .orderBy(col("doc_id")),

@@ -172,6 +172,53 @@ object StreamOps {
     spark.table(sinkName)
   }
 
+  /** Streaming MinHash-LSH band dedup — the near-dup ingest filter a
+    * training-data pipeline runs at the front door: each arriving
+    * document's MinHash signature is computed PER ROW with array
+    * expressions (shingle array → one hash pass → 16 permuted mins), so
+    * signature construction needs NO aggregation and the only stateful
+    * operators are the LSH-bucket dedup state and the final per-band
+    * count. A new document is a near-dup candidate exactly when one of
+    * its (band, sig) keys is already in state — dropDuplicates keyed by
+    * the band bucket IS that filter. Output (distinct buckets per band)
+    * is arrival-order independent, which makes the stream comparable to
+    * the batch/DuckDB twin. At scale: bucket state is RocksDB-backed,
+    * bounded by watermark expiry; the per-row signature path trades the
+    * batch variant's shuffle for interpreted-lambda CPU, the right trade
+    * when the stream is the bottleneck, not the cores. */
+  def streamingMinhashBandDedup(spark: SparkSession, sfDir: String,
+                                sinkName: String, bands: Int = 8,
+                                rows: Int = 2): DataFrame = {
+    import graft.text.{DedupOps, TextOps}
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val withSig = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .withColumn("__sh", TextOps.shingles(col("text"), 3))
+      .filter(size(col("__sh")) > 0)
+      // hash once per shingle; each permutation then re-scans the small
+      // hash array only
+      .withColumn("__hs", transform(col("__sh"), s => hashVal32(s)))
+    val bandStructs = (0 until bands).map { b =>
+      val mins = (0 until rows).map { r =>
+        val (a, off) = DedupOps.MinhashParams(b * rows + r)
+        array_min(transform(col("__hs"),
+          h => pmod(h * a + off, lit(DedupOps.MinhashP))))
+      }
+      struct(lit(b).as("band"), concat_ws("_", mins: _*).as("sig"))
+    }
+    val stream = withSig
+      .select(explode(array(bandStructs: _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .dropDuplicates("band", "sig")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"))
+    val q = stream.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+  }
+
   /** Arbitrary stateful aggregation via mapGroupsWithState (SURVEY §2.12,
     * KeyValueGroupedDataset custom state): per-user running event count,
     * value total, and max inter-event gap. State is one small record per

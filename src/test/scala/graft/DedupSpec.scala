@@ -8,6 +8,23 @@ import graft.text.DedupOps
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming minhash band dedup equals batch signature aggregation") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val stream = graft.streaming.StreamOps
+      .streamingMinhashBandDedup(spark, sf, "mh_band_spec_sink")
+      .orderBy(col("band")).collect().map(_.getLong(1)).toSeq
+    val sig = graft.text.DedupOps.minhashSignatures(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 3)
+      .cache()
+    val batch = (0 until 8).map { b =>
+      sig.select(concat_ws("_",
+        col(s"m${b * 2}"), col(s"m${b * 2 + 1}")).as("s"))
+        .distinct().count()
+    }
+    sig.unpersist()
+    assert(stream == batch, s"stream $stream vs batch $batch")
+  }
+
   test("banded simhash pairs == naive all-pairs at Hamming <= 3") {
     // hand-built signatures: dup pairs at distance 0/1/2/3, a near-miss
     // at 4, and signatures differing in every band
