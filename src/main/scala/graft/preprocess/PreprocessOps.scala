@@ -462,4 +462,27 @@ object PreprocessOps {
             else (col(c) - col("__mn")) / (col("__mx") - col("__mn"))
     fitted.withColumn(out, e).drop("__mn", "__mx")
   }
+
+  /** Smoothed mean target encoding (beyond-reference feature-eng op —
+    * the micci-barreca KDD'01 empirical-Bayes form every large tabular
+    * pipeline uses for high-cardinality categoricals):
+    *
+    *   enc(cat) = (Σ_cat y + m · ȳ) / (n_cat + m)
+    *
+    * One groupBy over the fact table produces the per-category sums; the
+    * tiny encoding map broadcast-joins back — no second fact shuffle.
+    * Sums go through DECIMAL (Tables.exactSum) so the encoding is
+    * deterministic and oracle-comparable at any scale. */
+  def targetEncodeSmoothed(df: DataFrame, cat: String, y: String,
+                           out: String, m: Double = 10.0): DataFrame = {
+    val global = df.agg(exactSum(col(y)).as("__gs"),
+      count(col(y)).as("__gn"))
+    val perCat = df.groupBy(col(cat))
+      .agg(exactSum(col(y)).as("__cs"), count(col(y)).as("__cn"))
+      .crossJoin(broadcast(global))
+      .select(col(cat),
+        round((col("__cs") + lit(m) * (col("__gs") / col("__gn"))) /
+          (col("__cn") + lit(m)), 6).as(out))
+    df.join(broadcast(perCat), Seq(cat), "left")
+  }
 }

@@ -231,6 +231,29 @@ object PreprocessQueries {
               |  FROM cs)
               |ORDER BY treatment, out_col""".stripMargin)),
 
+    Q("encode_target_smoothed", // smoothed mean target encoding
+      // (micci-barreca KDD'01; beyond-reference pipeline op): per
+      // returnflag, (Σy + m·ȳ)/(n + m) with m=10 — one groupBy + a
+      // broadcast map-back, no second fact shuffle. Emitted as the
+      // per-category encoding map (the fitted "model").
+      (s, d) => PreprocessOps.targetEncodeSmoothed(
+          li(s, d), "l_returnflag", "l_extendedprice", "enc", m = 10.0)
+        .groupBy(col("l_returnflag"), col("enc"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""WITH g AS (SELECT ${sqlSum("l_extendedprice")} AS gs,
+              |                  COUNT(l_extendedprice) AS gn FROM lineitem),
+              |e AS (
+              |  SELECT l_returnflag,
+              |    ROUND((${sqlSum("l_extendedprice")} + 10.0 * (gs / gn)) /
+              |          (COUNT(l_extendedprice) + 10.0), 6) AS enc
+              |  FROM lineitem CROSS JOIN g
+              |  GROUP BY l_returnflag, gs, gn)
+              |SELECT l.l_returnflag, e.enc, COUNT(*) AS n
+              |FROM lineitem l JOIN e USING (l_returnflag)
+              |GROUP BY l.l_returnflag, e.enc
+              |ORDER BY l.l_returnflag""".stripMargin)),
+
     Q("impute_mean", // ReplaceUnknowns/Average (impute.py:96)
       // The fixture has no NULLs, so nulls are synthesized (qty<5 →
       // unknown), then imputed with the exact mean of the rest.

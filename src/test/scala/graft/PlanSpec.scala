@@ -100,4 +100,10 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("FileScan")).mkString("\n"))
     assert(!p.contains("Window [rank("), "global rank window crept back in")
   }
+
+  test("target encoding map joins back via broadcast (no second fact shuffle)") {
+    val p = plan("encode_target_smoothed")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
