@@ -63,6 +63,59 @@ object TextQueries {
               |          THEN 1.0 ELSE 0.5 END) / 3.0 AS quality
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("quality_filter_decision", // the composed C4/Gopher-style corpus
+      // filter: every per-doc signal (token count bounds, mean token
+      // length, stopword ratio, type-token ratio) evaluates in ONE
+      // zero-shuffle projection, emitting the keep flag plus per-rule
+      // booleans so the drop REASON survives for pipeline audits.
+      (s, d) => {
+        val t = col("text")
+        val rLen = TextOps.nTokens(t).between(20, 2000)
+        val rTok = TextOps.meanTokenLen(t).between(3.0, 12.0)
+        val rStop = TextOps.stopwordRatio(t, TextOps.StopwordsEn) >= 0.05
+        val rTtr = TextOps.typeTokenRatio(t) >= 0.2
+        docs(s, d).select(col("doc_id"),
+            rLen.cast("int").as("ok_len"),
+            rTok.cast("int").as("ok_tok_len"),
+            rStop.cast("int").as("ok_stopwords"),
+            rTtr.cast("int").as("ok_ttr"),
+            (rLen && rTok && rStop && rTtr).cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id,
+              |    len(string_split(text, ' ')) AS ntok,
+              |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              |      / len(string_split(text, ' ')) AS mtl,
+              |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($enList))) AS DOUBLE)
+              |      / len(string_split(text, ' ')) AS stopr,
+              |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              |      / len(string_split(text, ' ')) AS ttr
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CASE WHEN ntok BETWEEN 20 AND 2000 THEN 1 ELSE 0 END AS ok_len,
+              |  CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END AS ok_tok_len,
+              |  CASE WHEN stopr >= 0.05 THEN 1 ELSE 0 END AS ok_stopwords,
+              |  CASE WHEN ttr >= 0.2 THEN 1 ELSE 0 END AS ok_ttr,
+              |  CASE WHEN ntok BETWEEN 20 AND 2000 AND mtl BETWEEN 3.0 AND 12.0
+              |        AND stopr >= 0.05 AND ttr >= 0.2 THEN 1 ELSE 0 END AS keep
+              |FROM sig ORDER BY doc_id""".stripMargin)),
+
+    Q("corpus_ngram_counts", // corpus-level n-gram frequency table
+      // (vocabulary/LM preprocessing): every 3-gram occurrence counts
+      // (no per-doc distinct), one partial-agg shuffle on the shingle,
+      // deterministic top-20 by (count desc, shingle asc).
+      (s, d) => docs(s, d)
+        .select(explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("shingle").asc)
+        .limit(20),
+      Some("""SELECT shingle, COUNT(*) AS n FROM (
+             |  SELECT unnest(list_transform(range(1, len(ts) - 1),
+             |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+             |  FROM (SELECT string_split(text, ' ') AS ts FROM documents))
+             |GROUP BY shingle ORDER BY n DESC, shingle ASC LIMIT 20""".stripMargin)),
+
     Q("text_langid", // marker-stopword language ID vs the labeled column
       (s, d) => docs(s, d).select(col("doc_id"), col("lang"),
           TextOps.langId(col("text")).as("predicted"))
