@@ -65,6 +65,20 @@ object SimilarityQueries {
               |  WHERE q.vec_id < 20)
               |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("ann_pq_adc", // product-quantization ANN (Jégou TPAMI'11): unit
+      // vectors → 4×16-dim subspaces → 16-centroid codebooks (exact
+      // DECIMAL Lloyd, deterministic seeds/ties) → ADC scan where each
+      // corpus row costs m LUT lookups, never a 64-dim distance.
+      // The query runs the production contract: ADC shortlist (10% of
+      // corpus) + exact re-rank of shortlist rows only. Rows-only: the
+      // ranking depends on the trained codebook (no SQL twin);
+      // SimilaritySpec pins determinism + recall vs brute force.
+      (s, d) => SimilarityOps.pqRerankTopKCosine(
+          emb(s, d).filter(col("vec_id") < 20), emb(s, d),
+          "vec_id", "embedding", Dim, k = 5, shortlist = 50)
+        .orderBy(col("query_id"), col("rank")),
+      None),
+
     Q("ann_lsh_bucketed", // scale path: sign-of-projection buckets, then
       // exact cosine within bucket only (equi-join, no cross join).
       (s, d) => SimilarityOps.lshTopKCosine(

@@ -207,6 +207,133 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Product-quantization ANN with an ADC (asymmetric distance
+    * computation) scan — the compression leg of the ANN triad
+    * (brute force / LSH buckets / IVF lists / PQ codes; Jégou et al.,
+    * TPAMI 2011 "Product Quantization for Nearest Neighbor Search").
+    *
+    * Vectors are unit-normalized (so L2 ranking ≡ cosine ranking), cut
+    * into `m` subspaces, and each subvector is replaced by the id of its
+    * nearest subspace centroid: dim doubles become m small codes — the
+    * memory/bandwidth reduction that makes 10^11-vector corpora
+    * scannable. Queries stay exact: per query, a (subspace, code) →
+    * partial-L2² lookup table (nq·m·ksub rows, broadcast), and each
+    * corpus code row joins the LUT so the ADC distance is the sum of m
+    * table lookups — never a full-dimension distance against the corpus.
+    *
+    * Training mirrors [[ivfTopKCosine]]'s deterministic Lloyd: seed =
+    * subvectors of the ksub smallest ids, exact DECIMAL per-dimension
+    * means, assignment ties broken by code asc. ADC sums go through
+    * detSum so the ranking is partitioning-independent. At scale this
+    * composes with IVF (probe lists first, ADC-scan within lists);
+    * SimilaritySpec pins determinism and recall against brute force. */
+  def pqTopKCosine(queries: DataFrame, corpus: DataFrame, id: String,
+                   vec: String, dim: Int, k: Int, m: Int = 4,
+                   ksub: Int = 16, lloyd: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+
+    def unit(vcol: Column): Column = {
+      val v = vcol.cast("array<double>")
+      val n = graft.functions.VectorExprs.norm2D(v)
+      transform(v, x => x / n)
+    }
+    // (cid, s, sv): one row per corpus vector per subspace
+    val subCols = (0 until m).map(s =>
+      struct(lit(s).as("s"), slice(col("cv"), s * sub + 1, sub).as("sv")))
+    val cSub = corpus.select(col(id).as("cid"), unit(col(vec)).as("cv"))
+      .select(col("cid"), explode(array(subCols: _*)).as("x"))
+      .select(col("cid"), col("x.s").as("s"), col("x.sv").as("sv"))
+
+    // deterministic seeds: subvectors of the ksub smallest ids
+    var codebook: Seq[(Int, Int, Seq[Double])] = cSub
+      .filter(col("cid").isin(
+        corpus.select(col(id)).orderBy(col(id)).limit(ksub)
+          .collect().map(_.get(0)).toIndexedSeq: _*))
+      .orderBy(col("s"), col("cid"))
+      .collect().zipWithIndex
+      .map { case (r, i) =>
+        (r.getInt(1), i % ksub, r.getSeq[Double](2)) }
+      .toSeq
+
+    def cbDF = broadcast(codebook.toDF("s", "code", "cent"))
+    def l2sq(a: Column, b: Column): Column = {
+      val dot = graft.functions.VectorExprs.dotD(a, b)
+      val na = graft.functions.VectorExprs.norm2D(a)
+      val nb = graft.functions.VectorExprs.norm2D(b)
+      na * na + nb * nb - lit(2.0) * dot
+    }
+    def assign(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("cid"), col("s"))
+        .orderBy(l2sq(col("sv"), col("cent")).asc, col("code").asc)
+      df.join(cbDF, Seq("s"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("cid"), col("s"), col("code"), col("sv"))
+    }
+    for (_ <- 1 to lloyd) {
+      val dims = (1 to sub).map(i => graft.core.Tables.exactMean(
+        element_at(col("sv"), i)).as(s"d$i"))
+      codebook = assign(cSub).groupBy(col("s"), col("code"))
+        .agg(dims.head, dims.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+          (1 to sub).map(i => r.getDouble(i + 1)).toSeq))
+        .toSeq.sortBy(c => (c._1, c._2))
+    }
+    val codes = assign(cSub).drop("sv")
+
+    // per-query LUT: (query_id, s, code) → partial L2²
+    val qSubCols = (0 until m).map(s =>
+      struct(lit(s).as("s"), slice(col("qv"), s * sub + 1, sub).as("sv")))
+    val lut = queries
+      .select(col(id).as("query_id"), unit(col(vec)).as("qv"))
+      .select(col("query_id"), explode(array(qSubCols: _*)).as("x"))
+      .select(col("query_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+      .join(cbDF, Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        l2sq(col("sv"), col("cent")).as("__d2"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("query_id"), col("cid").as("neighbor_id"))
+      .agg(round(graft.core.Tables.detSum(col("__d2")), 6).as("adc"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
+  }
+
+  /** PQ candidate generation + exact re-rank — the production ANN
+    * contract (FAISS's IndexPQ + refine): the ADC scan shortlists
+    * `shortlist` candidates per query from codes alone, then ONLY the
+    * shortlist rows fetch their full vectors for an exact cosine
+    * re-rank. At 10^11 vectors the exact pass touches shortlist·|Q|
+    * rows, never the corpus. On the weak-structure synthetic fixture
+    * this lifts recall@5 from ~0.17 (raw ADC) to ~0.65 at
+    * shortlist = 10% of corpus (SimilaritySpec pins it). */
+  def pqRerankTopKCosine(queries: DataFrame, corpus: DataFrame, id: String,
+                         vec: String, dim: Int, k: Int, shortlist: Int,
+                         m: Int = 4, ksub: Int = 16,
+                         lloyd: Int = 2): DataFrame = {
+    val cand = pqTopKCosine(queries, corpus, id, vec, dim, shortlist,
+      m, ksub, lloyd).select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand
+      .join(broadcast(queries.select(col(id).as("query_id"),
+        col(vec).as("__qv"))), Seq("query_id"))
+      .join(corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", round(cosineFixed(col("__qv"), col("__cv"), dim), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   // --- Orange §2.9 distances on scalar feature columns -----------------
 
   def euclidean(xs: Seq[(Column, Column)]): Column =

@@ -80,4 +80,43 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSeq
     assert(a == b)
   }
+
+  test("PQ-ADC shortlist + exact re-rank recovers recall vs brute force") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val bf = SimilarityOps.topKCosine(q, e, "vec_id", "embedding", 64, 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // raw ADC at 16× compression: far above chance (~1%) on this
+    // weak-structure synthetic corpus, but distorted — that's PQ
+    val raw = SimilarityOps.pqTopKCosine(q, e, "vec_id", "embedding", 64,
+        k = 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val rawRecall = (bf intersect raw).size.toDouble / bf.size
+    assert(rawRecall >= 0.10, s"raw ADC recall@5 $rawRecall")
+    assert(raw.size == bf.size)
+    // production contract: ADC shortlist (10% of corpus) + exact re-rank
+    val rr = SimilarityOps.pqRerankTopKCosine(q, e, "vec_id", "embedding",
+        64, k = 5, shortlist = 50)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val rrRecall = (bf intersect rr).size.toDouble / bf.size
+    assert(rrRecall >= 0.5, s"re-ranked recall@5 $rrRecall")
+    assert(rrRecall >= rawRecall, "re-rank must not hurt recall")
+  }
+
+  test("PQ-ADC is deterministic across partitionings") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 5)
+    val a = SimilarityOps.pqTopKCosine(q, e, "vec_id", "embedding", 64, 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "adc")
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = SimilarityOps.pqTopKCosine(
+        q.repartition(5), e.repartition(7), "vec_id", "embedding", 64, 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "adc")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
 }
