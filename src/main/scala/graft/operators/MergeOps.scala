@@ -51,6 +51,28 @@ object MergeOps {
   def antiJoin(data: DataFrame, subset: DataFrame, keys: Seq[String]): DataFrame =
     data.join(subset, keys, "left_anti")
 
+  /** Salted equi-join for skewed keys — the tool for the case broadcast
+    * can't solve: BOTH sides too large to broadcast and a handful of hot
+    * keys funneling through single reducers. Every left row gets a
+    * deterministic salt in [0, salts); the right side replicates once
+    * per salt; the join key becomes (keys…, salt), so a hot key's rows
+    * spread over `salts` reducers instead of one. Semantically
+    * transparent (the oracle is the plain join) — pay `salts`× right-side
+    * replication to cut the hot reducer by the same factor. Prefer
+    * broadcast when one side fits (PlanSpec's 3-way join), and AQE's
+    * skewedJoin for moderate skew; explicit salting is the deliberate
+    * fallback when neither applies at 100 TB. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltFrom: Column, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(saltFrom), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Venn-diagram disjoint-region counts over n keyed inputs
     * (widgets/visualize/owvenndiagram.py get_disjoint: for each of the
     * 2^n − 1 inclusion masks, the number of distinct keys present in

@@ -153,6 +153,33 @@ object RelationalQueries {
              |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)),
 
+    Q("join_salted_skew", // salted shuffle join on a 3-hot-key join
+      // (l_returnflag): per-flag means join back onto the fact with an
+      // 8-way salt so no single reducer owns a flag. shuffle_hash hint
+      // disables the broadcast that would normally (rightly) win at this
+      // dim size — the query exercises the genuine skew fallback shape.
+      (s, d) => {
+        val flagStats = li(s, d).groupBy(col("l_returnflag"))
+          .agg(exactMean(col("l_quantity")).as("flag_mean"))
+        MergeOps.saltedJoin(
+            li(s, d), flagStats.hint("shuffle_hash"),
+            Seq("l_returnflag"), saltFrom = col("l_orderkey"), salts = 8)
+          .filter(col("l_quantity") > col("flag_mean"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_above"),
+            round(first(col("flag_mean")), 6).as("flag_mean"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH fs AS (
+              |  SELECT l_returnflag, ${sqlMean("l_quantity")} AS flag_mean
+              |  FROM lineitem GROUP BY l_returnflag)
+              |SELECT l.l_returnflag, COUNT(*) AS n_above,
+              |       ROUND(fs.flag_mean, 6) AS flag_mean
+              |FROM lineitem l JOIN fs USING (l_returnflag)
+              |WHERE l.l_quantity > fs.flag_mean
+              |GROUP BY l.l_returnflag, fs.flag_mean
+              |ORDER BY l.l_returnflag""".stripMargin)),
+
     Q("venn_disjoint_counts", // owvenndiagram.py get_disjoint: distinct-key
       // counts of every inclusion region across 3 sets (parts / parts ever
       // ordered / parts ever returned). One bitmask aggregation — no 2^n

@@ -106,4 +106,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("salted skew join: salt is a physical join key, broadcast disabled") {
+    val p = plan("join_salted_skew")
+    assert(p.contains("__salt"), "salt column missing from physical plan")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "skew demo must exercise a shuffle join, not broadcast")
+  }
 }
