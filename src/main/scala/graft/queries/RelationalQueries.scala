@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.core.Tables._
 import graft.operators._
@@ -152,6 +153,39 @@ object RelationalQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM orders
              |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)),
+
+    Q("window_analytics", // the analytic-window family (SURVEY §2.5:
+      // absent in the reference, used everywhere as implementation
+      // vehicle — exposed here as a user-facing operator): per-customer
+      // event sequence with row_number, lag, moving average and running
+      // total. Window sums go through DECIMAL so Spark's sequential
+      // frame evaluation and DuckDB's segment-tree aggregation agree.
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val dec = col("o_totalprice").cast("decimal(38,6)")
+        ord(s, d).filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).as("seq"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            round((sum(dec).over(w.rowsBetween(-2, 0)) /
+              count(lit(1)).over(w.rowsBetween(-2, 0))).cast("double"), 6)
+              .as("ma3"),
+            round(sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double"), 6).as("cum_spend"))
+          .orderBy(col("o_custkey"), col("seq"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  ROW_NUMBER() OVER w AS seq,
+             |  LAG(o_totalprice, 1) OVER w AS prev_price,
+             |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+             |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3,
+             |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+             |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS cum_spend
+             |FROM orders WHERE o_custkey < 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, seq""".stripMargin)),
 
     Q("join_salted_skew", // salted shuffle join on a 3-hot-key join
       // (l_returnflag): per-flag means join back onto the fact with an

@@ -48,6 +48,32 @@ object StreamingQueries {
               |FROM events GROUP BY 1, 2
               |ORDER BY bucket_start, event_type""".stripMargin)),
 
+    Q("events_cohort_retention", // cohort/retention matrix: users bucket
+      // by first-seen day, activity counts by (cohort, day offset).
+      // Two user-keyed aggregations + one user-keyed equi-join — both
+      // sides arrive hash-partitioned on user_id, so the join reuses the
+      // shuffle; all date math is exact integer division on epoch nanos.
+      (s, d) => {
+        val day = expr("(ts div 1000000000) div 86400")
+        val days = ev(s, d).select(col("user_id"), day.as("day")).distinct()
+        val cohort = days.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        days.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH d AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(FLOOR(FLOOR(epoch(ts)) / 86400) AS BIGINT) AS day
+             |  FROM events),
+             |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+             |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+             |       COUNT(DISTINCT d.user_id) AS n_active
+             |FROM d JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("events_sessionize", // session windows via lag-gap > 30 min per user
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
