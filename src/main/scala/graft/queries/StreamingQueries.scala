@@ -48,6 +48,49 @@ object StreamingQueries {
               |FROM events GROUP BY 1, 2
               |ORDER BY bucket_start, event_type""".stripMargin)),
 
+    Q("events_funnel_steps", // ordered funnel view → click → purchase:
+      // step k's earliest time must follow step k−1's. Three user-keyed
+      // conditional aggregations chained by equi-joins — every stage is
+      // hash-partitioned on user_id, so the shuffle happens once and the
+      // chain reuses it; no per-user sorting or window over the raw feed.
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("event_type"),
+          expr("ts div 1000000000").as("tsec"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("tsec")).as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("tsec") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("tsec")).as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("tsec") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("tsec")).as("t3"))
+        val n1 = s1.agg(count(lit(1)).as("n")).select(
+          lit(1).as("step"), lit("view").as("event_type"), col("n"))
+        val n2 = s2.agg(count(lit(1)).as("n")).select(
+          lit(2).as("step"), lit("click").as("event_type"), col("n"))
+        val n3 = s3.agg(count(lit(1)).as("n")).select(
+          lit(3).as("step"), lit("purchase").as("event_type"), col("n"))
+        n1.unionByName(n2).unionByName(n3).orderBy(col("step"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec
+             |  FROM events),
+             |s1 AS (SELECT user_id, MIN(tsec) AS t1 FROM e
+             |       WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, MIN(tsec) AS t2 FROM e JOIN s1 USING (user_id)
+             |       WHERE event_type = 'click' AND tsec > t1 GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, MIN(tsec) AS t3 FROM e JOIN s2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND tsec > t2 GROUP BY e.user_id)
+             |SELECT 1 AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS n
+             |UNION ALL
+             |SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+             |UNION ALL
+             |SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+             |ORDER BY step""".stripMargin)),
+
     Q("events_cohort_retention", // cohort/retention matrix: users bucket
       // by first-seen day, activity counts by (cohort, day offset).
       // Two user-keyed aggregations + one user-keyed equi-join — both
