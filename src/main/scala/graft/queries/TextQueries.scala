@@ -106,7 +106,11 @@ object TextQueries {
       // (no per-doc distinct), one partial-agg shuffle on the shingle,
       // deterministic top-20 by (count desc, shingle asc).
       (s, d) => docs(s, d)
-        .select(explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+        // materialize the token array BEFORE the shingle lambda — the
+        // HOF would otherwise re-split the text once per element
+        // (the shinglesFromTokens O(tokens²) pitfall)
+        .select(TextOps.tokens(col("text")).as("__ts"))
+        .select(explode(TextOps.shinglesFromTokens(col("__ts"), 3)).as("shingle"))
         .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("shingle").asc)
         .limit(20),

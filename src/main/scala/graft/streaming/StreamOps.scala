@@ -194,10 +194,12 @@ object StreamOps {
     val schema = spark.read.parquet(path).schema
     val withSig = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-      .withColumn("__sh", TextOps.shingles(col("text"), 3))
+      // materialize the token array BEFORE the shingle lambda (the
+      // shinglesFromTokens O(tokens²) pitfall), then hash once per
+      // shingle; each permutation re-scans only the small hash array
+      .withColumn("__ts", TextOps.tokens(col("text")))
+      .withColumn("__sh", TextOps.shinglesFromTokens(col("__ts"), 3))
       .filter(size(col("__sh")) > 0)
-      // hash once per shingle; each permutation then re-scans the small
-      // hash array only
       .withColumn("__hs", transform(col("__sh"), s => hashVal32(s)))
     val bandStructs = (0 until bands).map { b =>
       val mins = (0 until rows).map { r =>
