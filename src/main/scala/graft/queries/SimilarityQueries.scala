@@ -79,6 +79,18 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank")),
       None),
 
+    Q("ann_ivf_pq", // the composed FAISS production shape: coarse lists
+      // shrink candidates ~nprobe/nlist BEFORE any distance work, then
+      // the ADC scan prices each survivor at m LUT lookups. Run at
+      // nprobe = nlist where it provably equals the plain PQ scan
+      // (SimilaritySpec pins the identity + the subset property at
+      // nprobe < nlist). Rows-only: codebook-dependent ranking.
+      (s, d) => SimilarityOps.ivfPqTopKCosine(
+          emb(s, d).filter(col("vec_id") < 20), emb(s, d),
+          "vec_id", "embedding", Dim, k = 5, nlist = 8, nprobe = 8)
+        .orderBy(col("query_id"), col("rank")),
+      None),
+
     Q("ann_lsh_bucketed", // scale path: sign-of-projection buckets, then
       // exact cosine within bucket only (equi-join, no cross join).
       (s, d) => SimilarityOps.lshTopKCosine(

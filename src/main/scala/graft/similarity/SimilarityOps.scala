@@ -230,6 +230,24 @@ object SimilarityOps {
   def pqTopKCosine(queries: DataFrame, corpus: DataFrame, id: String,
                    vec: String, dim: Int, k: Int, m: Int = 4,
                    ksub: Int = 16, lloyd: Int = 2): DataFrame = {
+    val (codes, lut) = pqEncode(queries, corpus, id, vec, dim, m, ksub, lloyd)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("query_id"), col("cid").as("neighbor_id"))
+      .agg(round(graft.core.Tables.detSum(col("__d2")), 6).as("adc"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
+  }
+
+  /** Shared PQ training/encoding: returns (codes, lut) — corpus codes
+    * (cid, s, code) and the per-query partial-distance lookup table
+    * (query_id, s, code, __d2). */
+  private def pqEncode(queries: DataFrame, corpus: DataFrame, id: String,
+                       vec: String, dim: Int, m: Int,
+                       ksub: Int, lloyd: Int): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -295,10 +313,58 @@ object SimilarityOps {
       .join(cbDF, Seq("s"))
       .select(col("query_id"), col("s"), col("code"),
         l2sq(col("sv"), col("cent")).as("__d2"))
+    (codes, lut)
+  }
 
+  /** IVF-PQ composition — the full FAISS production shape: the coarse
+    * quantizer routes each query to `nprobe` of `nlist` inverted lists,
+    * and the ADC scan then touches ONLY the codes of vectors in probed
+    * lists. Candidate count shrinks ~nprobe/nlist before any distance
+    * work, and each surviving candidate costs m LUT lookups — the two
+    * multiplicative reductions that make 10^11-vector search tractable.
+    * With nprobe = nlist the probe is a no-op and the output equals
+    * [[pqTopKCosine]] exactly (SimilaritySpec pins this identity, the
+    * same device as ann_ivf's nprobe = nlist oracle). Coarse assignment
+    * reuses the deterministic smallest-id-seeded Lloyd of
+    * [[ivfTopKCosine]] in spirit: one iteration over unit vectors,
+    * cosine routing with list-id tiebreak. */
+  def ivfPqTopKCosine(queries: DataFrame, corpus: DataFrame, id: String,
+                      vec: String, dim: Int, k: Int, nlist: Int,
+                      nprobe: Int, m: Int = 4, ksub: Int = 16,
+                      lloyd: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // coarse centroids: the nlist smallest-id vectors (deterministic)
+    val cents = corpus.orderBy(col(id)).limit(nlist)
+      .select(col(vec).cast("array<double>").as("cent"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val centDF = broadcast(cents.toDF("list_id", "cent"))
+    def route(df: DataFrame, rank: Int): DataFrame = {
+      val v = col(vec).cast("array<double>")
+      val cos = graft.functions.VectorExprs.dotD(v, col("cent")) /
+        (graft.functions.VectorExprs.norm2D(v) *
+         graft.functions.VectorExprs.norm2D(col("cent")))
+      val w = Window.partitionBy(col(id))
+        .orderBy(cos.desc, col("list_id").asc)
+      df.crossJoin(centDF)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= rank)
+        .drop("cent", "__rk")
+    }
+    val corpusLists = route(corpus, 1)
+      .select(col(id).as("cid"), col("list_id"))
+    val probed = route(queries, nprobe)
+      .select(col(id).as("query_id"), col("list_id"))
+    // candidate pairs = corpus vectors in probed lists only; ADC work
+    // below is proportional to candidates, not the corpus
+    val candidates = corpusLists.join(probed, Seq("list_id"))
+      .select(col("query_id"), col("cid"))
+    val (codes, lut) = pqEncode(queries, corpus, id, vec, dim, m, ksub, lloyd)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
-    codes.join(broadcast(lut), Seq("s", "code"))
+    codes.join(candidates, Seq("cid"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
       .groupBy(col("query_id"), col("cid").as("neighbor_id"))
       .agg(round(graft.core.Tables.detSum(col("__d2")), 6).as("adc"))
       .filter(col("query_id") =!= col("neighbor_id"))

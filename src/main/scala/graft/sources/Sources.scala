@@ -81,6 +81,22 @@ object Sources {
     w.saveAsTable(name)
   }
 
+  /** Hive-layout partitioned sink: directory-per-value on the partition
+    * columns. A filter on the partition column prunes at PLANNING time —
+    * unmatched date/type directories are never listed, let alone read.
+    * This is the other half of the 100 TB layout story next to
+    * [[writeBucketed]]: partition by the coarse always-filtered axis
+    * (ingest date, source), bucket by the join key. PartitioningSpec
+    * asserts the pruned scan (PartitionFilters + partition count). Keep
+    * partition cardinality bounded (≤ thousands): each value is a
+    * directory, and millions of tiny partitions thrash the driver's
+    * file index instead of helping. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** SqlTable source (Orange/data/sql/table.py:27-95): the reference
     * materializes a DB table/query lazily; the Spark-native equivalent
     * is the JDBC source with predicate pushdown. `partitionColumn` /

@@ -105,6 +105,36 @@ class SimilaritySpec extends SparkSpec {
     assert(rrRecall >= rawRecall, "re-rank must not hurt recall")
   }
 
+  test("IVF-PQ with nprobe = nlist equals the plain PQ-ADC scan exactly") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val pq = SimilarityOps.pqTopKCosine(q, e, "vec_id", "embedding", 64, 5)
+      .select("query_id", "neighbor_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val ivfpq = SimilarityOps.ivfPqTopKCosine(q, e, "vec_id", "embedding",
+        64, 5, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ivfpq == pq)
+  }
+
+  test("IVF-PQ with small nprobe returns a per-query subset of probed lists") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val r = SimilarityOps.ivfPqTopKCosine(q, e, "vec_id", "embedding",
+        64, 5, nlist = 8, nprobe = 2)
+    val perQuery = r.groupBy(col("query_id")).count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) <= 5))
+    // candidate shrink: results must come from the PQ ranking, so every
+    // (query, neighbor) must also rank within plain PQ's full scan
+    val full = SimilarityOps.pqTopKCosine(q, e, "vec_id", "embedding", 64,
+        k = Int.MaxValue).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val got = r.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(full))
+  }
+
   test("PQ-ADC is deterministic across partitionings") {
     val e = embeddings
     val q = e.filter(col("vec_id") < 5)
