@@ -84,6 +84,34 @@ object AnalyticsQueries {
               |           + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
               |  FROM lineitem)""".stripMargin)),
 
+    Q("dist_transform", // owdistancetransformation.py:30-41 (normalize
+      // then invert, commit() order :70-75): [0,1] normalization +
+      // max−X inversion over a pair-bounded distance table; global
+      // min/max from ONE agg broadcast back.
+      (s, d) => {
+        val cent = cust(s, d).groupBy(col("c_nationkey").as("k"))
+          .agg(exactMean(col("c_acctbal")).as("m"))
+        val a = cent.select(col("k").as("k1"), col("m").as("m1"))
+        val b = cent.select(col("k").as("k2"), col("m").as("m2"))
+        val pairs = a.join(b, col("k1") < col("k2"))
+          .select(col("k1"), col("k2"), abs(col("m1") - col("m2")).as("dist"))
+        SimilarityOps.transformDistances(pairs, "dist", "sim",
+            normalize = "unit", invert = "max_minus")
+          .select(col("k1"), col("k2"), round(col("dist"), 6).as("dist"),
+            col("sim"))
+          .orderBy(col("k1"), col("k2"))
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT c_nationkey AS k, ${sqlMean("c_acctbal")} AS m
+              |  FROM customer GROUP BY c_nationkey),
+              |pairs AS (
+              |  SELECT a.k AS k1, b.k AS k2, ABS(a.m - b.m) AS dist
+              |  FROM cent a JOIN cent b ON a.k < b.k),
+              |st AS (SELECT MIN(dist) AS mn, MAX(dist) AS mx FROM pairs)
+              |SELECT k1, k2, ROUND(dist, 6) AS dist,
+              |  ROUND(1.0 - (dist - mn) / (mx - mn), 6) AS sim
+              |FROM pairs, st ORDER BY k1, k2""".stripMargin)),
+
     Q("distances_pairwise", // §2.9 Euclidean/Manhattan/Cosine between
       // nation-level centroid vectors (mean acctbal, customer count).
       (s, d) => {

@@ -1019,6 +1019,81 @@ object MLQueries {
         "l_quantity / 50.0 * 0.7 + l_discount * 10.0 * 0.2 + l_tax * 0.5",
         alpha = 1.0))),
 
+    Q("ml_confusion_matrix", // widgets/evaluate/owconfusionmatrix.py:
+      // the (actual × predicted) count matrix with row proportions, from
+      // the same deterministic rule classifier as ml_eval_classification.
+      // One contingency groupBy; proportions via a window over the tiny
+      // grouped table.
+      (s, d) => {
+        val pred = when(col("l_shipdate") < lit("1998-07-01").cast("timestamp"), "F")
+          .otherwise("O")
+        val cm = li(s, d)
+          .select(col("l_linestatus").as("actual"), pred.as("predicted"))
+          .groupBy(col("actual"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+        val byRow = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("actual"))
+        cm.withColumn("row_frac",
+            round(col("n").cast("double") / sum(col("n")).over(byRow), 6))
+          .orderBy(col("actual"), col("predicted"))
+      },
+      Some("""WITH cm AS (
+             |  SELECT l_linestatus AS actual,
+             |    CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+             |         THEN 'F' ELSE 'O' END AS predicted,
+             |    COUNT(*) AS n
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT actual, predicted, n,
+             |  ROUND(CAST(n AS DOUBLE) /
+             |        SUM(n) OVER (PARTITION BY actual), 6) AS row_frac
+             |FROM cm ORDER BY actual, predicted""".stripMargin)),
+
+    Q("ml_feature_as_predictor", // widgets/evaluate/
+      // owfeatureaspredictor.py: score a raw column directly as a
+      // binary classifier (the column IS the model's score); AUC via
+      // the grouped Mann-Whitney device of ml_eval_auc.
+      (s, d) => Learners.Scoring.auc(
+        li(s, d), col("l_returnflag") === "R", col("l_discount")),
+      Some(s"""WITH by_score AS (
+              |  SELECT l_discount AS s,
+              |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np,
+              |    SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nn
+              |  FROM lineitem GROUP BY 1),
+              |w AS (
+              |  SELECT np, nn,
+              |    SUM(nn) OVER (ORDER BY s ASC ROWS BETWEEN UNBOUNDED
+              |      PRECEDING AND CURRENT ROW) - nn AS cumn
+              |  FROM by_score)
+              |SELECT ROUND((SUM(np * cumn) + SUM(np * nn) / 2.0) /
+              |  (SUM(np) * CAST(SUM(nn) AS DOUBLE)), 6) AS auc
+              |FROM w""".stripMargin)),
+
+    Q("ml_param_sweep_ridge", // widgets/evaluate/owparameterfitter.py:
+      // fitted-parameter sweep — the ridge closed form at three alphas.
+      // Each fit is the same two-scan centered-moment plan; the sweep is
+      // a union of three tiny one-row results, not three data passes per
+      // candidate model beyond those scans.
+      (s, d) => Seq(0.1, 1.0, 10.0).map { a =>
+        graft.ml.LinearClosed.ridge2(
+            li(s, d),
+            ("qty", col("l_quantity") / 50.0),
+            ("disc", col("l_discount") * 10.0),
+            col("l_quantity") / 50.0 * 0.7 + col("l_discount") * 10.0 * 0.2 +
+              col("l_tax") * 0.5, alpha = a)
+          .withColumn("alpha", lit(a))
+      }.reduce(_.unionByName(_))
+        .select(col("alpha"), col("w_qty"), col("w_disc"), col("intercept"))
+        .orderBy(col("alpha")),
+      Some(Seq(0.1, 1.0, 10.0).map { a =>
+        val inner = graft.ml.LinearClosed.ridge2Sql(
+          "lineitem",
+          ("qty", "l_quantity / 50.0"),
+          ("disc", "l_discount * 10.0"),
+          "l_quantity / 50.0 * 0.7 + l_discount * 10.0 * 0.2 + l_tax * 0.5",
+          alpha = a)
+        s"SELECT CAST($a AS DOUBLE) AS alpha, r.* FROM ($inner) r"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY alpha"))),
+
     Q("ml_lasso_elasticnet", // regression/linear.py:53 Lasso + :65
       // ElasticNet — single-feature soft-threshold coordinate solution
       // (the converged sklearn answer), same two-scan centered-moment

@@ -400,6 +400,46 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Distance-matrix transformation (widgets/unsupervised/
+    * owdistancetransformation.py:30-41, applied normalize-then-invert
+    * per commit() at :70-75) over long-format distances. Normalization:
+    * none | unit ([0,1]) | sym ([-1,1]) | sigmoid. Inversion: none |
+    * neg (−X) | one_minus (1−X) | max_minus (max−X) | reciprocal (1/X).
+    * Global min/max come from ONE aggregation broadcast back — distance
+    * tables are pair-bounded, never the raw corpus. */
+  def transformDistances(df: DataFrame, d: String, out: String,
+                         normalize: String = "none",
+                         invert: String = "none"): DataFrame = {
+    val stats = df.agg(min(col(d)).cast("double").as("__mn"),
+      max(col(d)).cast("double").as("__mx"))
+    val x = col(d).cast("double")
+    val normed = normalize match {
+      case "none" => x
+      case "unit" => (x - col("__mn")) / (col("__mx") - col("__mn"))
+      case "sym" => (x - col("__mn")) / (col("__mx") - col("__mn")) * 2 - 1
+      case "sigmoid" => lit(1.0) / (lit(1.0) + exp(-x))
+      case other => throw new IllegalArgumentException(other)
+    }
+    // the reference's max(X)-X takes the max of the matrix it RECEIVES,
+    // i.e. post-normalization (commit() normalizes first)
+    val normMax = normalize match {
+      case "none" => col("__mx")
+      case "unit" | "sym" => lit(1.0)
+      case "sigmoid" => lit(1.0) / (lit(1.0) + exp(-col("__mx")))
+    }
+    val inverted = invert match {
+      case "none" => normed
+      case "neg" => -normed
+      case "one_minus" => lit(1.0) - normed
+      case "max_minus" => normMax - normed
+      case "reciprocal" => lit(1.0) / normed
+      case other => throw new IllegalArgumentException(other)
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn(out, round(inverted, 6))
+      .drop("__mn", "__mx")
+  }
+
   // --- Orange §2.9 distances on scalar feature columns -----------------
 
   def euclidean(xs: Seq[(Column, Column)]): Column =
