@@ -50,7 +50,10 @@ object ClusterEval {
   def adjustedMutualInfo(df: DataFrame, pred: Column,
                          actual: Column): DataFrame = {
     val spark = df.sparkSession
-    val cells = df.groupBy(pred.as("u"), actual.as("v"))
+    // rows with a missing label are dropped, mirroring the reference's
+    // Results filtering (clustering.py from_predicted on finite rows)
+    val cells = df.where(pred.isNotNull && actual.isNotNull)
+      .groupBy(pred.as("u"), actual.as("v"))
       .agg(count(lit(1)).as("n"))
       .collect()
       .map(r => (r.get(0).toString, r.get(1).toString, r.getLong(2)))
@@ -87,7 +90,15 @@ object ClusterEval {
       }
     }
 
-    val ami = (mi - emi) / ((hu + hv) / 2.0 - emi)
+    // sklearn's special case: both labelings trivial (one cluster each)
+    // scores 1.0; otherwise the normalizer is clamped away from zero so
+    // degenerate inputs return a number, not NaN
+    val ami =
+      if (aM.size == 1 && bM.size == 1) 1.0
+      else {
+        val denom = math.max((hu + hv) / 2.0 - emi, Double.MinPositiveValue)
+        (mi - emi) / denom
+      }
     import spark.implicits._
     Seq((r6(mi), r6(emi), r6(hu), r6(hv), r6(ami)))
       .toDF("mi", "emi", "h_u", "h_v", "ami")

@@ -92,7 +92,8 @@ object Correspondence {
   def rowCoordinates(df: DataFrame, rowVar: Column, colVar: Column,
                      axes: Int = 2): DataFrame = {
     val spark = df.sparkSession
-    val cells = df.groupBy(rowVar.as("r"), colVar.as("c"))
+    val cells = df.where(rowVar.isNotNull && colVar.isNotNull)
+      .groupBy(rowVar.as("r"), colVar.as("c"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.get(0).toString, r.get(1).toString, r.getLong(2)))
     val rows = cells.map(_._1).distinct.sorted

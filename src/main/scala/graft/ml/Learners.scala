@@ -210,7 +210,20 @@ object Learners {
       * ("predict positive when score ≥ t"). Scale shape: groupBy on the
       * score FIRST (map-side combined, one scan), window only over the
       * tiny per-score table — same device as [[auc]]. */
-    def rocCurve(df: DataFrame, isPos: Column, score: Column): DataFrame = {
+    def rocCurve(df: DataFrame, isPos: Column, score: Column): DataFrame =
+      thresholdCounts(df, isPos, score)
+        .select(col("threshold"),
+          round(col("__fp").cast(DoubleType) / col("__n"), 6).as("fpr"),
+          round(col("__tp").cast(DoubleType) / col("__p"), 6).as("tpr"))
+        .orderBy(col("threshold").desc)
+
+    /** Shared scaffold for the threshold-sweep curves: per distinct
+      * score (the threshold grid), cumulative __tp/__fp when predicting
+      * positive at score >= threshold, plus the totals __p/__n. One
+      * map-side-combined groupBy; the windows run over the tiny grouped
+      * table only — the 100 TB shape all three curves inherit. */
+    private def thresholdCounts(df: DataFrame, isPos: Column,
+                                score: Column): DataFrame = {
       val byScore = df.groupBy(score.as("threshold")).agg(
         sum(when(isPos, 1L).otherwise(0L)).as("__np"),
         sum(when(isPos, 0L).otherwise(1L)).as("__nn"))
@@ -219,14 +232,10 @@ object Learners {
       val tot = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
       byScore
-        .withColumn("__ctp", sum(col("__np")).over(desc))
-        .withColumn("__cfp", sum(col("__nn")).over(desc))
+        .withColumn("__tp", sum(col("__np")).over(desc))
+        .withColumn("__fp", sum(col("__nn")).over(desc))
         .withColumn("__p", sum(col("__np")).over(tot))
         .withColumn("__n", sum(col("__nn")).over(tot))
-        .select(col("threshold"),
-          round(col("__cfp").cast(DoubleType) / col("__n"), 6).as("fpr"),
-          round(col("__ctp").cast(DoubleType) / col("__p"), 6).as("tpr"))
-        .orderBy(col("threshold").desc)
     }
 
     /** Cumulative-gains / lift curve (widgets/evaluate/owliftcurve.py):
@@ -234,23 +243,14 @@ object Learners {
       * (rate), the fraction of all positives captured (gain), and
       * lift = gain / rate. Same grouped-then-window shape as [[rocCurve]]. */
     def liftCurve(df: DataFrame, isPos: Column, score: Column): DataFrame = {
-      val byScore = df.groupBy(score.as("threshold")).agg(
-        sum(when(isPos, 1L).otherwise(0L)).as("__np"),
-        count(lit(1)).as("__cnt"))
-      val desc = Window.orderBy(col("threshold").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      byScore
-        .withColumn("__ctp", sum(col("__np")).over(desc))
-        .withColumn("__crows", sum(col("__cnt")).over(desc))
-        .withColumn("__p", sum(col("__np")).over(tot))
-        .withColumn("__all", sum(col("__cnt")).over(tot))
+      val crows = col("__tp") + col("__fp")
+      val all = col("__p") + col("__n")
+      thresholdCounts(df, isPos, score)
         .select(col("threshold"),
-          round(col("__crows").cast(DoubleType) / col("__all"), 6).as("rate"),
-          round(col("__ctp").cast(DoubleType) / col("__p"), 6).as("gain"),
-          round((col("__ctp").cast(DoubleType) / col("__p")) /
-                (col("__crows").cast(DoubleType) / col("__all")), 6).as("lift"))
+          round(crows.cast(DoubleType) / all, 6).as("rate"),
+          round(col("__tp").cast(DoubleType) / col("__p"), 6).as("gain"),
+          round((col("__tp").cast(DoubleType) / col("__p")) /
+                (crows.cast(DoubleType) / all), 6).as("lift"))
         .orderBy(col("threshold").desc)
     }
 
@@ -266,18 +266,7 @@ object Learners {
       * copy-the-neighbor patch (performance_curves.py:139-143). */
     def performanceCurves(df: DataFrame, isPos: Column,
                           score: Column): DataFrame = {
-      val byScore = df.groupBy(score.as("threshold")).agg(
-        sum(when(isPos, 1L).otherwise(0L)).as("__np"),
-        sum(when(isPos, 0L).otherwise(1L)).as("__nn"))
-      val desc = Window.orderBy(col("threshold").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      val w = byScore
-        .withColumn("__tp", sum(col("__np")).over(desc))
-        .withColumn("__fp", sum(col("__nn")).over(desc))
-        .withColumn("__p", sum(col("__np")).over(tot))
-        .withColumn("__n", sum(col("__nn")).over(tot))
+      val w = thresholdCounts(df, isPos, score)
       val tp = col("__tp").cast(DoubleType)
       val fp = col("__fp").cast(DoubleType)
       val p = col("__p").cast(DoubleType)

@@ -66,6 +66,11 @@ object MergeOps {
                  saltFrom: Column, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // right/full outer would emit each unmatched right row `salts` times
+    // (the right side is replicated per salt before joining)
+    require(Set("inner", "left", "left_outer", "leftouter")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val l = left.withColumn("__salt",
       pmod(xxhash64(saltFrom), lit(salts.toLong)).cast("int"))
     val r = right.withColumn("__salt",

@@ -356,7 +356,7 @@ object TextQueries {
              |    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
              |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             |      '\+?\d{3}[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS red
+             |      '\b\+?\d{3}[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS red
              |  FROM documents)
              |SELECT doc_id, md5(red) AS redacted_md5,
              |  CASE WHEN red <> text THEN 1 ELSE 0 END AS changed

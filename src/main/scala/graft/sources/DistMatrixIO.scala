@@ -25,9 +25,6 @@ import scala.jdk.CollectionConverters._
   * .dst files, they stay as long-format parquet. */
 object DistMatrixIO {
 
-  final case class DistHeader(n: Int, symmetric: Boolean, axis: Int,
-                              rowLabels: Boolean, colLabels: Boolean)
-
   private val schema = StructType(Seq(
     StructField("i", IntegerType, nullable = false),
     StructField("j", IntegerType, nullable = false),
@@ -108,11 +105,16 @@ object DistMatrixIO {
     val rows = df.collect()
     val m = Array.ofDim[Double](n, n)
     val rowLabels = Array.fill[String](n)(null)
-    var colLabels = Array.fill[String](n)(null)
+    val colLabels = Array.fill[String](n)(null)
     rows.foreach { r =>
       val i = r.getAs[Number]("i").intValue()
       val j = r.getAs[Number]("j").intValue()
+      require(i >= 0 && i < n && j >= 0 && j < n,
+        s"cell ($i,$j) outside ${n}x$n matrix")
       m(i)(j) = r.getAs[Number]("d").doubleValue()
+      // mirror so upper-triangle-only inputs (the engine's pairwise
+      // queries emit i < j) still fill the written lower triangle
+      if (symmetric) m(j)(i) = m(i)(j)
       if (cols("row_label") && !r.isNullAt(r.fieldIndex("row_label")))
         rowLabels(i) = r.getAs[String]("row_label")
       if (cols("col_label") && !r.isNullAt(r.fieldIndex("col_label")))

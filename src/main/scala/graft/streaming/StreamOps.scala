@@ -190,6 +190,9 @@ object StreamOps {
                                 sinkName: String, bands: Int = 8,
                                 rows: Int = 2): DataFrame = {
     import graft.text.{DedupOps, TextOps}
+    require(bands * rows <= DedupOps.MinhashParams.length,
+      s"bands*rows = ${bands * rows} exceeds the " +
+        s"${DedupOps.MinhashParams.length} fixed permutations")
     val path = s"$sfDir/documents.parquet"
     val schema = spark.read.parquet(path).schema
     val withSig = spark.readStream.schema(schema)

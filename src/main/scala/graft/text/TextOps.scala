@@ -103,8 +103,12 @@ object TextOps {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val ip = regexp_replace(email,
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    // boundaries on BOTH ends: without the leading \b an 11+-digit run
+    // (card/account numbers) would be partially redacted, leaking its
+    // leading digits. Delimited phone shapes only; unbroken long digit
+    // runs are a different scrub class (no lookbehind — RE2-safe).
     regexp_replace(ip,
-      "\\+?\\d{3}[-. ]?\\d{3}[-. ]?\\d{4}\\b", "<PHONE>")
+      "\\b\\+?\\d{3}[-. ]?\\d{3}[-. ]?\\d{4}\\b", "<PHONE>")
   }
 
   /** Canonical-form fingerprint: lowercase + collapsed whitespace first,

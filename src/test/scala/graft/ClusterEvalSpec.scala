@@ -40,6 +40,18 @@ class ClusterEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("emi") > 0.0)
   }
 
+  test("degenerate inputs: both-trivial scores 1.0; null labels dropped") {
+    // sklearn special case: one cluster on BOTH sides → 1.0
+    val r = ClusterEval.adjustedMutualInfo(labels, lit("only"), lit("x")).first()
+    assert(r.getAs[Double]("ami") == 1.0, r.toString)
+    // null labels are filtered, not NPE'd, and the result is finite
+    val withNulls = labels.withColumn("p2",
+      when(col("pred") === "a", lit(null)).otherwise(col("pred")))
+    val r2 = ClusterEval.adjustedMutualInfo(
+      withNulls, col("p2"), col("actual")).first()
+    assert(!r2.getAs[Double]("ami").isNaN)
+  }
+
   test("lgamma matches ln(k!) on exact integer factorials") {
     var f = 1.0
     for (k <- 1 to 20) {

@@ -51,6 +51,21 @@ class DistMatrixIOSpec extends SparkSpec {
     intercept[IllegalArgumentException](DistMatrixIO.readDst(spark, bad))
   }
 
+  test("symmetric write from upper-triangle-only input keeps all values") {
+    import spark.implicits._
+    // the engine's pairwise queries emit only i < j — the writer must
+    // mirror into the stored lower triangle, not silently write zeros
+    val upper = Seq((0, 1, 2.5), (0, 2, 4.0), (1, 2, 1.5))
+      .toDF("i", "j", "d")
+    val f = Files.createTempFile("graft_dst_ut_", ".dst").toString
+    DistMatrixIO.writeDst(upper, 3, f, symmetric = true)
+    val back = DistMatrixIO.readDst(spark, f)
+    def at(i: Int, j: Int): Double =
+      back.filter(col("i") === i && col("j") === j).head().getDouble(2)
+    assert(at(1, 0) == 2.5 && at(0, 1) == 2.5)
+    assert(at(2, 0) == 4.0 && at(2, 1) == 1.5)
+  }
+
   test("write → read round-trips values and labels (symmetric)") {
     import spark.implicits._
     val long = (for (i <- 0 until 3; j <- 0 until 3) yield

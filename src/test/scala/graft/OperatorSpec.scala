@@ -84,7 +84,8 @@ class OperatorSpec extends SparkSpec {
       (1L, "contact bob.smith+spam@sub.example.co for info"),
       (2L, "server at 192.168.001.1 port 8080"),
       (3L, "call +1 555-123-4567 or 555.987.6543 now"),
-      (4L, "nothing sensitive here at all")
+      (4L, "nothing sensitive here at all"),
+      (5L, "card 1234567890123456 stays whole")
     ).toDF("doc_id", "text")
     val out = d.select(col("doc_id"),
         graft.text.TextOps.redactPii(col("text")).as("r"))
@@ -93,6 +94,9 @@ class OperatorSpec extends SparkSpec {
     assert(out(2L) == "server at <IP> port 8080", out(2L))
     assert(out(3L) == "call +1 <PHONE> or <PHONE> now", out(3L))
     assert(out(4L) == "nothing sensitive here at all")
+    // boundary on both ends: a 16-digit run must NOT be partially
+    // redacted (leaking its leading digits) — it stays untouched
+    assert(out(5L) == "card 1234567890123456 stays whole", out(5L))
   }
 
   test("exact dedup keeps one representative per content") {
