@@ -154,6 +154,67 @@ object RelationalQueries {
              |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)),
 
+    Q("groupby_cube", // grouping-sets family (SURVEY §2.4 notes cube/
+      // rollup come free from Spark — exposed as a first-class op):
+      // all four (flag × status) grouping combinations in ONE scan with
+      // grouping() flags distinguishing subtotal rows from data NULLs.
+      (s, d) => li(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"),
+          count(lit(1)).as("n"),
+          exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("g_flag"), col("g_status"),
+          coalesce(col("l_returnflag"), lit("")),
+          coalesce(col("l_linestatus"), lit(""))),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  GROUPING(l_returnflag) AS g_flag,
+              |  GROUPING(l_linestatus) AS g_status,
+              |  COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY g_flag, g_status, COALESCE(l_returnflag, ''),
+              |         COALESCE(l_linestatus, '')""".stripMargin)),
+
+    Q("upsert_merge", // type-1 upsert (MERGE INTO semantics without a
+      // table format): one key-partitioned full outer join of base vs
+      // updates, coalesce picks the newer value, a status column keeps
+      // the audit trail. With the base bucketed on the key (see
+      // Sources.writeBucketed) the base side never reshuffles — the
+      // dataset-versioning shape for 100 TB dimension maintenance.
+      (s, d) => {
+        val base = cust(s, d)
+          .select(col("c_custkey"), col("c_acctbal"), lit(1).as("__b"))
+        val upd = cust(s, d).filter(pmod(col("c_custkey"), lit(10)) === 0)
+          .select(col("c_custkey"),
+            (col("c_acctbal") + 100).as("u_acctbal"), lit(1).as("__u"))
+          .unionByName(cust(s, d).filter(col("c_custkey") <= 50)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              col("c_acctbal").as("u_acctbal"), lit(1).as("__u")))
+        base.join(upd, Seq("c_custkey"), "full_outer")
+          .select(col("c_custkey"),
+            round(coalesce(col("u_acctbal"), col("c_acctbal")), 6)
+              .as("acctbal"),
+            when(col("__b").isNotNull && col("__u").isNotNull, "updated")
+              .when(col("__b").isNull, "inserted")
+              .otherwise("unchanged").as("status"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH upd AS (
+             |  SELECT c_custkey, c_acctbal + 100 AS u_acctbal
+             |  FROM customer WHERE c_custkey % 10 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_acctbal
+             |  FROM customer WHERE c_custkey <= 50)
+             |SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+             |  ROUND(COALESCE(u.u_acctbal, b.c_acctbal), 6) AS acctbal,
+             |  CASE WHEN b.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL
+             |         THEN 'updated'
+             |       WHEN b.c_custkey IS NULL THEN 'inserted'
+             |       ELSE 'unchanged' END AS status
+             |FROM customer b FULL OUTER JOIN upd u
+             |  ON b.c_custkey = u.c_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
     Q("window_analytics", // the analytic-window family (SURVEY §2.5:
       // absent in the reference, used everywhere as implementation
       // vehicle — exposed here as a user-facing operator): per-customer
