@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Orange's Merge Data operator (reference:
@@ -76,6 +77,43 @@ object MergeOps {
     val r = right.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** As-of join — for each left row, the most recent right row with the
+    * same key and time <= the left row's time. Spark has no native asof
+    * operator; rather than a custom SparkPlan, this composes existing
+    * ops (the preferred tier): tag both sides, union, and run ONE
+    * `last(value, ignoreNulls)` window per key in (time, side, tiebreak)
+    * order — right rows deposit their value, left rows pick up the most
+    * recent deposit. Cost = one shuffle on the key and a per-key sort,
+    * the same partitioning a sort-merge join would need, with no range
+    * explosion; skew on hot keys is bounded by the per-key sort, not a
+    * pair blowup. Ties at equal time resolve right-before-left (the
+    * standard asof "backward" inclusive semantics), then by `tiebreak`.
+    * Right columns other than (key, time, value, tiebreak) are dropped —
+    * project what you need into `value` first (use a struct for several).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               time: String, value: String,
+               tiebreak: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast(right.schema(value).dataType))
+    val r = right.select(col(key), col(time), col(tiebreak),
+        col(value).as("__v"))
+      .withColumn("__side", lit(0))
+    val leftCols = left.columns
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__side").asc, col(tiebreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select((leftCols.map(col) :+ col("__side") :+ col("__v")).toIndexedSeq: _*)
+      .unionByName(r.select(
+        (leftCols.map(c => if (c == key || c == time || c == tiebreak) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c))
+          :+ col("__side") :+ col("__v")).toIndexedSeq: _*))
+      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__side", "__v")
+      .withColumnRenamed("__asof", s"asof_$value")
   }
 
   /** Venn-diagram disjoint-region counts over n keyed inputs

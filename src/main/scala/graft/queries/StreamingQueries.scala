@@ -48,6 +48,47 @@ object StreamingQueries {
               |FROM events GROUP BY 1, 2
               |ORDER BY bucket_start, event_type""".stripMargin)),
 
+    Q("events_asof_join", // as-of join (operators Spark lacks natively,
+      // composed from existing ops — MergeOps.asofJoin): each purchase
+      // picks up the value of the user's most recent view at-or-before
+      // its time. One key shuffle + per-key sort, no range explosion.
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("tsec"), col("event_type"),
+          col("value"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("tsec"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("tsec"), col("value"))
+        graft.operators.MergeOps.asofJoin(
+            purchases, views, key = "user_id", time = "tsec",
+            value = "value", tiebreak = "event_id")
+          .select(col("user_id"), col("event_id"), col("tsec"),
+            col("asof_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec,
+             |         event_type, value
+             |  FROM events),
+             |u AS (
+             |  SELECT user_id, event_id, tsec, 1 AS side,
+             |         CAST(NULL AS DOUBLE) AS v
+             |  FROM e WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, event_id, tsec, 0, value
+             |  FROM e WHERE event_type = 'view'),
+             |w AS (
+             |  SELECT user_id, event_id, tsec, side,
+             |    LAST_VALUE(v IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY tsec, side, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS asof_value
+             |  FROM u)
+             |SELECT user_id, event_id, tsec, asof_value
+             |FROM w WHERE side = 1 ORDER BY user_id, event_id""".stripMargin)),
+
     Q("events_funnel_steps", // ordered funnel view → click → purchase:
       // step k's earliest time must follow step k−1's. Three user-keyed
       // conditional aggregations chained by equi-joins — every stage is
