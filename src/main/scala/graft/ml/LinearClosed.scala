@@ -150,4 +150,107 @@ object LinearClosed {
        |  ROUND(my - ($wE) * mx, 8) AS b_enet
        |FROM mom""".stripMargin
   }
+
+  /** Plain OLS with three features (reference Orange/regression/
+    * linear.py LinearRegressionLearner — sklearn's lstsq): Cramer solve
+    * of the 3×3 centered normal equations, plus training RMSE from the
+    * same moments via SSR = Syy − w·Sxy (residuals ⊥ columns of X).
+    * Same two-scan shape and numerics as [[ridge2]]; the cofactor
+    * expansion is written in one fixed order so Spark and DuckDB walk
+    * identical IEEE operation sequences. */
+  def ols3(df: DataFrame, f1: (String, Column), f2: (String, Column),
+           f3: (String, Column), y: Column): DataFrame = {
+    val base = df.select(f1._2.as("x1"), f2._2.as("x2"), f3._2.as("x3"),
+      y.cast("double").as("yy"))
+    val means = base.agg(
+      (detSum(col("x1")) / count(lit(1))).as("m1"),
+      (detSum(col("x2")) / count(lit(1))).as("m2"),
+      (detSum(col("x3")) / count(lit(1))).as("m3"),
+      (detSum(col("yy")) / count(lit(1))).as("my"),
+      count(lit(1)).as("n"))
+    val c = base.crossJoin(broadcast(means))
+    val d1 = col("x1") - col("m1"); val d2 = col("x2") - col("m2")
+    val d3 = col("x3") - col("m3"); val dy = col("yy") - col("my")
+    val mom = c.agg(
+      detSum(d1 * d1).as("s11"), detSum(d1 * d2).as("s12"),
+      detSum(d1 * d3).as("s13"), detSum(d2 * d2).as("s22"),
+      detSum(d2 * d3).as("s23"), detSum(d3 * d3).as("s33"),
+      detSum(d1 * dy).as("s1y"), detSum(d2 * dy).as("s2y"),
+      detSum(d3 * dy).as("s3y"), detSum(dy * dy).as("syy"),
+      max(col("m1")).as("m1"), max(col("m2")).as("m2"),
+      max(col("m3")).as("m3"), max(col("my")).as("my"),
+      max(col("n")).as("n"))
+    val det =
+      col("s11") * (col("s22") * col("s33") - col("s23") * col("s23")) -
+      col("s12") * (col("s12") * col("s33") - col("s23") * col("s13")) +
+      col("s13") * (col("s12") * col("s23") - col("s22") * col("s13"))
+    val w1 = (col("s1y") * (col("s22") * col("s33") - col("s23") * col("s23")) -
+      col("s12") * (col("s2y") * col("s33") - col("s23") * col("s3y")) +
+      col("s13") * (col("s2y") * col("s23") - col("s22") * col("s3y"))) / det
+    val w2 = (col("s11") * (col("s2y") * col("s33") - col("s3y") * col("s23")) -
+      col("s1y") * (col("s12") * col("s33") - col("s23") * col("s13")) +
+      col("s13") * (col("s12") * col("s3y") - col("s2y") * col("s13"))) / det
+    val w3 = (col("s11") * (col("s22") * col("s3y") - col("s2y") * col("s23")) -
+      col("s12") * (col("s12") * col("s3y") - col("s2y") * col("s13")) +
+      col("s1y") * (col("s12") * col("s23") - col("s22") * col("s13"))) / det
+    val r1 = round(w1, 8); val r2 = round(w2, 8); val r3 = round(w3, 8)
+    val ssr = col("syy") - (r1 * col("s1y") + r2 * col("s2y") + r3 * col("s3y"))
+    mom.select(
+      r1.as(s"w_${f1._1}"), r2.as(s"w_${f2._1}"), r3.as(s"w_${f3._1}"),
+      round(col("my") - r1 * col("m1") - r2 * col("m2") - r3 * col("m3"), 8)
+        .as("intercept"),
+      round(sqrt(greatest(ssr, lit(0.0)) / col("n")), 6).as("rmse"))
+  }
+
+  /** DuckDB twin of [[ols3]] — identical centered moments, cofactor
+    * order and rounded-weight RMSE, so the doubles agree bit-for-bit. */
+  def ols3Sql(table: String, f1: (String, String), f2: (String, String),
+              f3: (String, String), ySql: String): String = {
+    val (n1, e1) = f1; val (n2, e2) = f2; val (n3, e3) = f3
+    s"""WITH means AS (
+       |  SELECT ${sqlDetSum(e1)} / COUNT(*) AS m1,
+       |         ${sqlDetSum(e2)} / COUNT(*) AS m2,
+       |         ${sqlDetSum(e3)} / COUNT(*) AS m3,
+       |         ${sqlDetSum(ySql)} / COUNT(*) AS my,
+       |         COUNT(*) AS n
+       |  FROM $table),
+       |mom AS (
+       |  SELECT
+       |    ${sqlDetSum(s"(($e1) - m1) * (($e1) - m1)")} AS s11,
+       |    ${sqlDetSum(s"(($e1) - m1) * (($e2) - m2)")} AS s12,
+       |    ${sqlDetSum(s"(($e1) - m1) * (($e3) - m3)")} AS s13,
+       |    ${sqlDetSum(s"(($e2) - m2) * (($e2) - m2)")} AS s22,
+       |    ${sqlDetSum(s"(($e2) - m2) * (($e3) - m3)")} AS s23,
+       |    ${sqlDetSum(s"(($e3) - m3) * (($e3) - m3)")} AS s33,
+       |    ${sqlDetSum(s"(($e1) - m1) * (($ySql) - my)")} AS s1y,
+       |    ${sqlDetSum(s"(($e2) - m2) * (($ySql) - my)")} AS s2y,
+       |    ${sqlDetSum(s"(($e3) - m3) * (($ySql) - my)")} AS s3y,
+       |    ${sqlDetSum(s"(($ySql) - my) * (($ySql) - my)")} AS syy,
+       |    MAX(m1) AS m1, MAX(m2) AS m2, MAX(m3) AS m3, MAX(my) AS my,
+       |    MAX(n) AS n
+       |  FROM $table CROSS JOIN means),
+       |solved AS (
+       |  SELECT *,
+       |    s11 * (s22 * s33 - s23 * s23) -
+       |    s12 * (s12 * s33 - s23 * s13) +
+       |    s13 * (s12 * s23 - s22 * s13) AS det
+       |  FROM mom),
+       |w AS (
+       |  SELECT *,
+       |    ROUND((s1y * (s22 * s33 - s23 * s23) -
+       |           s12 * (s2y * s33 - s23 * s3y) +
+       |           s13 * (s2y * s23 - s22 * s3y)) / det, 8) AS w1,
+       |    ROUND((s11 * (s2y * s33 - s3y * s23) -
+       |           s1y * (s12 * s33 - s23 * s13) +
+       |           s13 * (s12 * s3y - s2y * s13)) / det, 8) AS w2,
+       |    ROUND((s11 * (s22 * s3y - s2y * s23) -
+       |           s12 * (s12 * s3y - s2y * s13) +
+       |           s1y * (s12 * s23 - s22 * s13)) / det, 8) AS w3
+       |  FROM solved)
+       |SELECT w1 AS w_$n1, w2 AS w_$n2, w3 AS w_$n3,
+       |  ROUND(my - w1 * m1 - w2 * m2 - w3 * m3, 8) AS intercept,
+       |  ROUND(SQRT(GREATEST(syy - (w1 * s1y + w2 * s2y + w3 * s3y), 0.0)
+       |        / n), 6) AS rmse
+       |FROM w""".stripMargin
+  }
 }

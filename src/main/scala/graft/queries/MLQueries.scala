@@ -617,12 +617,16 @@ object MLQueries {
     Q("ml_calibrated_platt", // CalibratedLearner(Sigmoid)
       // (calibration.py:87-140): Platt scaling = 1-D logistic fit of the
       // outcome on the score — reuses the deterministic full-batch GD
-      // (oracle-exactness of that device is already proven by
-      // ml_sgd_logreg; rows-only here to avoid a second unrolled twin).
+      // whose SQL twin (iterations unrolled as chained CTEs) makes the
+      // fitted sigmoid oracle-exact, same device as ml_sgd_logreg.
       (s, d) => graft.ml.Calibration.plattCalibrate(
         li(s, d), col("l_discount") * 10,
         col("l_quantity") > 25, iters = 10),
-      None),
+      Some(graft.ml.SGD.logRegGDSql(
+        "lineitem",
+        Seq(("score", "l_discount * 10")),
+        "CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END",
+        iterations = 10, lr = 1.0))),
 
     Q("ml_scoring_sheet", // scoringsheet.py (fasterrisk): binarize →
       // sparse integer points via deterministic logistic GD → Platt
@@ -653,10 +657,23 @@ object MLQueries {
       (s, d) => MLlibLearners.pcaExplainedVariance(
         emb(s, d), "embedding", 5), None),
 
-    Q("ml_decision_tree", // tree.py → distributed CART (rows-only)
-      (s, d) => MLlibLearners.decisionTree(li(s, d),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        "l_linestatus"), None),
+    Q("ml_decision_tree", // tree.py TreeLearner on discrete attributes —
+      // depth-2 multiway entropy tree as pure contingency algebra (two
+      // corpus scans, all ranks over the tiny contingency), oracle-exact
+      // against the same induction unrolled as CTEs. The MLlib CART
+      // wrapper remains under ml_random_forest/ml_gbt.
+      (s, d) => graft.ml.DecisionTree.depth2(
+        li(s, d),
+        Seq(("flag", col("l_returnflag")),
+          ("qty_bin", floor((col("l_quantity") - 1) / 10)),
+          ("disc_bin", floor(col("l_discount") * 20))),
+        col("l_linestatus")),
+      Some(graft.ml.DecisionTree.depth2Sql(
+        "lineitem",
+        Seq(("flag", "l_returnflag"),
+          ("qty_bin", "CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT)"),
+          ("disc_bin", "CAST(FLOOR(l_discount * 20) AS BIGINT)")),
+        "l_linestatus"))),
 
     Q("ml_random_forest", // random_forest.py → MLlib RF (rows-only)
       (s, d) => MLlibLearners.randomForest(li(s, d),
@@ -673,10 +690,24 @@ object MLQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         "l_linestatus"), None),
 
-    Q("ml_linear_regression", // regression/linear.py → MLlib, normal-
-      // equation solver (deterministic); coefficients + RMSE (rows-only)
-      (s, d) => MLlibLearners.linearRegression(li(s, d),
-        Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice"), None),
+    Q("ml_linear_regression", // regression/linear.py
+      // LinearRegressionLearner (sklearn lstsq) — for the 3-feature fits
+      // Orange workflows use, the normal equations have an exact Cramer
+      // closed form on centered moments, so the fit is TWO aggregation
+      // scans and oracle-exact (same device as ml_ridge_regression).
+      // Features pre-scaled to ~[0,1] to stay on the detSum grid.
+      (s, d) => graft.ml.LinearClosed.ols3(
+        li(s, d),
+        ("qty", col("l_quantity") / 50.0),
+        ("disc", col("l_discount") * 10.0),
+        ("tax", col("l_tax") * 10.0),
+        col("l_extendedprice") / 100000.0),
+      Some(graft.ml.LinearClosed.ols3Sql(
+        "lineitem",
+        ("qty", "l_quantity / 50.0"),
+        ("disc", "l_discount * 10.0"),
+        ("tax", "l_tax * 10.0"),
+        "l_extendedprice / 100000.0"))),
 
     Q("ml_bisecting_kmeans", // hierarchical.py → MLlib divisive
       // hierarchical clustering over embeddings (rows-only)

@@ -70,7 +70,7 @@ object ScoringQueries {
               |  SELECT gv, ${sqlSum("xv")} AS sg, COUNT(*) AS ng
               |  FROM rows_ GROUP BY 1),
               |tot AS (
-              |  SELECT ${sqlSum("sg")} AS s, SUM(ng) AS n, COUNT(*) AS k
+              |  SELECT ${sqlSum("sg")} AS s, CAST(SUM(ng) AS BIGINT) AS n, COUNT(*) AS k
               |  FROM grp),
               |between_ AS (
               |  SELECT ROUND(${sqlDetSum("ng * (sg / ng - s / n) * (sg / ng - s / n)")}, 6) AS ssb,

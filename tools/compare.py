@@ -41,8 +41,11 @@ def main(sf_dir, out_dir):
         gcols, ecols = sorted(got.columns), sorted(exp.columns)
         if [c.lower() for c in gcols] != [c.lower() for c in ecols]:
             print(f"FAIL {name}: schema {gcols} vs {ecols}"); n_bad += 1; continue
-        g = got[gcols].values.tolist()
-        e = exp[ecols].values.tolist()
+        # itertuples preserves per-column dtypes; .values would upcast a
+        # mixed int/float frame to all-float and mask int-vs-float
+        # mismatches that the driver's per-value hash does catch.
+        g = list(got[gcols].itertuples(index=False, name=None))
+        e = list(exp[ecols].itertuples(index=False, name=None))
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_bad += 1; continue
         g = sorted([tuple(str(norm(v)) for v in r) for r in g])
