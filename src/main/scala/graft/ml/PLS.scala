@@ -32,13 +32,15 @@ object PLS {
   }
 
   def fit(df: DataFrame, features: Seq[String], target: String,
-          nComponents: Int): PLS1Model = {
+          nComponents: Int,
+          sumFn: Column => Column = graft.core.Tables.exactSum _): PLS1Model = {
     val d = features.length
     val a = math.min(nComponents, d)
-    // center
+    // center (means on the same sum grid as the component aggregations)
     val meansRow = df.agg(
-      exactMean(col(target)).as("__my"),
-      features.map(f => exactMean(col(f)).as(s"__m_$f")): _*)
+      (sumFn(col(target)) / count(col(target))).as("__my"),
+      features.map(f =>
+        (sumFn(col(f)) / count(col(f))).as(s"__m_$f")): _*)
       .first()
     val my = meansRow.getDouble(0)
     val mx = features.zipWithIndex.map { case (f, i) =>
@@ -53,18 +55,18 @@ object PLS {
 
     for (c <- 0 until a) {
       // w = X'y, normalized
-      val xyAgg = df.agg(exactSum(xCols.head * yCol).as("s0"),
+      val xyAgg = df.agg(sumFn(xCols.head * yCol).as("s0"),
         xCols.tail.zipWithIndex.map { case (xc, i) =>
-          exactSum(xc * yCol).as(s"s${i + 1}") }: _*).first()
+          sumFn(xc * yCol).as(s"s${i + 1}") }: _*).first()
       val wRaw = (0 until d).map(xyAgg.getDouble)
       val wNorm = math.sqrt(wRaw.map(v => v * v).sum)
       require(wNorm > 1e-12, s"PLS component ${c + 1}: degenerate weights")
       val w = wRaw.map(_ / wNorm)
       val t = xCols.zip(w).map { case (xc, wi) => xc * lit(wi) }.reduce(_ + _)
       // p = X't / t't, b = y't / t't
-      val ptAgg = df.agg(exactSum(t * t).as("tt"),
-        (features.indices.map(i => exactSum(xCols(i) * t).as(s"p$i")) :+
-          exactSum(yCol * t).as("yt")): _*).first()
+      val ptAgg = df.agg(sumFn(t * t).as("tt"),
+        (features.indices.map(i => sumFn(xCols(i) * t).as(s"p$i")) :+
+          sumFn(yCol * t).as("yt")): _*).first()
       val tt = ptAgg.getDouble(0)
       require(tt > 1e-12, s"PLS component ${c + 1}: zero score variance")
       val p = (0 until d).map(i => ptAgg.getDouble(i + 1) / tt)

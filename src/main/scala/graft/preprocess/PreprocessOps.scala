@@ -55,6 +55,79 @@ object PreprocessOps {
     df.withColumn(out, expr.cast("int"))
   }
 
+  /** EqualFreq scale path with an ORACLE-RECOMPUTABLE threshold rule
+    * (discretize.py:181 semantics at grid resolution — the same
+    * bounded-grid approximation EntropyMDL uses for its candidates):
+    * snap values to a `cells`-cell equal-width grid (ONE map-side-
+    * combined aggregation), cumulate the ≤`cells`-row histogram on the
+    * driver, and take threshold i = the max observed value of the first
+    * cell whose cumulative count reaches ⌈i·n/k⌉. Bin assignment is a
+    * broadcast-literal CASE chain — no global sort, no
+    * single-partition Exchange anywhere (PlanSpec-pinned), and the
+    * integer-count threshold rule is reproducible verbatim in SQL,
+    * unlike the Greenwald–Khanna sketch of [[equalFreqApprox]]. */
+  def equalFreqGrid(df: DataFrame, c: String, k: Int, out: String,
+                    cells: Int = 4096): DataFrame = {
+    val mm = df.filter(col(c).isNotNull)
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi")).first()
+    val lo = mm.getDouble(0); val hi = mm.getDouble(1)
+    if (hi == lo) return df.withColumn(out,
+      when(col(c).isNotNull, 0).cast("int"))
+    val w = (hi - lo) / cells
+    val hist = df.filter(col(c).isNotNull)
+      .select(least(floor((col(c) - lo) / w), lit(cells - 1L)).as("cell"),
+        col(c).as("v"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("nc"), max(col("v")).as("vc"))
+      .orderBy(col("cell"))
+      .collect() // bounded: ≤ cells rows
+    val n = hist.map(_.getLong(1)).sum
+    var cum = 0L; var ti = 1
+    val thresholds = Array.ofDim[Double](k - 1)
+    for (r <- hist if ti < k) {
+      cum += r.getLong(1)
+      while (ti < k && cum >= (ti * n + k - 1) / k) {
+        thresholds(ti - 1) = r.getDouble(2); ti += 1
+      }
+    }
+    val expr = thresholds.zipWithIndex.reverse.foldLeft(lit(k - 1)) {
+      case (els, (t, i)) => when(col(c) <= t, i).otherwise(els)
+    }
+    df.withColumn(out, when(col(c).isNotNull, expr).cast("int"))
+  }
+
+  /** DuckDB twin of [[equalFreqGrid]]'s threshold rule + binning. */
+  def equalFreqGridSql(table: String, c: String, k: Int,
+                       cells: Int = 4096): String = {
+    val thrSelects = (1 until k).map { i =>
+      s"(SELECT MIN(vc) FROM cum WHERE cumn >= (($i * n + $k - 1) // $k)) AS t$i"
+    }.mkString(",\n       ")
+    val caseChain = (1 until k).map { i =>
+      s"WHEN $c <= t$i THEN ${i - 1}" }.mkString(" ")
+    s"""WITH mm AS (
+       |  SELECT MIN($c) AS lo, MAX($c) AS hi, COUNT($c) AS n
+       |  FROM $table WHERE $c IS NOT NULL),
+       |cells_ AS (
+       |  SELECT LEAST(FLOOR(($c - lo) / ((hi - lo) / $cells.0)),
+       |               ${cells - 1}) AS cell,
+       |         COUNT(*) AS nc, MAX($c) AS vc
+       |  FROM $table CROSS JOIN mm WHERE $c IS NOT NULL
+       |  GROUP BY 1),
+       |cum AS (
+       |  SELECT cell, vc,
+       |    SUM(nc) OVER (ORDER BY cell) AS cumn, MAX(n) OVER () AS n
+       |  FROM cells_ CROSS JOIN mm),
+       |thr AS (
+       |  SELECT $thrSelects
+       |  FROM (SELECT MAX(n) AS n FROM cum))
+       |SELECT tile, COUNT(*) AS n, MIN($c) AS lo, MAX($c) AS hi
+       |FROM (
+       |  SELECT $c, CASE WHEN $c IS NULL THEN NULL
+       |    $caseChain ELSE ${k - 1} END AS tile
+       |  FROM $table CROSS JOIN thr)
+       |GROUP BY tile ORDER BY tile""".stripMargin
+  }
+
   /** FixedWidth bins (discretize.py:251): floor(x/width) with given origin. */
   def fixedWidth(c: Column, width: Double, origin: Double = 0d): Column =
     floor((c - origin) / width).cast("long")

@@ -597,22 +597,75 @@ object MLQueries {
 
     Q("ml_pls_regression", // PLS1 NIPALS (regression/pls.py): 2-component
       // fit of l_extendedprice on (l_quantity, l_discount); coefficients
-      // + training RMSE. Deterministic (exact decimal sums) but the
-      // unrolled 2·A-aggregation SQL twin is impractical → rows-only,
-      // PLSSpec pins the A=d ⇒ OLS identity and determinism.
+      // + training RMSE. Oracle via the A=d ⇒ OLS identity (pinned by
+      // PLSSpec): with as many components as features, the converged
+      // NIPALS solution IS the least-squares fit, so the oracle computes
+      // the 2-feature Cramer closed form on centered decimal moments and
+      // the 6/4-decimal output rounding absorbs the ~1e-12 relative gap
+      // between the two solvers' float paths.
       (s, d) => {
+        // fit on ~unit-scaled features: NIPALS's A×A recovery solve is
+        // ill-conditioned when the feature variances differ by 10⁵
+        // (the disc direction lost ~5 digits raw); OLS — which the A=d
+        // fit converges to — is exactly scale-invariant, so the betas
+        // un-scale back to the original domain losslessly.
         val data = li(s, d)
-        val m = graft.ml.PLS.fit(data,
-          Seq("l_quantity", "l_discount"), "l_extendedprice", 2)
-        m.predict(data)
+          .withColumn("qty_s", col("l_quantity") / 50.0)
+          .withColumn("disc_s", col("l_discount") * 10.0)
+          .withColumn("y_s", col("l_extendedprice") / 100000.0)
+        val m = graft.ml.PLS.fit(data, Seq("qty_s", "disc_s"), "y_s", 2,
+          sumFn = Tables.detSum(_, 18)) // 18-decimal grid: the DEFLATED
+          // component's products shrink to ~1e-6, so the 6- and even
+          // 12-decimal grids perturb the Krylov directions enough to
+          // break the OLS identity at the 4th decimal; the fine grid is
+          // still order-independent (only Spark evaluates these sums —
+          // the oracle is the independent closed form)
+        val bQty = m.beta.head * 100000.0 / 50.0
+        val bDisc = m.beta(1) * 100000.0 * 10.0
+        val b0 = m.intercept * 100000.0
+        val pred = lit(b0) + lit(bQty) * col("l_quantity") +
+          lit(bDisc) * col("l_discount")
+        data
           .agg(round(Learners.Scoring.rmse(
-            col("l_extendedprice"), col("prediction")), 4).as("rmse"))
-          .select(lit(math.round(m.intercept * 1e6) / 1e6).as("intercept"),
-            lit(math.round(m.beta.head * 1e6) / 1e6).as("beta_qty"),
-            lit(math.round(m.beta(1) * 1e6) / 1e6).as("beta_disc"),
+            col("l_extendedprice"), pred), 4).as("rmse"))
+          .select(lit(math.round(b0 * 1e4) / 1e4).as("intercept"),
+            lit(math.round(bQty * 1e4) / 1e4).as("beta_qty"),
+            lit(math.round(bDisc * 1e4) / 1e4).as("beta_disc"),
             col("rmse"))
       },
-      None),
+      Some(s"""WITH base AS (
+              |  SELECT l_quantity / 50.0 AS q, l_discount * 10.0 AS dd,
+              |         l_extendedprice / 100000.0 AS y
+              |  FROM lineitem),
+              |means AS (
+              |  SELECT ${sqlDetSum("q")} / COUNT(*) AS m1,
+              |         ${sqlDetSum("dd")} / COUNT(*) AS m2,
+              |         ${sqlDetSum("y")} / COUNT(*) AS my,
+              |         COUNT(*) AS n
+              |  FROM base),
+              |mom AS (
+              |  SELECT
+              |    ${sqlDetSum("(q - m1) * (q - m1)")} AS s11,
+              |    ${sqlDetSum("(q - m1) * (dd - m2)")} AS s12,
+              |    ${sqlDetSum("(dd - m2) * (dd - m2)")} AS s22,
+              |    ${sqlDetSum("(q - m1) * (y - my)")} AS s1y,
+              |    ${sqlDetSum("(dd - m2) * (y - my)")} AS s2y,
+              |    ${sqlDetSum("(y - my) * (y - my)")} AS syy,
+              |    MAX(m1) AS m1, MAX(m2) AS m2, MAX(my) AS my, MAX(n) AS n
+              |  FROM base CROSS JOIN means),
+              |w AS (
+              |  SELECT *,
+              |    (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS w1,
+              |    (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS w2
+              |  FROM mom)
+              |SELECT ROUND((my - w1 * m1 - w2 * m2) * 100000.0, 4) AS intercept,
+              |  ROUND(w1 * 2000.0, 4) AS beta_qty,
+              |  ROUND(w2 * 1000000.0, 4) AS beta_disc,
+              |  ROUND(SQRT(GREATEST(
+              |    syy - 2 * (w1 * s1y + w2 * s2y)
+              |        + (w1 * w1 * s11 + 2 * w1 * w2 * s12 + w2 * w2 * s22),
+              |    0.0) / n) * 100000.0, 4) AS rmse
+              |FROM w""".stripMargin)),
 
     Q("ml_calibrated_platt", // CalibratedLearner(Sigmoid)
       // (calibration.py:87-140): Platt scaling = 1-D logistic fit of the
@@ -984,9 +1037,12 @@ object MLQueries {
       }),
 
     Q("ml_dbscan_grid_2d", // N-D DBSCAN scale path: grid-cell bucketed
-      // neighbor join + min-label connected components. Iterative-to-
-      // fixpoint → rows-only; ClusteringSpec proves it partition-matches
-      // the oracle-verified 1-D window twin.
+      // neighbor join + large-star/small-star connected components.
+      // Oracle: the same DBSCAN (core = |eps-ball| ≥ minPts, core
+      // clusters = min-id component over core-core edges, borders adopt
+      // the smallest neighboring core label, noise = −1) via a
+      // brute-force pair join + WITH RECURSIVE transitive closure —
+      // tractable at oracle scale, independent of the grid pruning.
       (s, d) => graft.ml.Clustering.dbscanGrid(
           Tables.load(s, d, "customer").select(col("c_custkey"),
             (col("c_acctbal") / 1000.0).as("xa"),
@@ -994,7 +1050,45 @@ object MLQueries {
           "c_custkey", Seq("xa", "xn"), 1.0, 4)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"), sum(col("is_core")).as("n_core"))
-        .orderBy(col("cluster")), None),
+        .orderBy(col("cluster")),
+      Some("""WITH RECURSIVE pts AS (
+             |  SELECT c_custkey AS pid, c_acctbal / 1000.0 AS x0,
+             |         CAST(c_nationkey AS DOUBLE) AS x1
+             |  FROM customer),
+             |pairs AS (
+             |  SELECT a.pid AS a_id, b.pid AS b_id
+             |  FROM pts a JOIN pts b ON a.pid <> b.pid
+             |   AND (a.x0 - b.x0) * (a.x0 - b.x0)
+             |     + (a.x1 - b.x1) * (a.x1 - b.x1) <= 1.0 * 1.0),
+             |ncnt AS (SELECT a_id, COUNT(*) AS n FROM pairs GROUP BY a_id),
+             |flags AS (
+             |  SELECT p.pid,
+             |    CASE WHEN COALESCE(n.n, 0) + 1 >= 4 THEN 1 ELSE 0 END AS is_core
+             |  FROM pts p LEFT JOIN ncnt n ON n.a_id = p.pid),
+             |cores AS (SELECT pid FROM flags WHERE is_core = 1),
+             |core_edges AS (
+             |  SELECT a_id, b_id FROM pairs
+             |  WHERE a_id IN (SELECT pid FROM cores)
+             |    AND b_id IN (SELECT pid FROM cores)),
+             |reach AS (
+             |  SELECT pid, pid AS r FROM cores
+             |  UNION
+             |  SELECT e.a_id AS pid, reach.r
+             |  FROM core_edges e JOIN reach ON reach.pid = e.b_id),
+             |lbl AS (SELECT pid, MIN(r) AS lbl FROM reach GROUP BY pid),
+             |border AS (
+             |  SELECT p.a_id, MIN(l.lbl) AS border_lbl
+             |  FROM pairs p JOIN lbl l ON l.pid = p.b_id GROUP BY p.a_id),
+             |asg AS (
+             |  SELECT f.pid, f.is_core,
+             |    CASE WHEN f.is_core = 1 THEN l.lbl
+             |         ELSE COALESCE(b.border_lbl, -1) END AS cluster
+             |  FROM flags f
+             |  LEFT JOIN lbl l ON l.pid = f.pid
+             |  LEFT JOIN border b ON b.a_id = f.pid)
+             |SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n,
+             |  CAST(SUM(is_core) AS BIGINT) AS n_core
+             |FROM asg GROUP BY cluster ORDER BY cluster""".stripMargin)),
 
     Q("ml_cn2_best_rule", // rules.py CN2: Laplace-accuracy evaluation of
       // every single-condition rule, top-5.

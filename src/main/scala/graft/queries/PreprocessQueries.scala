@@ -48,6 +48,17 @@ object PreprocessQueries {
              |      FROM customer)
              |GROUP BY tile ORDER BY tile""".stripMargin)),
 
+    Q("discretize_equalfreq_approx", // discretize.py:181 at scale: grid-
+      // histogram thresholds (one map-side-combined agg + broadcast CASE;
+      // no global sort / SinglePartition Exchange — PlanSpec pin), with
+      // the integer threshold rule recomputed verbatim by the oracle.
+      // The ntile twin above stays as the toy-exact variant.
+      (s, d) => PreprocessOps.equalFreqGrid(cust(s, d), "c_acctbal", 4, "tile")
+        .groupBy(col("tile")).agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+        .orderBy(col("tile")),
+      Some(PreprocessOps.equalFreqGridSql("customer", "c_acctbal", 4))),
+
     Q("discretize_fixedwidth", // discretize.py:251
       (s, d) => ord(s, d)
         .withColumn("bucket", PreprocessOps.fixedWidth(col("o_totalprice"), 50000))

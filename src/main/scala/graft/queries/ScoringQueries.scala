@@ -17,6 +17,89 @@ object ScoringQueries {
   private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
   private def sup(s: SparkSession, d: String) = Tables.load(s, d, "supplier")
 
+  /** DuckDB twin of the full EntropyMDL recursion (EntropyMDL.cuts):
+    * each unrolled level attempts, for EVERY current segment, the
+    * entropy-minimal boundary and the Fayyad–Irani MDL acceptance test;
+    * accepted segments split, rejected ones are re-tested (identically,
+    * hence idempotently) at later levels — so `levels` unrolled levels
+    * reproduce any recursion of depth ≤ levels exactly. Classes must be
+    * enumerated (they pivot to count columns); entropy uses LN/LN(2)
+    * like the Scala driver recursion. Emits the discretized bins
+    * (mdl_bin, n, lo, hi). */
+  private def mdlOracleSql(table: String, vExpr: String, clsExpr: String,
+                           classes: Seq[String], levels: Int): String = {
+    val nc = classes.indices
+    def ent(a: Int => String, t: String): String =
+      nc.map(j => s"CASE WHEN ${a(j)} > 0 THEN -((${a(j)}) * 1.0 / ($t))" +
+          s" * LN((${a(j)}) * 1.0 / ($t)) / LN(2) ELSE 0.0 END")
+        .mkString("(", " + ", ")")
+    def kcnt(a: Int => String): String =
+      nc.map(j => s"CASE WHEN ${a(j)} > 0 THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+    val candCols = classes.zipWithIndex.map { case (c, j) =>
+      s"CAST(SUM(CASE WHEN ($clsExpr) = '$c' THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS n$j" }.mkString(", ")
+    val ns = nc.map(j => s"n$j").mkString(", ")
+    val lvls = (1 to levels).map { l =>
+      val p = s"seg${l - 1}"
+      s"""win$l AS (
+         |  SELECT v, $ns, seg,
+         |    ${nc.map(j =>
+              s"SUM(n$j) OVER (PARTITION BY seg ORDER BY v) AS l$j")
+              .mkString(", ")},
+         |    ${nc.map(j =>
+              s"SUM(n$j) OVER (PARTITION BY seg) AS t$j").mkString(", ")},
+         |    MAX(v) OVER (PARTITION BY seg) AS vmax
+         |  FROM $p),
+         |bnd$l AS (
+         |  SELECT *,
+         |    ${nc.map(j => s"t$j - l$j AS r$j").mkString(", ")},
+         |    (${nc.map(j => s"l$j").mkString(" + ")}) AS nl,
+         |    (${nc.map(j => s"t$j").mkString(" + ")}) AS nt
+         |  FROM win$l WHERE v < vmax),
+         |sc$l AS (
+         |  SELECT *,
+         |    (nl * 1.0 / nt) * ${ent(j => s"l$j", "nl")} +
+         |    ((nt - nl) * 1.0 / nt) * ${ent(j => s"r$j", "nt - nl")} AS esplit,
+         |    ${ent(j => s"t$j", "nt")} AS es,
+         |    ${kcnt(j => s"t$j")} AS k,
+         |    ${kcnt(j => s"l$j")} AS k1, ${kcnt(j => s"r$j")} AS k2,
+         |    ${ent(j => s"l$j", "nl")} AS e1,
+         |    ${ent(j => s"r$j", "nt - nl")} AS e2
+         |  FROM bnd$l),
+         |best$l AS (
+         |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+         |    ORDER BY esplit ASC, v ASC) AS rk FROM sc$l) WHERE rk = 1),
+         |acc$l AS (
+         |  SELECT seg, v AS cutv FROM best$l
+         |  WHERE (es - esplit) > (LN(nt - 1) / LN(2)
+         |    + LN(POWER(3, k) - 2) / LN(2)
+         |    - (k * es - k1 * e1 - k2 * e2)) / nt),
+         |seg$l AS (
+         |  SELECT s.v, ${nc.map(j => s"s.n$j").mkString(", ")},
+         |    s.seg * 2 + CASE WHEN a.cutv IS NOT NULL AND s.v > a.cutv
+         |      THEN 1 ELSE 0 END AS seg
+         |  FROM $p s LEFT JOIN acc$l a ON a.seg = s.seg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS (
+       |  SELECT ($vExpr) AS v, $candCols
+       |  FROM $table
+       |  WHERE ($vExpr) IS NOT NULL AND ($clsExpr) IS NOT NULL
+       |  GROUP BY 1),
+       |seg0 AS (SELECT v, $ns, 0 AS seg FROM cand),
+       |$lvls,
+       |segmin AS (
+       |  SELECT v, (${nc.map(j => s"n$j").mkString(" + ")}) AS nv,
+       |    MIN(v) OVER (PARTITION BY seg) AS smin
+       |  FROM seg$levels),
+       |binned AS (
+       |  SELECT v, nv, DENSE_RANK() OVER (ORDER BY smin) - 1 AS mdl_bin
+       |  FROM segmin)
+       |SELECT CAST(mdl_bin AS INT) AS mdl_bin, CAST(SUM(nv) AS BIGINT) AS n,
+       |  MIN(v) AS lo, MAX(v) AS hi
+       |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** SQL block computing (su, info_gain) of one feature vs class on
     * lineitem — twin of ScoreOps.symmetricUncertainty. `f` is any SQL
     * expression; `fName` labels the output row. */
@@ -246,15 +329,25 @@ object ScoringQueries {
               |ORDER BY num.a_id""".stripMargin)),
 
     Q("discretize_entropy_mdl", // Fayyad–Irani MDL splits (discretize.py:695)
-      // Recursive MDL acceptance is not SQL-expressible → rows-only check;
-      // the ScalaTest spec asserts the cut semantics.
-      (s, d) => EntropyMDL.discretize(li(s, d), "l_quantity", "l_returnflag",
-          "mdl_bin")
+      // The recursion IS SQL-expressible: the oracle unrolls it level-
+      // wise (every segment attempts its entropy-argmin boundary + MDL
+      // acceptance per level; re-testing a rejected segment is
+      // idempotent, so L levels cover any depth ≤ L). Fixture: quantity
+      // vs its 5 derived decade classes — MDL recovers the 4 decade
+      // boundaries through 3 accept levels and rejects inside the pure
+      // leaves, exercising both branches. (quantity vs l_returnflag is
+      // MDL-rejected at the root on this data — kept in ScoringSpec.)
+      (s, d) => EntropyMDL.discretize(
+          li(s, d).withColumn("qty_class",
+            floor((col("l_quantity") - 1) / 10).cast("string")),
+          "l_quantity", "qty_class", "mdl_bin")
         .groupBy(col("mdl_bin"))
         .agg(count(lit(1)).as("n"),
           min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
         .orderBy(col("mdl_bin")),
-      None),
+      Some(mdlOracleSql("lineitem", "l_quantity",
+        "CAST(CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT) AS VARCHAR)",
+        Seq("0", "1", "2", "3", "4"), levels = 5))),
 
     Q("score_rrelieff", // RReliefF for a continuous target (score.py
       // RReliefF): m=100 references, k=3 neighbors, span-normalized

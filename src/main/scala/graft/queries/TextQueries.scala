@@ -466,6 +466,18 @@ object TextQueries {
            |SELECT band, n_buckets FROM b ORDER BY band""".stripMargin
       }),
 
+    Q("stream_dedup_minhash_bands_fast", // production-rate variant of the
+      // streaming band dedup: xxhash64 folded to 32 bits replaces the
+      // interpreted per-shingle md5 (whole-stage-codegen native, the
+      // same hasher as the batch scale twin dedup_minhash_lsh_fast).
+      // Not SQL-portable (DuckDB lacks xxhash64) → rows-only; DedupSpec
+      // pins stream ≡ batch signature aggregation differentially.
+      (s, d) => graft.streaming.StreamOps
+        .streamingMinhashBandDedup(s, d, "stream_mh_band_fast_sink",
+          hasher = c => pmod(xxhash64(c), lit(4294967296L)))
+        .orderBy(col("band")),
+      None),
+
     Q("dedup_simhash", // 32-bit SimHash signatures per doc
       (s, d) => DedupOps.simhash(docs(s, d), "doc_id", "text")
         .orderBy(col("doc_id")),

@@ -12,10 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sources {
 
+  /** Transparent-compression suffixes (reference `_compressed_open`,
+    * Orange/data/io.py:126): dispatch strips them, Hadoop codecs
+    * decompress both the header sniff and the distributed body read.
+    * (.xz/.zip need codecs Hadoop doesn't ship — unsupported here.) */
+  private val CompressedExts = Seq(".gz", ".bz2")
+  private def stripCompressed(lower: String): String =
+    CompressedExts.find(lower.endsWith)
+      .map(e => lower.dropRight(e.length)).getOrElse(lower)
+
   /** Load a table by file extension: .parquet / .tab|.tsv / .csv /
-    * .basket / .xlsx. */
+    * .basket / .xlsx — text formats also in .gz/.bz2. */
   def fromFile(spark: SparkSession, path: String): DataFrame = {
-    val lower = path.toLowerCase
+    val lower = stripCompressed(path.toLowerCase)
     if (lower.endsWith(".parquet")) spark.read.parquet(path)
     else if (lower.endsWith(".tab") || lower.endsWith(".tsv"))
       TabReader.read(spark, path)

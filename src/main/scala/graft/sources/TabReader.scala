@@ -53,11 +53,20 @@ object TabReader {
     }
 
   /** Read the first lines of a file through Hadoop FS (works for any
-    * Spark-supported filesystem, driver-side, bounded). */
+    * Spark-supported filesystem, driver-side, bounded). Compressed files
+    * (.gz/.bz2 — reference `_compressed_open`, Orange/data/io.py:126)
+    * decompress through the Hadoop codec factory, the same codecs the
+    * distributed body read uses. */
   private def headLines(spark: SparkSession, path: String, n: Int): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val codec =
+      new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+        .getCodec(p)
+    val raw = fs.open(p)
+    val in: java.io.InputStream =
+      if (codec != null) codec.createInputStream(raw) else raw
     try {
       val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
       (1 to n).flatMap(_ => Option(br.readLine()))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.core.Tables._
@@ -188,7 +188,9 @@ object StreamOps {
     * when the stream is the bottleneck, not the cores. */
   def streamingMinhashBandDedup(spark: SparkSession, sfDir: String,
                                 sinkName: String, bands: Int = 8,
-                                rows: Int = 2): DataFrame = {
+                                rows: Int = 2,
+                                hasher: Column => Column =
+                                  graft.core.Tables.hashVal32): DataFrame = {
     import graft.text.{DedupOps, TextOps}
     require(bands * rows <= DedupOps.MinhashParams.length,
       s"bands*rows = ${bands * rows} exceeds the " +
@@ -203,7 +205,7 @@ object StreamOps {
       .withColumn("__ts", TextOps.tokens(col("text")))
       .withColumn("__sh", TextOps.shinglesFromTokens(col("__ts"), 3))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__hs", transform(col("__sh"), s => hashVal32(s)))
+      .withColumn("__hs", transform(col("__sh"), s => hasher(s)))
     // 16 separate transform+array_min passes over the SMALL hash array;
     // a measured alternative (one aggregate() pass updating all 16 mins
     // per element via sequence+transform) ran ~15-25% SLOWER — the

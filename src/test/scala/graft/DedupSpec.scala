@@ -25,6 +25,24 @@ class DedupSpec extends SparkSpec {
     assert(stream == batch, s"stream $stream vs batch $batch")
   }
 
+  test("fast (xxhash64) streaming band dedup equals fast batch aggregation") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, pmod, xxhash64}
+    val stream = graft.streaming.StreamOps
+      .streamingMinhashBandDedup(spark, sf, "mh_band_fast_spec_sink",
+        hasher = c => pmod(xxhash64(c), lit(4294967296L)))
+      .orderBy(col("band")).collect().map(_.getLong(1)).toSeq
+    val sig = graft.text.DedupOps.minhashSignaturesFast(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 3)
+      .cache()
+    val batch = (0 until 8).map { b =>
+      sig.select(concat_ws("_",
+        col(s"m${b * 2}"), col(s"m${b * 2 + 1}")).as("s"))
+        .distinct().count()
+    }
+    sig.unpersist()
+    assert(stream == batch, s"fast stream $stream vs fast batch $batch")
+  }
+
   test("banded simhash pairs == naive all-pairs at Hamming <= 3") {
     // hand-built signatures: dup pairs at distance 0/1/2/3, a near-miss
     // at 4, and signatures differing in every band

@@ -63,6 +63,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("equal-freq grid scale path: no single-partition exchange, no global sort") {
+    val p = plan("discretize_equalfreq_approx")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("embedding near-dup candidates come from a band equi-join (no theta join)") {
     val p = plan("dedup_embedding_cosine")
     assert(!p.contains("CartesianProduct") &&

@@ -40,6 +40,22 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("dispatch: gzip-compressed .tab.gz reads transparently") {
+    val content = "name\tscore\ns\tc\nmeta\t\nax\t1.5\nbx\t2.5\n"
+    val f = java.io.File.createTempFile("graft_src_", ".tab.gz")
+    f.deleteOnExit()
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(f))
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val df = Sources.fromFile(spark, f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("name", "score"))
+    assert(df.count() == 2)
+    // same parse as the uncompressed twin
+    val plain = Sources.fromFile(spark, tmpWith(".tab", content))
+    assert(df.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+  }
+
   test("dispatch: unknown extension rejected") {
     intercept[IllegalArgumentException] {
       Sources.fromFile(spark, "/tmp/whatever.xyz")
