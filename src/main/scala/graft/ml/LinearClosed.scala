@@ -151,6 +151,19 @@ object LinearClosed {
        |FROM mom""".stripMargin
   }
 
+  /** PolynomialLearner (reference Orange/regression/linear.py:106-129 —
+    * PolynomialFeatures ∘ linear fit): degree-3 expansion of one
+    * feature, fitted with the [[ols3]] Cramer closed form on (x, x²,
+    * x³). Callers pre-scale x to ~[0,1] so the powers stay on the
+    * detSum grid; same two-scan shape, oracle-exact. */
+  def poly3(df: DataFrame, x: Column, y: Column): DataFrame =
+    ols3(df, ("x1", x), ("x2", x * x), ("x3", x * x * x), y)
+
+  /** DuckDB twin of [[poly3]]. */
+  def poly3Sql(table: String, xSql: String, ySql: String): String =
+    ols3Sql(table, ("x1", xSql), ("x2", s"($xSql) * ($xSql)"),
+      ("x3", s"($xSql) * ($xSql) * ($xSql)"), ySql)
+
   /** Plain OLS with three features (reference Orange/regression/
     * linear.py LinearRegressionLearner — sklearn's lstsq): Cramer solve
     * of the 3×3 centered normal equations, plus training RMSE from the

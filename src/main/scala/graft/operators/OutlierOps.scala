@@ -186,6 +186,99 @@ object OutlierOps {
     df.withColumn("md2", md2)
   }
 
+  /** Robust Mahalanobis via a deterministic MinCovDet analogue
+    * (reference Orange/classification/outlier_detection.py:127
+    * EllipticEnvelope — sklearn MinCovDet): the plain sample covariance
+    * is dragged by a dense outlier cluster until the cluster masks
+    * itself; MCD fits location/scatter on the h ≈ (n+d+1)/2 subset with
+    * the smallest covariance determinant.
+    *
+    * Distributed re-expression of FAST-MCD's C-step (Rousseeuw & Van
+    * Driessen 1999): start from the full-sample moments, then iterate
+    *   1. score md2 against the current (μ, Σ⁻¹)   — projection only
+    *   2. find the h-th smallest md2               — 4096-cell grid
+    *      histogram rank lookup (the equalFreqGrid device: exact
+    *      integer-rank rule, no global sort, deterministic)
+    *   3. refit moments on {md2 ≤ t_h}             — one filtered agg
+    * Each C-step is 3 map-side-combined scans of the cached projection;
+    * the determinant-decrease property of the C-step drives it to a
+    * local MCD optimum in a few steps (fixed cSteps keeps it
+    * deterministic). The final scatter gets the standard consistency
+    * correction (median md2 scaled to the χ²_d median) and points are
+    * flagged at the χ²_d(0.975) envelope, as sklearn does.
+    *
+    * Adds columns `md2_robust` and `is_outlier`. Driver state is O(d²);
+    * all scans are partial-aggregated; no shuffle beyond the ≤4096-key
+    * histogram — the 100 TB shape for a robust fit. */
+  def robustMahalanobis(df: DataFrame, features: Seq[String],
+                        cSteps: Int = 5, cells: Int = 4096): DataFrame = {
+    val d = features.length
+    require(d >= 1 && d <= 5, "robustMahalanobis supports 1-5 features")
+    val chi2_975 = Seq(5.0239, 7.3778, 9.3484, 11.1433, 12.8325)(d - 1)
+    val chi2_med = Seq(0.4549, 1.3863, 2.3660, 3.3567, 4.3515)(d - 1)
+    val base = df.select(features.map(f => col(f).cast(DoubleType).as(f)): _*)
+      .na.drop().cache()
+    val n = base.count()
+    require(n > d, "not enough rows for a covariance fit")
+    val h = (n + d + 1) / 2
+
+    def moments(sub: DataFrame): (Seq[Double], Array[Array[Double]]) = {
+      val aggs = features.map(f => exactMean(col(f)).as(s"__m_$f")) ++
+        (for { i <- 0 until d; j <- i until d } yield
+          exactCovarSamp(col(features(i)), col(features(j)))
+            .as(s"__c_${i}_$j"))
+      val row = sub.agg(aggs.head, aggs.tail: _*).first()
+      val means = features.map(f => row.getDouble(row.fieldIndex(s"__m_$f")))
+      val cov = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val v = row.getDouble(row.fieldIndex(s"__c_${i}_$j"))
+        cov(i)(j) = v; cov(j)(i) = v
+      }
+      (means, cov)
+    }
+    def md2Of(means: Seq[Double], inv: Array[Array[Double]]): Column = {
+      val dx = features.zip(means).map { case (f, m) =>
+        col(f).cast(DoubleType) - lit(m) }
+      (for { i <- 0 until d; j <- 0 until d } yield
+        dx(i) * dx(j) * lit(inv(i)(j))).reduce(_ + _)
+    }
+    /** md2 value at ascending rank `k` via the bounded grid histogram. */
+    def rankValue(md2: Column, k: Long): Double = {
+      val mm = base.agg(min(md2).as("lo"), max(md2).as("hi")).first()
+      val lo = mm.getDouble(0); val hi = mm.getDouble(1)
+      if (hi == lo) return hi
+      val w = (hi - lo) / cells
+      val hist = base
+        .select(least(floor((md2 - lo) / w), lit(cells - 1L)).as("cell"),
+          md2.as("v"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("nc"), max(col("v")).as("vc"))
+        .orderBy(col("cell")).collect()
+      var cum = 0L
+      for (r <- hist) {
+        cum += r.getLong(1)
+        if (cum >= k) return r.getDouble(2)
+      }
+      hi
+    }
+
+    var (means, cov) = moments(base)
+    var inv = invertGaussJordan(cov)
+    for (_ <- 1 to cSteps) {
+      val t = rankValue(md2Of(means, inv), h)
+      val refit = moments(base.filter(md2Of(means, inv) <= t))
+      means = refit._1; cov = refit._2
+      inv = invertGaussJordan(cov)
+    }
+    // consistency correction: scale so the sample's median md2 sits at
+    // the χ²_d median, then flag the 97.5% envelope
+    val factor = rankValue(md2Of(means, inv), (n + 1) / 2) / chi2_med
+    base.unpersist()
+    val md2c = md2Of(means, inv) / lit(factor)
+    df.withColumn("md2_robust", md2c)
+      .withColumn("is_outlier", (md2c > chi2_975).cast("int"))
+  }
+
   /** In-place Gauss-Jordan inverse with partial pivoting (deterministic:
     * fixed elimination order, driver-side doubles). */
   private[graft] def invertGaussJordan(m: Array[Array[Double]]): Array[Array[Double]] = {

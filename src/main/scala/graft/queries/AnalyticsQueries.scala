@@ -167,6 +167,23 @@ object AnalyticsQueries {
              |  WHERE q.c_custkey < 20)
              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("outliers_elliptic_robust", // outlier_detection.py:127
+      // EllipticEnvelope (sklearn MinCovDet): deterministic C-step MCD —
+      // h-subset refits with grid-histogram rank thresholds, consistency
+      // -corrected χ²(0.975) envelope. Rows-only (driver d×d state,
+      // iterative); MahalanobisSpec pins that an injected outlier
+      // cluster masked under the plain covariance is flagged here.
+      (s, d) => graft.operators.OutlierOps.robustMahalanobis(
+          Tables.load(s, d, "customer").select(col("c_custkey"),
+            (col("c_acctbal") / 1000.0).as("xa"),
+            col("c_nationkey").cast("double").as("xn")),
+          Seq("xa", "xn"))
+        .groupBy(col("is_outlier"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("md2_robust")), 4).as("max_md2"))
+        .orderBy(col("is_outlier")),
+      None),
+
     Q("outliers_mahalanobis2d", // outlier_detection.py Mahalanobis scores:
       // closed-form 2-D Σ⁻¹ from exact sums → fully deterministic.
       (s, d) => {

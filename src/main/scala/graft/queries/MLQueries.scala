@@ -953,6 +953,19 @@ object MLQueries {
         "CASE WHEN l_quantity > 25 THEN 1 ELSE -1 END",
         iterations = 12, lr = 1.0, graft.ml.SGD.HingeLoss))),
 
+    Q("ml_svm_rbf", // classification/svm.py:11-45 SVC(kernel='rbf') —
+      // RFF-linearized RBF SVC (KernelSVM): interval label ±1 iff
+      // 15 ≤ qty ≤ 35, which no linear SVC can separate in qty.
+      // Deterministic (md5-keyed features + rounded GD) but the 64
+      // cosine features make an unrolled SQL twin impractical →
+      // rows-only; KernelSVMSpec pins the linear-vs-RBF capability gap
+      // and partitioning determinism.
+      (s, d) => graft.ml.KernelSVM.rbfSvcAccuracy(
+        li(s, d), Seq(col("l_quantity") / 50.0),
+        when(col("l_quantity") >= 15 && col("l_quantity") <= 35, 1)
+          .otherwise(-1)),
+      None),
+
     Q("ml_som", // projection/som.py — batch SOM, 3×3 grid over the
       // embeddings table (deterministic init/epochs; rows-only).
       (s, d) => graft.ml.SOM.fit(emb(s, d), "vec_id", "embedding",
@@ -1143,6 +1156,16 @@ object MLQueries {
         ("disc", "l_discount * 10.0"),
         "l_quantity / 50.0 * 0.7 + l_discount * 10.0 * 0.2 + l_tax * 0.5",
         alpha = 1.0))),
+
+    Q("ml_polynomial", // regression/linear.py:106-129 PolynomialLearner —
+      // degree-3 expansion + the ols3 Cramer closed form; oracle-exact
+      // (same centered detSum moments + fixed cofactor order) on the
+      // qty→price curve.
+      (s, d) => graft.ml.LinearClosed.poly3(
+        li(s, d), col("l_quantity") / 50.0,
+        col("l_extendedprice") / 100000.0),
+      Some(graft.ml.LinearClosed.poly3Sql(
+        "lineitem", "l_quantity / 50.0", "l_extendedprice / 100000.0"))),
 
     Q("ml_confusion_matrix", // widgets/evaluate/owconfusionmatrix.py:
       // the (actual × predicted) count matrix with row proportions, from

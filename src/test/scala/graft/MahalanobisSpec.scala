@@ -9,6 +9,45 @@ import graft.operators.OutlierOps
 class MahalanobisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("robust MCD unmasks an injected outlier cluster the plain covariance hides") {
+    import org.apache.spark.sql.functions.col
+    // 200 inliers on a deterministic unit disc + 50 tight outliers near
+    // (8,8): 20% contamination shifts the plain mean and inflates the
+    // covariance along the cluster axis until the cluster's own md2
+    // drops below the χ²₂(0.975)=7.3778 envelope (self-masking).
+    val pts = (0 until 200).map { i =>
+      val a = 2 * math.Pi * i / 200.0
+      val r = 0.2 + 0.8 * ((i * 37) % 200) / 200.0
+      (i.toLong, r * math.cos(a), r * math.sin(a))
+    } ++ (0 until 50).map(i =>
+      ((200 + i).toLong, 8.0 + 0.01 * i, 8.0 - 0.01 * i))
+    val df = pts.toDF("id", "x", "y")
+
+    val plainFlagged = OutlierOps.mahalanobisND(df, Seq("x", "y"))
+      .filter(col("md2") > 7.3778 && col("id") >= 200).count()
+    assert(plainFlagged == 0, s"cluster not masked under plain cov: $plainFlagged")
+
+    val robust = OutlierOps.robustMahalanobis(df, Seq("x", "y"))
+    val flagged = robust.filter(col("is_outlier") === 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((200L until 250L).forall(flagged), "robust fit missed injected outliers")
+    val inlierFlags = flagged.count(_ < 200L)
+    assert(inlierFlags <= 10, s"too many inliers flagged: $inlierFlags")
+  }
+
+  test("robust MCD is deterministic under repartitioning") {
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val pts = (0 until 300).map { i =>
+      (i.toLong, (i % 17) / 17.0, ((i * 7) % 13) / 13.0)
+    }
+    val df = pts.toDF("id", "x", "y")
+    val a = OutlierOps.robustMahalanobis(df, Seq("x", "y"))
+      .select(col("id"), rnd(col("md2_robust"), 8)).collect().map(_.toSeq).toSet
+    val b = OutlierOps.robustMahalanobis(df.repartition(7), Seq("x", "y"))
+      .select(col("id"), rnd(col("md2_robust"), 8)).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("Gauss-Jordan inverse: A * inv(A) == I") {
     val a = Array(
       Array(4.0, 1.0, 0.5), Array(1.0, 3.0, 0.2), Array(0.5, 0.2, 2.0))

@@ -135,6 +135,67 @@ class SimilaritySpec extends SparkSpec {
     assert(got.subsetOf(full))
   }
 
+  // Second recall fixture: strongly CLUSTERED corpus (8 well-separated
+  // centroids × 40 points, deterministic perturbations). The sf corpus
+  // is weak-structure, so its recall floors are loose; here quantization
+  // aligns with real cluster geometry and regressions in the PQ/IVF
+  // paths show up as hard recall drops instead of hiding under the
+  // determinism pins.
+  private lazy val clustered = {
+    val dim = 16
+    val pts = for {
+      j <- 0 until 8; i <- 0 until 40
+    } yield {
+      val v = (0 until dim).map { kk =>
+        ((j * 31 + kk * 17) % 13 - 6) / 3.0 +
+          (((j * 40 + i) * 7 + kk * 3) % 11 - 5) / 50.0
+      }
+      ((j * 40 + i).toLong, v)
+    }
+    pts.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("clustered fixture: IVF recall@10 is monotone in nprobe, exact at full probe") {
+    val e = clustered
+    val q = e.filter(col("vec_id") % 40 === 0) // one query per cluster
+    val bf = SimilarityOps.topKCosine(q, e, "vec_id", "embedding", 16, 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val r = SimilarityOps.ivfTopKCosine(q, e, "vec_id", "embedding", 16,
+          10, nlist = 8, nprobe = np)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (bf intersect r).size.toDouble / bf.size
+    }
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1) + 1e-12),
+      s"recall not monotone in nprobe: $recalls")
+    assert(recalls.head >= 0.6, s"recall@10 nprobe=1 too low: ${recalls.head}")
+    assert(recalls.last == 1.0, s"full probe not exact: ${recalls.last}")
+  }
+
+  test("clustered fixture: PQ-ADC re-rank holds a hard recall@10 floor") {
+    val e = clustered
+    val q = e.filter(col("vec_id") % 40 === 0)
+    val bf = SimilarityOps.topKCosine(q, e, "vec_id", "embedding", 16, 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val raw = SimilarityOps.pqTopKCosine(q, e, "vec_id", "embedding", 16,
+        k = 10).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val rawRecall = (bf intersect raw).size.toDouble / bf.size
+    val rr = SimilarityOps.pqRerankTopKCosine(q, e, "vec_id", "embedding",
+        16, k = 10, shortlist = 64)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val rrRecall = (bf intersect rr).size.toDouble / bf.size
+    // raw ADC on 16-dim/16× compression measures 0.3125 here — well
+    // above the ~0.03 chance floor; the hard contract is the re-rank
+    assert(rawRecall >= 0.25, s"clustered raw ADC recall@10 $rawRecall")
+    assert(rrRecall >= 0.9, s"clustered re-ranked recall@10 $rrRecall")
+  }
+
   test("PQ-ADC is deterministic across partitionings") {
     val e = embeddings
     val q = e.filter(col("vec_id") < 5)
