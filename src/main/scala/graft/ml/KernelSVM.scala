@@ -25,18 +25,21 @@ object KernelSVM {
   /** Fit an RBF SVC via RFF + hinge GD; y must be ±1. Returns the
     * linearGD weights row (w_z0..w_z{d-1}, intercept, accuracy). */
   def rbfSvcFit(df: DataFrame, xs: Seq[Column], y: Column,
-                d: Int = 64, gamma: Double = 8.0, iterations: Int = 30,
+                d: Int = 32, gamma: Double = 8.0, iterations: Int = 30,
                 lr: Double = 1.0): DataFrame = {
     val feats = OneClassSVM.rffFeatures(xs, d, gamma)
       .zipWithIndex.map { case (f, j) => (s"z$j", f.as(s"z$j")) }
-    SGD.linearGD(df, feats.map { case (n, c) => (n, c) }, y,
+    // wide-path contract: null feature rows dropped up front (the
+    // primitive-array gradient cannot represent them)
+    val nonNull = xs.map(_.isNotNull).reduce(_ && _)
+    SGD.linearGD(df.filter(nonNull), feats.map { case (n, c) => (n, c) }, y,
       iterations, lr, SGD.HingeLoss)
   }
 
   /** Fit and report (accuracy, d, gamma) — the query-facing summary row
     * (the d-dimensional weight vector itself is fit detail). */
   def rbfSvcAccuracy(df: DataFrame, xs: Seq[Column], y: Column,
-                     d: Int = 64, gamma: Double = 8.0,
+                     d: Int = 32, gamma: Double = 8.0,
                      iterations: Int = 30, lr: Double = 1.0): DataFrame =
     rbfSvcFit(df, xs, y, d, gamma, iterations, lr)
       .select(col("accuracy"), lit(d).as("rff_dim"),

@@ -31,6 +31,9 @@ object SGD {
     * dot product of 10-decimal-rounded weights with parquet doubles). */
   sealed trait GDLoss {
     def residual(z: Column, y: Column): Column
+    /** JVM twin of [[residual]] for the wide-feature partition-local
+      * gradient path — must branch identically to the Column form. */
+    def residualJvm(z: Double, y: Double): Double
     def residualSql(z: String, y: String): String
     def metricName: String
     /** aggregated training metric; `gsum` is the order-independent sum */
@@ -43,6 +46,8 @@ object SGD {
   case object LogisticLoss extends GDLoss {
     private def p(z: Column) = lit(1.0) / (lit(1.0) + exp(-z))
     def residual(z: Column, y: Column): Column = p(z) - y
+    def residualJvm(z: Double, y: Double): Double =
+      1.0 / (1.0 + math.exp(-z)) - y
     def residualSql(z: String, y: String): String =
       s"(1.0 / (1.0 + EXP(-($z)))) - ($y)"
     def metricName = "accuracy"
@@ -64,6 +69,10 @@ object SGD {
       val e = z - y
       when(abs(e) > eps, signum(e)).otherwise(lit(0.0))
     }
+    def residualJvm(z: Double, y: Double): Double = {
+      val e = z - y
+      if (math.abs(e) > eps) math.signum(e) else 0.0
+    }
     def residualSql(z: String, y: String): String =
       s"(CASE WHEN ABS(($z) - ($y)) > $eps " +
       s"THEN CAST(SIGN(($z) - ($y)) AS DOUBLE) ELSE 0.0 END)"
@@ -80,6 +89,8 @@ object SGD {
   case object HingeLoss extends GDLoss {
     def residual(z: Column, y: Column): Column =
       when(y * z < 1.0, -y).otherwise(lit(0.0))
+    def residualJvm(z: Double, y: Double): Double =
+      if (y * z < 1.0) -y else 0.0
     def residualSql(z: String, y: String): String =
       s"(CASE WHEN ($y) * ($z) < 1.0 THEN -($y) ELSE 0.0 END)"
     def metricName = "accuracy"
@@ -107,8 +118,15 @@ object SGD {
     // than literals so every iteration reuses the SAME physical plan —
     // literal weights would force a whole-stage-codegen recompile per
     // step (measured 3 s/iteration vs ~0.3 s with a stable plan)
-    val base = df.select(feats.map { case (n, f) => f.as(s"x_$n") } :+
-      y.cast("double").as("y"): _*).cache()
+    // narrow fits cache the columnar projection (iterations re-scan it);
+    // wide fits (k > 8) skip it — their cache is the primitive-array RDD
+    // below, and materializing a 65-column columnar cache first costs
+    // ~10 s at sf0.1 for nothing
+    val base = {
+      val b = df.select(feats.map { case (n, f) => f.as(s"x_$n") } :+
+        y.cast("double").as("y"): _*)
+      if (feats.size <= 8) b.cache() else b
+    }
     val wSchema = StructType((0 to k).map(i =>
       StructField(s"wc$i", DoubleType, nullable = false)))
     def wDF(w: Array[Double]) = spark.createDataFrame(
@@ -125,37 +143,154 @@ object SGD {
     // The envelope is VERIFIED, not assumed: one pre-pass checks the row
     // count and per-feature |x| bound; outside it, gradients fall back to
     // detSum's DECIMAL(38) accumulation (equally order-independent).
-    val preCols = count(lit(1)).as("n") +:
-      feats.map { case (n, _) => max(abs(col(s"x_$n"))).as(s"m_$n") }
-    val pre = base.agg(preCols.head, preCols.tail: _*).head()
-    val nRows = pre.getLong(0)
-    // null max(abs(x)) (empty table / all-null feature) ⇒ outside envelope
-    val maxAbs = (1 to k).map(i =>
-      if (pre.isNullAt(i)) Double.PositiveInfinity else pre.getDouble(i))
-      .foldLeft(0.0)(math.max)
+    // Primitive-array cache for wide fits (k > 8, e.g. RFF kernels):
+    // a single aggregate with k+1 expressions exceeds the codegen field
+    // cap, so HashAggregate silently drops to interpreted per-expression
+    // eval (measured 16 s/iteration at k=64, sf0.1 vs ~0.2 s here).
+    def roundScaled(v: Double): Long = {
+      val t = v * 1e12
+      (if (t >= 0) math.floor(t + 0.5) else math.ceil(t - 0.5)).toLong
+    }
+    lazy val arrRdd = {
+      val kk = k
+      val r = base.rdd.map { row =>
+        val a = new Array[Double](kk + 1)
+        var i = 0
+        while (i <= kk) { a(i) = row.getDouble(i); i += 1 }
+        a
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
+
+    // Wide fits also run the envelope pass on the primitive-array cache:
+    // a k+1-field max/abs aggregate pays the same interpreted-eval bill
+    // the wide gradient would (measured ~12 s at k=64/sf0.1 vs ~1 s).
+    // The doubles compared are identical, so the branch decision is too.
+    // Wide-path caveat: Row.getDouble reads a NULL feature as 0.0, so
+    // wide callers must pre-drop null feature rows (KernelSVM does);
+    // narrow aggregates skip null products instead.
+    val (nRows, maxAbs) =
+      if (k > 8) {
+        val kk = k
+        arrRdd.mapPartitions { it =>
+          var n = 0L; var mx = 0.0
+          while (it.hasNext) {
+            val x = it.next(); n += 1
+            var i = 0
+            while (i < kk) {
+              val a = math.abs(x(i)); if (a > mx) mx = a; i += 1
+            }
+          }
+          Iterator.single((n, mx))
+        }.treeReduce((a, b) => (a._1 + b._1, math.max(a._2, b._2)))
+      } else {
+        val preCols = count(lit(1)).as("n") +:
+          feats.map { case (n, _) => max(abs(col(s"x_$n"))).as(s"m_$n") }
+        val pre = base.agg(preCols.head, preCols.tail: _*).head()
+        // null max(abs(x)) (empty table / all-null feature) ⇒ outside
+        // envelope
+        val m = (1 to k).map(i =>
+          if (pre.isNullAt(i)) Double.PositiveInfinity else pre.getDouble(i))
+          .foldLeft(0.0)(math.max)
+        (pre.getLong(0), m)
+      }
     val scaledSafe = nRows > 0 && nRows <= 8000000L && maxAbs <= 1.0
     def gradSum(c: Column): Column =
       if (scaledSafe)
         (sum(round(c * 1e12, 0).cast("long")) / lit(1e12)).cast("double")
       else detSum(c)
 
+    // The wide gradient accumulates the SAME scaled-long sums
+    // partition-locally (long addition is associative, so it is
+    // partition-order independent exactly like the sum-of-rounded-longs
+    // aggregate; roundScaled matches Spark round()'s HALF_UP away from
+    // zero).
+    val wideJvm = scaledSafe && k > 8
+    // wide caller outside the scaled envelope: the DataFrame fallback
+    // loop will re-scan base per iteration — cache it after all
+    if (k > 8 && !wideJvm) base.cache()
+    def gradJvm(w: Array[Double]): Array[Double] = {
+      val kk = k; val ll = loss
+      val bw = spark.sparkContext.broadcast(w)
+      val acc = arrRdd.mapPartitions { it =>
+        val ww = bw.value
+        val a = new Array[Long](kk + 1)
+        while (it.hasNext) {
+          val x = it.next()
+          var z = ww(kk); var i = 0
+          while (i < kk) { z += x(i) * ww(i); i += 1 }
+          val r = ll.residualJvm(z, x(kk))
+          if (r != 0.0) {
+            var j = 0
+            while (j < kk) { a(j) += roundScaled(r * x(j)); j += 1 }
+            a(kk) += roundScaled(r)
+          }
+        }
+        Iterator.single(a)
+      }.treeReduce { (p, q) =>
+        var i = 0; while (i <= kk) { p(i) += q(i); i += 1 }; p
+      }
+      bw.destroy()
+      acc.map(_ / 1e12)
+    }
+
     var w = Array.fill(k + 1)(0.0) // weights + intercept, zero init
     for (_ <- 1 to iterations if nRows > 0) {
-      val withR = base.crossJoin(broadcast(wDF(w)))
-        .select(col("*"),
-          loss.residual(zOf, col("y")).as("r")) // evaluated once per row
-      val aggs = feats.map { case (n, _) =>
-        gradSum(col("r") * col(s"x_$n")) } :+ gradSum(col("r"))
-      val row = withR.agg(aggs.head, aggs.tail: _*).head()
+      val g: Int => Double =
+        if (wideJvm) { val a = gradJvm(w); a(_) }
+        else {
+          val withR = base.crossJoin(broadcast(wDF(w)))
+            .select(col("*"),
+              loss.residual(zOf, col("y")).as("r")) // evaluated once per row
+          val aggs = feats.map { case (n, _) =>
+            gradSum(col("r") * col(s"x_$n")) } :+ gradSum(col("r"))
+          val row = withR.agg(aggs.head, aggs.tail: _*).head()
+          row.getDouble(_)
+        }
       w = w.zipWithIndex.map { case (wi, i) =>
-        math.rint((wi - lr * row.getDouble(i) / nRows) * 1e10) / 1e10 }
+        math.rint((wi - lr * g(i) / nRows) * 1e10) / 1e10 }
     }
+    // wide path: sign-accuracy metric on the cached arrays too — the
+    // 65-column crossJoin+agg pays the same interpreted-eval bill as the
+    // gradient did; integer correct-counts are partition-order exact and
+    // the final rounding replicates Spark round()'s HALF_UP.
+    val jvmAccuracy: Option[Double] =
+      if (wideJvm && nRows > 0 &&
+          (loss == LogisticLoss || loss == HingeLoss)) {
+        val kk = k; val isLog = loss == LogisticLoss
+        val bw = spark.sparkContext.broadcast(w)
+        val (c, t) = arrRdd.mapPartitions { it =>
+          val ww = bw.value; var c = 0L; var t = 0L
+          while (it.hasNext) {
+            val x = it.next()
+            var z = ww(kk); var i = 0
+            while (i < kk) { z += x(i) * ww(i); i += 1 }
+            val pred =
+              if (isLog) { if (1.0 / (1.0 + math.exp(-z)) > 0.5) 1.0 else 0.0 }
+              else { if (z > 0) 1.0 else -1.0 }
+            if (pred == x(kk)) c += 1
+            t += 1
+          }
+          Iterator.single((c, t))
+        }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2))
+        bw.destroy()
+        Some(new java.math.BigDecimal(c.toDouble / t)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      } else None
+    if (k > 8) arrRdd.unpersist(false) // forced by the envelope pass
     val outCols = feats.zipWithIndex.map { case ((name, _), i) =>
       lit(w(i)).as(s"w_$name") } :+
       lit(w(k)).as("intercept") :+
-      loss.metric(zOf, col("y"), gradSum, nRows).as(loss.metricName)
-    val out = base.crossJoin(broadcast(wDF(w)))
-      .agg(outCols.head, outCols.tail: _*)
+      jvmAccuracy.map(a => lit(a))
+        .getOrElse(loss.metric(zOf, col("y"), gradSum, nRows))
+        .as(loss.metricName)
+    val out =
+      if (jvmAccuracy.isDefined) // constants only — no data pass needed
+        base.limit(1).crossJoin(broadcast(wDF(w)))
+          .agg(outCols.head, outCols.tail: _*)
+      else base.crossJoin(broadcast(wDF(w)))
+        .agg(outCols.head, outCols.tail: _*)
     val result = out.collect()
     base.unpersist()
     spark.createDataFrame(
