@@ -54,9 +54,11 @@ object PLS {
     // algebra (t = Xw is never materialized: t't = w'Sw, X't = Sw,
     // y't = w'b; deflation X←X(I − wp') maps S←(I−pw')S(I−wp'),
     // b←(I−pw')(b − b̂·Sw)), so the whole A-component fit is TWO
-    // distributed scans + O(A·d²) driver arithmetic — where the
-    // data-side NIPALS paid 2A scans (measured 28 s → ~1 s at sf0.1
-    // on the 18-decimal grid).
+    // distributed scans + O(A·d²) driver arithmetic, where the
+    // data-side NIPALS paid 1+2A scans — and, crucially, the only
+    // distributed sums are of RAW centered products (O(0.1)
+    // magnitudes), so no deflated-to-1e-6 products ever meet the sum
+    // grid, which is what had broken the A=d ⇒ OLS identity.
     val momAggs =
       (for { i <- 0 until d; j <- i until d } yield
         sumFn(xc(i) * xc(j)).as(s"__s_${i}_$j")) ++

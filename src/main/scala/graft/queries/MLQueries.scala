@@ -1298,7 +1298,91 @@ object MLQueries {
               .otherwise("lo")),
         nbFeatures = Seq("qty_bin", "disc_bin"),
         target = "cls", posClass = "hi",
-        foldKey = col("l_orderkey"), k = 4), None),
+        foldKey = col("l_orderkey"), k = 4),
+      Some {
+        // Set-based out-of-fold twin: every train-fold statistic is
+        // (total − fold) counts, so NB-per-fold needs no per-fold scan;
+        // the meta fit is the standard unrolled-CTE logistic GD.
+        val gd = graft.ml.SGD.logRegGDSql("stacked",
+          Seq(("nb", "nbi"), ("maj", "maji")), "y",
+          iterations = 8, lr = 4.0)
+        s"""WITH base AS (
+           |  SELECT l_orderkey % 4 AS fold,
+           |    CAST(CAST(FLOOR(l_quantity / 10) AS INT) AS VARCHAR) AS f1,
+           |    CAST(CAST(FLOOR(l_discount * 100 / 3) AS INT) AS VARCHAR) AS f2,
+           |    CASE WHEN l_quantity > 25 OR l_discount > 0.05
+           |         THEN 'hi' ELSE 'lo' END AS cls
+           |  FROM lineitem),
+           |folds AS (SELECT DISTINCT fold FROM base),
+           |klass AS (SELECT DISTINCT cls FROM base),
+           |na AS (SELECT COUNT(*) AS n FROM base),
+           |nf AS (SELECT fold, COUNT(*) AS n FROM base GROUP BY fold),
+           |ca AS (SELECT cls, COUNT(*) AS n FROM base GROUP BY cls),
+           |cf AS (SELECT fold, cls, COUNT(*) AS n FROM base GROUP BY 1, 2),
+           |t1a AS (SELECT f1, cls, COUNT(*) AS n FROM base GROUP BY 1, 2),
+           |t1f AS (SELECT fold, f1, cls, COUNT(*) AS n FROM base GROUP BY 1, 2, 3),
+           |t2a AS (SELECT f2, cls, COUNT(*) AS n FROM base GROUP BY 1, 2),
+           |t2f AS (SELECT fold, f2, cls, COUNT(*) AS n FROM base GROUP BY 1, 2, 3),
+           |v1a AS (SELECT f1, COUNT(*) AS n FROM base GROUP BY 1),
+           |v1f AS (SELECT fold, f1, COUNT(*) AS n FROM base GROUP BY 1, 2),
+           |v2a AS (SELECT f2, COUNT(*) AS n FROM base GROUP BY 1),
+           |v2f AS (SELECT fold, f2, COUNT(*) AS n FROM base GROUP BY 1, 2),
+           |nv1 AS (
+           |  SELECT folds.fold, COUNT(*) AS nv
+           |  FROM folds CROSS JOIN v1a
+           |  LEFT JOIN v1f ON v1f.fold = folds.fold AND v1f.f1 = v1a.f1
+           |  WHERE v1a.n - COALESCE(v1f.n, 0) > 0 GROUP BY folds.fold),
+           |nv2 AS (
+           |  SELECT folds.fold, COUNT(*) AS nv
+           |  FROM folds CROSS JOIN v2a
+           |  LEFT JOIN v2f ON v2f.fold = folds.fold AND v2f.f2 = v2a.f2
+           |  WHERE v2a.n - COALESCE(v2f.n, 0) > 0 GROUP BY folds.fold),
+           |maj AS (
+           |  SELECT fold, cls AS mj FROM (
+           |    SELECT folds.fold, ca.cls,
+           |      ROW_NUMBER() OVER (PARTITION BY folds.fold
+           |        ORDER BY ca.n - COALESCE(cf.n, 0) DESC, ca.cls ASC) AS rk
+           |    FROM folds CROSS JOIN ca
+           |    LEFT JOIN cf ON cf.fold = folds.fold AND cf.cls = ca.cls)
+           |  WHERE rk = 1),
+           |combos AS (SELECT DISTINCT fold, f1, f2 FROM base),
+           |scored AS (
+           |  SELECT c.fold, c.f1, c.f2, k.cls,
+           |    LN((ca.n - COALESCE(cf.n, 0)) * 1.0 / (na.n - nf.n))
+           |    + LN((COALESCE(t1a.n, 0) - COALESCE(t1f.n, 0) + 1.0)
+           |          / ((ca.n - COALESCE(cf.n, 0)) + nv1.nv))
+           |    + LN((COALESCE(t2a.n, 0) - COALESCE(t2f.n, 0) + 1.0)
+           |          / ((ca.n - COALESCE(cf.n, 0)) + nv2.nv)) AS score
+           |  FROM combos c
+           |  CROSS JOIN klass k
+           |  JOIN ca ON ca.cls = k.cls
+           |  LEFT JOIN cf ON cf.fold = c.fold AND cf.cls = k.cls
+           |  CROSS JOIN na
+           |  JOIN nf ON nf.fold = c.fold
+           |  LEFT JOIN t1a ON t1a.f1 = c.f1 AND t1a.cls = k.cls
+           |  LEFT JOIN t1f ON t1f.fold = c.fold AND t1f.f1 = c.f1
+           |    AND t1f.cls = k.cls
+           |  LEFT JOIN t2a ON t2a.f2 = c.f2 AND t2a.cls = k.cls
+           |  LEFT JOIN t2f ON t2f.fold = c.fold AND t2f.f2 = c.f2
+           |    AND t2f.cls = k.cls
+           |  JOIN nv1 ON nv1.fold = c.fold
+           |  JOIN nv2 ON nv2.fold = c.fold),
+           |nbp AS (
+           |  SELECT fold, f1, f2, cls AS nb FROM (
+           |    SELECT scored.*, ROW_NUMBER() OVER (
+           |      PARTITION BY fold, f1, f2
+           |      ORDER BY score DESC, cls ASC) AS rk FROM scored)
+           |  WHERE rk = 1),
+           |stacked AS (
+           |  SELECT CASE WHEN nbp.nb = 'hi' THEN 1.0 ELSE 0.0 END AS nbi,
+           |         CASE WHEN maj.mj = 'hi' THEN 1.0 ELSE 0.0 END AS maji,
+           |         CASE WHEN b.cls = 'hi' THEN 1 ELSE 0 END AS y
+           |  FROM base b
+           |  JOIN nbp ON nbp.fold = b.fold AND nbp.f1 = b.f1
+           |    AND nbp.f2 = b.f2
+           |  JOIN maj ON maj.fold = b.fold)
+           |SELECT * FROM ($gd) g""".stripMargin
+      }),
 
     Q("ml_silhouette", // widgets/visualize/owsilhouetteplot.py →
       // sklearn silhouette_samples: exact all-pairs silhouette on a
