@@ -38,16 +38,91 @@ object OneClassSVM {
     math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
   }
 
+  /** The deterministic RFF constants: per feature j, the per-input
+    * frequencies scale·N_j,i and the phase offset b_j — exposed so the
+    * SQL twin can inline the identical doubles as literals. */
+  def rffConstants(nInputs: Int, d: Int,
+                   gamma: Double): (Seq[Seq[Double]], Seq[Double]) = {
+    val scale = math.sqrt(2.0 * gamma)
+    val freqs = (0 until d).map(j =>
+      (0 until nInputs).map(i => scale * normal(s"rff_${j}_$i")))
+    val offs = (0 until d).map(j => 2.0 * math.Pi * u01(s"rffb_$j"))
+    (freqs, offs)
+  }
+
   /** Random Fourier Feature expressions for the given input columns:
     * D cosine features with frequencies baked in as literals. */
   def rffFeatures(xs: Seq[Column], d: Int, gamma: Double): Seq[Column] = {
-    val scale = math.sqrt(2.0 * gamma)
+    val (freqs, offs) = rffConstants(xs.length, d, gamma)
+    val amp = math.sqrt(2.0 / d)
     (0 until d).map { j =>
       val proj = xs.zipWithIndex.map { case (x, i) =>
-        x * (scale * normal(s"rff_${j}_$i")) }.reduce(_ + _)
-      val b = 2.0 * math.Pi * u01(s"rffb_$j")
-      (cos(proj + b) * math.sqrt(2.0 / d)).as(s"z$j")
+        x * freqs(j)(i) }.reduce(_ + _)
+      (cos(proj + offs(j)) * amp).as(s"z$j")
     }
+  }
+
+  /** DuckDB twin of [[fitPredict]]'s aggregate summary — the full GD
+    * trajectory unrolled as chained CTEs like SGD.linearGDSql: the RFF
+    * constants inline as the identical double literals, every gradient
+    * runs through the same 12-decimal detSum grid, weights/ρ round to
+    * 10 decimals per step, and the finishing ρ is the rank-k margin.
+    * Emits one row (n, n_outliers, min_score, max_score). Cross-engine
+    * cos() ulp differences sit ~4 orders below the rounding grids. */
+  def fitPredictSummarySql(table: String, xSqls: Seq[String],
+                           nu: Double, d: Int, gamma: Double,
+                           iterations: Int, lr: Double = 0.1): String = {
+    import graft.queries.SqlGen.sqlDetSum
+    def dl(v: Double): String = if (v < 0) s"($v)" else v.toString
+    val (freqs, offs) = rffConstants(xSqls.length, d, gamma)
+    val amp = math.sqrt(2.0 / d)
+    val zCols = (0 until d).map { j =>
+      val proj = xSqls.zipWithIndex.map { case (x, i) =>
+        s"($x) * ${dl(freqs(j)(i))}" }.mkString(" + ")
+      s"COS($proj + ${dl(offs(j))}) * ${dl(amp)} AS z$j"
+    }.mkString(",\n    ")
+    def margin(p: String) =
+      (0 until d).map(j => s"z$j * $p.w$j").mkString(" + ")
+    val steps = (1 to iterations).map { i =>
+      val p = s"it${i - 1}"
+      val viol = s"(${margin(p)}) < $p.rho"
+      val inv = s"(1.0 / ($nu * nrow.n))"
+      val wUpd = (0 until d).map { j =>
+        val s = sqlDetSum(s"CASE WHEN $viol THEN z$j ELSE 0.0 END")
+        s"ROUND(MIN($p.w$j) - $lr * (MIN($p.w$j) - MIN($inv) * $s), 10) AS w$j"
+      }.mkString(",\n    ")
+      s"""it$i AS (
+         |  SELECT $wUpd,
+         |    ROUND(MIN($p.rho) - $lr * (-1.0 + MIN($inv) *
+         |      SUM(CASE WHEN $viol THEN 1 ELSE 0 END)), 10) AS rho
+         |  FROM feats CROSS JOIN it${i - 1} $p CROSS JOIN nrow)"""
+        .stripMargin
+    }.mkString(",\n")
+    val last = s"it$iterations"
+    val w0 = (0 until d).map(j =>
+      s"CAST(${dl(1.0 / d)} AS DOUBLE) AS w$j").mkString(", ")
+    s"""WITH feats AS (
+       |  SELECT
+       |    $zCols
+       |  FROM $table),
+       |nrow AS (SELECT COUNT(*) AS n FROM feats),
+       |it0 AS (SELECT $w0, CAST(0.0 AS DOUBLE) AS rho),
+       |$steps,
+       |fin AS (
+       |  SELECT ROUND(MAX(m), 10) AS rho FROM (
+       |    SELECT m, ROW_NUMBER() OVER (ORDER BY m ASC) AS rk, n FROM (
+       |      SELECT (${margin(last)}) AS m, nrow.n
+       |      FROM feats CROSS JOIN $last CROSS JOIN nrow))
+       |  WHERE rk <= GREATEST(1, CAST(FLOOR($nu * n) AS BIGINT))),
+       |scored AS (
+       |  SELECT ROUND((${margin(last)}) - fin.rho, 6) AS score
+       |  FROM feats CROSS JOIN $last CROSS JOIN fin)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN score < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers,
+       |  ROUND(MIN(score), 6) AS min_score,
+       |  ROUND(MAX(score), 6) AS max_score
+       |FROM scored""".stripMargin
   }
 
   /** Fit + score: returns input + (score, is_outlier) where score =

@@ -286,9 +286,10 @@ object ScoringQueries {
 
     Q("outliers_oneclass_svm", // OneClassSVM (outlier_detection.py:17-180)
       // via Random Fourier Features + linear one-class subgradient
-      // descent. Deterministic (md5 frequencies, detSum grads, rounded
-      // steps) but 20-iteration-iterative → rows-only; OneClassSVMSpec
-      // pins the semantics.
+      // descent. Oracle-exact: the RFF constants are deterministic
+      // doubles the twin inlines as literals, so the whole 20-step
+      // trajectory unrolls as chained CTEs (the ml_sgd_logreg device)
+      // including the rank-k finishing ρ.
       (s, d) => graft.ml.OneClassSVM.fitPredict(
           sup(s, d).select(col("s_suppkey"),
             (col("s_acctbal") / 10000.0).as("xa")),
@@ -297,7 +298,10 @@ object ScoringQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("is_outlier")).as("n_outliers"),
           round(min(col("score")), 6).as("min_score"),
-          round(max(col("score")), 6).as("max_score")), None),
+          round(max(col("score")), 6).as("max_score")),
+      Some(graft.ml.OneClassSVM.fitPredictSummarySql(
+        "supplier", Seq("s_acctbal / 10000.0"),
+        nu = 0.05, d = 16, gamma = 2.0, iterations = 20))),
 
     Q("outliers_lof", // Local Outlier Factor, k=3 (outlier_detection.py)
       (s, d) => OutlierOps.lof1d(sup(s, d), "s_suppkey", "s_acctbal", 3)
