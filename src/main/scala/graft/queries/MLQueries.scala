@@ -682,16 +682,62 @@ object MLQueries {
         iterations = 10, lr = 1.0))),
 
     Q("ml_scoring_sheet", // scoringsheet.py (fasterrisk): binarize →
-      // sparse integer points via deterministic logistic GD → Platt
-      // link. Output = the learned sheet (rows-only: iterative fit;
-      // semantics pinned by LearnerTailSpec).
+      // sparse integer points via deterministic logistic GD. Oracle:
+      // quantile_disc reproduces Spark's exact-percentile thresholds
+      // (verified convention match), the 6-indicator GD unrolls as CTEs,
+      // and the top-|w| selection + integer rescale is an UNPIVOT +
+      // rank + FLOOR(x+0.5) (the java round twin). Assumes the 3
+      // quartile cuts per feature stay distinct (true on this data at
+      // both SFs; a collapse would change the indicator count).
       (s, d) => {
         val c = Tables.load(s, d, "customer")
         val sheet = graft.ml.ScoringSheet.fit(c,
           Seq("c_acctbal", "c_nationkey"),
           col("c_mktsegment") === "BUILDING")
         graft.ml.ScoringSheet.sheetDF(s, sheet)
-      }, None),
+      },
+      Some {
+        val gd = graft.ml.SGD.logRegGDSql("ind",
+          (0 until 6).map(i => (s"i$i", s"i$i")), "y",
+          iterations = 10, lr = 1.0)
+        val candRows = (0 until 6).map { i =>
+          val (feat, q) =
+            if (i < 3) ("c_acctbal", s"qa[${i + 1}]")
+            else ("c_nationkey", s"qn[${i - 2}]")
+          s"SELECT '$feat' AS feature, $q AS threshold, g.w_i$i AS w " +
+            "FROM g CROSS JOIN thr"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH thr AS (
+           |  SELECT quantile_disc(CAST(c_acctbal AS DOUBLE),
+           |           [0.25, 0.5, 0.75]) AS qa,
+           |         quantile_disc(CAST(c_nationkey AS DOUBLE),
+           |           [0.25, 0.5, 0.75]) AS qn
+           |  FROM customer),
+           |ind AS (
+           |  SELECT
+           |    ${(0 until 3).map(i =>
+                s"CASE WHEN c_acctbal >= qa[${i + 1}] THEN 1.0 ELSE 0.0 END AS i$i")
+                .mkString(",\n    ")},
+           |    ${(0 until 3).map(i =>
+                s"CASE WHEN c_nationkey >= qn[${i + 1}] THEN 1.0 ELSE 0.0 END AS i${i + 3}")
+                .mkString(",\n    ")},
+           |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+           |  FROM customer CROSS JOIN thr),
+           |g AS ($gd),
+           |cand AS (
+           |  $candRows),
+           |ranked AS (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    ORDER BY ABS(w) DESC, feature ASC, threshold ASC) AS rk
+           |  FROM cand),
+           |kept AS (SELECT * FROM ranked WHERE rk <= 5 AND w <> 0.0),
+           |wmax AS (SELECT MAX(ABS(w)) AS m FROM kept)
+           |SELECT feature, ROUND(threshold, 6) AS threshold,
+           |  CAST(FLOOR(w / wmax.m * 5 + 0.5) AS INT) AS points
+           |FROM kept CROSS JOIN wmax
+           |WHERE CAST(FLOOR(w / wmax.m * 5 + 0.5) AS INT) <> 0
+           |ORDER BY feature, ROUND(threshold, 6)""".stripMargin
+      }),
 
     Q("ml_logreg_embeddings", // MLlib logistic regression (rows-only)
       (s, d) => MLlibLearners.logisticOnEmbeddings(
