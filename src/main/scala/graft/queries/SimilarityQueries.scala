@@ -27,6 +27,62 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
 
+    Q("ml_lpa_communities", // clustering/louvain.py's label-propagation
+      // scaffold, oracle-exact end-to-end: the LSH kNN graph (same
+      // sign-projection twin as ann_lsh_bucketed) feeds 4 SYNCHRONOUS
+      // LPA rounds unrolled as CTEs — per round, each node adopts its
+      // neighbors' plurality label (ties → smallest label), exactly the
+      // count-argmax the distributed rounds compute. The full louvain
+      // refinement stays rows-only (ml_louvain_lpa).
+      (s, d) => {
+        val e = emb(s, d).filter(col("vec_id") < 500)
+        val graph = graft.ml.Community.knnGraphLSH(
+          e, "vec_id", "embedding", Dim, 5, nPlanes = 4)
+        graft.ml.Community.labelPropagation(graph, "src", "dst", 4)
+          .orderBy(col("node"))
+      },
+      Some {
+        val bucket = (0 until 4).map { j =>
+          val proj = (1 to Dim).map { i =>
+            s"CAST(embedding[$i] AS DOUBLE) * ${SimilarityOps.planeComponent(j, i)}"
+          }.mkString("(", " + ", ")")
+          s"CASE WHEN $proj > 0 THEN ${math.pow(2, j).toLong} ELSE 0 END"
+        }.mkString(" + ")
+        val rounds = (1 to 4).map { r =>
+          s"""lab$r AS MATERIALIZED (
+             |  SELECT u AS node, label FROM (
+             |    SELECT s.u, l.label,
+             |      ROW_NUMBER() OVER (PARTITION BY s.u
+             |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+             |    FROM sym s JOIN lab${r - 1} l ON l.node = s.v
+             |    GROUP BY s.u, l.label)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH b AS MATERIALIZED (
+           |  SELECT vec_id, embedding, ($bucket) AS bucket
+           |  FROM embeddings WHERE vec_id < 500),
+           |knn AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC,
+           |                 c.vec_id ASC) AS rank
+           |    FROM b q JOIN b c ON q.bucket = c.bucket
+           |      AND q.vec_id <> c.vec_id)
+           |  WHERE rank <= 5),
+           |edges AS MATERIALIZED (
+           |  SELECT DISTINCT LEAST(query_id, neighbor_id) AS u0,
+           |    GREATEST(query_id, neighbor_id) AS v0 FROM knn),
+           |sym AS MATERIALIZED (
+           |  SELECT u0 AS u, v0 AS v FROM edges
+           |  UNION
+           |  SELECT v0 AS u, u0 AS v FROM edges),
+           |lab0 AS MATERIALIZED (
+           |  SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM sym)),
+           |$rounds
+           |SELECT node, label FROM lab4 ORDER BY node""".stripMargin
+      }),
+
     Q("ann_bruteforce_cosine", // exact top-5 cosine neighbors of 20 queries
       (s, d) => SimilarityOps.topKCosine(
           emb(s, d).filter(col("vec_id") < 20), emb(s, d),
