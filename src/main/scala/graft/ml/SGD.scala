@@ -170,10 +170,10 @@ object SGD {
     // Wide-path caveat: Row.getDouble reads a NULL feature as 0.0, so
     // wide callers must pre-drop null feature rows (KernelSVM does);
     // narrow aggregates skip null products instead.
-    val (nRows, maxAbs) =
+    val (nRows, maxAbs, nullFree) =
       if (k > 8) {
         val kk = k
-        arrRdd.mapPartitions { it =>
+        val (n, mx) = arrRdd.mapPartitions { it =>
           var n = 0L; var mx = 0.0
           while (it.hasNext) {
             val x = it.next(); n += 1
@@ -184,16 +184,21 @@ object SGD {
           }
           Iterator.single((n, mx))
         }.treeReduce((a, b) => (a._1 + b._1, math.max(a._2, b._2)))
+        (n, mx, true) // wide callers pre-drop nulls (see caveat above)
       } else {
         val preCols = count(lit(1)).as("n") +:
-          feats.map { case (n, _) => max(abs(col(s"x_$n"))).as(s"m_$n") }
+          (feats.map { case (n, _) => max(abs(col(s"x_$n"))).as(s"m_$n") } ++
+           feats.map { case (n, _) => count(col(s"x_$n")).as(s"c_$n") } :+
+           count(col("y")).as("c_y"))
         val pre = base.agg(preCols.head, preCols.tail: _*).head()
         // null max(abs(x)) (empty table / all-null feature) ⇒ outside
         // envelope
         val m = (1 to k).map(i =>
           if (pre.isNullAt(i)) Double.PositiveInfinity else pre.getDouble(i))
           .foldLeft(0.0)(math.max)
-        (pre.getLong(0), m)
+        val nTot = pre.getLong(0)
+        val nf = (0 to k).forall(i => pre.getLong(k + 1 + i) == nTot)
+        (nTot, m, nf)
       }
     val scaledSafe = nRows > 0 && nRows <= 8000000L && maxAbs <= 1.0
     def gradSum(c: Column): Column =
@@ -201,15 +206,20 @@ object SGD {
         (sum(round(c * 1e12, 0).cast("long")) / lit(1e12)).cast("double")
       else detSum(c)
 
-    // The wide gradient accumulates the SAME scaled-long sums
+    // The JVM gradient accumulates the SAME scaled-long sums
     // partition-locally (long addition is associative, so it is
     // partition-order independent exactly like the sum-of-rounded-longs
     // aggregate; roundScaled matches Spark round()'s HALF_UP away from
-    // zero).
-    val wideJvm = scaledSafe && k > 8
-    // wide caller outside the scaled envelope: the DataFrame fallback
-    // loop will re-scan base per iteration — cache it after all
-    if (k > 8 && !wideJvm) base.cache()
+    // zero, and the dot product adds terms before the intercept in the
+    // exact order of the Column expression). Narrow fits use it too —
+    // the per-iteration DataFrame agg costs ~1 s in scheduling/codegen
+    // overhead vs ~0.2 s here — but only when the features are verified
+    // null-free: Row.getDouble reads NULL as 0.0, which would silently
+    // differ from the aggregate path's null-skipping sums.
+    val useJvm = scaledSafe && (k > 8 || nullFree)
+    // caller outside the JVM envelope with an uncached wide projection:
+    // the DataFrame fallback loop re-scans base per iteration
+    if (k > 8 && !useJvm) base.cache()
     def gradJvm(w: Array[Double]): Array[Double] = {
       val kk = k; val ll = loss
       val bw = spark.sparkContext.broadcast(w)
@@ -218,8 +228,9 @@ object SGD {
         val a = new Array[Long](kk + 1)
         while (it.hasNext) {
           val x = it.next()
-          var z = ww(kk); var i = 0
+          var z = 0.0; var i = 0
           while (i < kk) { z += x(i) * ww(i); i += 1 }
+          z += ww(kk)
           val r = ll.residualJvm(z, x(kk))
           if (r != 0.0) {
             var j = 0
@@ -238,7 +249,7 @@ object SGD {
     var w = Array.fill(k + 1)(0.0) // weights + intercept, zero init
     for (_ <- 1 to iterations if nRows > 0) {
       val g: Int => Double =
-        if (wideJvm) { val a = gradJvm(w); a(_) }
+        if (useJvm) { val a = gradJvm(w); a(_) }
         else {
           val withR = base.crossJoin(broadcast(wDF(w)))
             .select(col("*"),
@@ -256,7 +267,7 @@ object SGD {
     // gradient did; integer correct-counts are partition-order exact and
     // the final rounding replicates Spark round()'s HALF_UP.
     val jvmAccuracy: Option[Double] =
-      if (wideJvm && nRows > 0 &&
+      if (useJvm && nRows > 0 &&
           (loss == LogisticLoss || loss == HingeLoss)) {
         val kk = k; val isLog = loss == LogisticLoss
         val bw = spark.sparkContext.broadcast(w)
@@ -264,8 +275,9 @@ object SGD {
           val ww = bw.value; var c = 0L; var t = 0L
           while (it.hasNext) {
             val x = it.next()
-            var z = ww(kk); var i = 0
+            var z = 0.0; var i = 0
             while (i < kk) { z += x(i) * ww(i); i += 1 }
+            z += ww(kk)
             val pred =
               if (isLog) { if (1.0 / (1.0 + math.exp(-z)) > 0.5) 1.0 else 0.0 }
               else { if (z > 0) 1.0 else -1.0 }
@@ -278,7 +290,7 @@ object SGD {
         Some(new java.math.BigDecimal(c.toDouble / t)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
       } else None
-    if (k > 8) arrRdd.unpersist(false) // forced by the envelope pass
+    if (useJvm || k > 8) arrRdd.unpersist(false) // forced if ever built
     val outCols = feats.zipWithIndex.map { case ((name, _), i) =>
       lit(w(i)).as(s"w_$name") } :+
       lit(w(k)).as("intercept") :+
