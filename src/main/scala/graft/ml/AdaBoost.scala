@@ -80,7 +80,76 @@ object AdaBoost {
 
     var picked = Vector.empty[(Int, Double, Double)] // (candIdx, alpha, err)
     def staged = base.crossJoin(broadcast(stDF(picked)))
-    val nRows = base.count()
+    val cnts = base.agg(count(lit(1)), count(col("y"))).head()
+    val nRows = cnts.getLong(0)
+    val yNullFree = cnts.getLong(1) == nRows
+
+    // Primitive-array cache of the CANDIDATE VALUES [h_0..h_{K-1}, y]:
+    // the 2K+1-sum round aggregate is the same wide-aggregate shape
+    // that collapsed to interpreted eval in SGD.linearGD (the stump
+    // h's are ±1 and never null — when(null ≤ thr) takes the otherwise
+    // branch). JVM rounds accumulate the identical HALF_UP scaled
+    // longs with the identical expression order (F folds all round
+    // slots incl. the zero-padded ones; Math.exp is the same JVM exp
+    // codegen calls), so the selection trajectory — and the CTE oracle
+    // — are bit-unchanged. Rounds outside the scaled envelope (or a
+    // nullable y) fall back to the aggregate path.
+    val kCand = cands.size
+    def roundScaled(v: Double): Long = {
+      val t = v * 1e12
+      (if (t >= 0) math.floor(t + 0.5) else math.ceil(t - 0.5)).toLong
+    }
+    lazy val hArr = {
+      val hDf = base.select(cands.map(c => h(c)).zipWithIndex
+        .map { case (c, k) => c.as(s"h_$k") } :+ col("y"): _*)
+      val r = hDf.rdd.map { row =>
+        val a = new Array[Double](kCand + 1)
+        var i = 0
+        while (i <= kCand) { a(i) = row.getDouble(i); i += 1 }
+        a
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
+    var hArrUsed = false
+    def jvmRoundSums(ks: Array[Int], as: Array[Double]): Array[Double] = {
+      hArrUsed = true
+      val kk = kCand; val rr = rounds
+      val bc = spark.sparkContext.broadcast((ks, as))
+      val acc = hArr.mapPartitions { it =>
+        val (bks, bas) = bc.value
+        val a = new Array[Long](kk + 1)
+        while (it.hasNext) {
+          val x = it.next()
+          val yv = x(kk)
+          var f = 0.0; var j = 0
+          while (j < rr) {
+            val kj = bks(j)
+            f += bas(j) * (if (kj >= 0) x(kj) else 0.0)
+            j += 1
+          }
+          val w = Math.exp(-yv * f)
+          a(0) += roundScaled(w)
+          var k = 0
+          while (k < kk) {
+            a(k + 1) += roundScaled((w * (1.0 - yv * x(k))) / 2.0)
+            k += 1
+          }
+        }
+        Iterator.single(a)
+      }.treeReduce { (p, q) =>
+        var i = 0; while (i <= kk) { p(i) += q(i); i += 1 }; p
+      }
+      bc.destroy()
+      acc.map(_ / 1e12)
+    }
+    def paddedKA: (Array[Int], Array[Double]) = {
+      val ks = Array.fill(rounds)(-1); val as = Array.fill(rounds)(0.0)
+      picked.zipWithIndex.foreach { case ((kI, aI, _), i) =>
+        ks(i) = kI; as(i) = aI }
+      (ks, as)
+    }
+
     for (_ <- 1 to rounds) {
       // Scaled-long gradient sums when provably in envelope (same device
       // as SGD.linearGD — DECIMAL(38) accumulation measured ~0.4 s per
@@ -97,23 +166,57 @@ object AdaBoost {
         if (scaledSafe)
           (sum(round(c * 1e12, 0).cast("long")) / lit(1e12)).cast("double")
         else detSum(c)
-      val w = exp(-col("y") * fExpr)
-      val aggs = gSum(w).as("wsum") +: cands.zipWithIndex.map {
-        case (c, k) =>
-          gSum(w * (lit(1.0) - col("y") * h(c)) / 2.0).as(s"e_$k")
-      }
-      val row = staged.agg(aggs.head, aggs.tail: _*).head()
-      val wsum = row.getDouble(0)
+      val sums: Int => Double =
+        if (scaledSafe && yNullFree) {
+          val (ks, as) = paddedKA
+          val a = jvmRoundSums(ks, as); a(_)
+        } else {
+          val w = exp(-col("y") * fExpr)
+          val aggs = gSum(w).as("wsum") +: cands.zipWithIndex.map {
+            case (c, k) =>
+              gSum(w * (lit(1.0) - col("y") * h(c)) / 2.0).as(s"e_$k")
+          }
+          val row = staged.agg(aggs.head, aggs.tail: _*).head()
+          row.getDouble(_)
+        }
+      val wsum = sums(0)
       val errs = cands.indices.map(k =>
-        k -> math.rint(row.getDouble(k + 1) / wsum * 1e10) / 1e10)
+        k -> math.rint(sums(k + 1) / wsum * 1e10) / 1e10)
       val (bestK, err) = errs.minBy { case (k, e) => (e, k) }
       val ec = clampEps(err)
       val alpha = math.rint(0.5 * math.log((1.0 - ec) / ec) * 1e10) / 1e10
       picked :+= ((bestK, alpha, err))
     }
-    val pred = when(fExpr > 0, 1.0).otherwise(-1.0)
-    val acc = staged.agg((sum(when(pred === col("y"), 1L).otherwise(0L)) /
-      count(lit(1))).as("acc")).head().getDouble(0)
+    val acc =
+      if (hArrUsed && yNullFree) {
+        val (ks, as) = paddedKA
+        val kk = kCand; val rr = rounds
+        val bc = spark.sparkContext.broadcast((ks, as))
+        val (c, t) = hArr.mapPartitions { it =>
+          val (bks, bas) = bc.value
+          var c = 0L; var t = 0L
+          while (it.hasNext) {
+            val x = it.next()
+            var f = 0.0; var j = 0
+            while (j < rr) {
+              val kj = bks(j)
+              f += bas(j) * (if (kj >= 0) x(kj) else 0.0)
+              j += 1
+            }
+            val pred = if (f > 0) 1.0 else -1.0
+            if (pred == x(kk)) c += 1
+            t += 1
+          }
+          Iterator.single((c, t))
+        }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2))
+        bc.destroy()
+        c.toDouble / t.toDouble
+      } else {
+        val pred = when(fExpr > 0, 1.0).otherwise(-1.0)
+        staged.agg((sum(when(pred === col("y"), 1L).otherwise(0L)) /
+          count(lit(1))).as("acc")).head().getDouble(0)
+      }
+    if (hArrUsed) hArr.unpersist(false)
     base.unpersist()
 
     val schema = StructType(Seq(
