@@ -113,6 +113,29 @@ object MLlibLearners {
     confusion(model.transform(data))
   }
 
+  /** XGBoost/CatBoost adapter parity (reference classification/xgb.py
+    * XGBBase and catgb.py CatGBBaseLearner wrap the external boosters'
+    * hyperparameters): MLlib GBT is the Spark-native booster, and this
+    * adapter maps the same surface — n_estimators→maxIter,
+    * learning_rate→stepSize (xgb default 0.3), max_depth,
+    * subsample→subsamplingRate, colsample_bytree→featureSubsetStrategy.
+    * Same confusion-matrix contract as [[gbt]]. */
+  def gbtTuned(df: DataFrame, features: Seq[String], labelCol: String,
+               nEstimators: Int = 10, learningRate: Double = 0.3,
+               maxDepth: Int = 3, subsample: Double = 0.8,
+               colsampleByTree: Double = 1.0,
+               seed: Long = 42L): DataFrame = {
+    val data = assembled(df, features, labelCol)
+    val strategy =
+      if (colsampleByTree >= 1.0) "all" else colsampleByTree.toString
+    val model = new GBTClassifier()
+      .setMaxIter(nEstimators).setStepSize(learningRate)
+      .setMaxDepth(maxDepth).setSubsamplingRate(subsample)
+      .setFeatureSubsetStrategy(strategy)
+      .setSeed(seed).fit(data)
+    confusion(model.transform(data))
+  }
+
   /** LinearSVC (svm.py → MLlib linear SVM); binary labels only. */
   def linearSvc(df: DataFrame, features: Seq[String],
                 labelCol: String): DataFrame = {

@@ -784,6 +784,15 @@ object MLQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         "l_linestatus"), None),
 
+    Q("ml_xgb_adapter", // classification/xgb.py XGBBase / catgb.py —
+      // the external-booster hyperparameter surface mapped onto the
+      // Spark-native booster (learning_rate/subsample/colsample/depth);
+      // rows-only like the reference's own wrapper tests.
+      (s, d) => MLlibLearners.gbtTuned(li(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        "l_linestatus", nEstimators = 6, learningRate = 0.3,
+        maxDepth = 3, subsample = 0.8), None),
+
     Q("ml_linear_svc", // svm.py → MLlib linear SVM (rows-only)
       (s, d) => MLlibLearners.linearSvc(li(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
