@@ -23,7 +23,8 @@ import graft.core.Tables._
 object PLS {
 
   final case class PLS1Model(features: Seq[String], intercept: Double,
-                             beta: Seq[Double]) {
+                             beta: Seq[Double],
+                             trainRmse: Double = Double.NaN) {
     def predictExpr: Column =
       features.zip(beta).map { case (f, b) => col(f) * lit(b) }
         .foldLeft(lit(intercept))(_ + _)
@@ -40,8 +41,10 @@ object PLS {
     val meansRow = df.agg(
       (sumFn(col(target)) / count(col(target))).as("__my"),
       features.map(f =>
-        (sumFn(col(f)) / count(col(f))).as(s"__m_$f")): _*)
+        (sumFn(col(f)) / count(col(f))).as(s"__m_$f")) :+
+        count(col(target)).as("__n"): _*)
       .first()
+    val nRows = meansRow.getLong(meansRow.fieldIndex("__n"))
     val my = meansRow.getDouble(0)
     val mx = features.zipWithIndex.map { case (f, i) =>
       meansRow.getDouble(i + 1) }
@@ -62,7 +65,8 @@ object PLS {
     val momAggs =
       (for { i <- 0 until d; j <- i until d } yield
         sumFn(xc(i) * xc(j)).as(s"__s_${i}_$j")) ++
-      features.indices.map(i => sumFn(xc(i) * yc).as(s"__b_$i"))
+      features.indices.map(i => sumFn(xc(i) * yc).as(s"__b_$i")) :+
+      sumFn(yc * yc).as("__syy")
     val momRow = df.agg(momAggs.head, momAggs.tail: _*).first()
     val sMat = Array.ofDim[Double](d, d)
     for (i <- 0 until d; j <- i until d) {
@@ -71,6 +75,8 @@ object PLS {
     }
     var bVec = Array.tabulate(d)(i =>
       momRow.getDouble(momRow.fieldIndex(s"__b_$i")))
+    val bOrig = bVec.clone()
+    val syy = momRow.getDouble(momRow.fieldIndex("__syy"))
     var sCur = sMat.map(_.clone())
 
     def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
@@ -112,6 +118,13 @@ object PLS {
     val beta = (0 until d).map(k =>
       (0 until a).map(c => ws(c)(k) * alpha(c)).sum)
     val intercept = my - features.indices.map(i => mx(i) * beta(i)).sum
-    PLS1Model(features, intercept, beta)
+    // training RMSE from the same moments (no further scan):
+    // SSR = syy − 2β'b + β'Sβ
+    val ssr = syy -
+      2.0 * (0 until d).map(i => beta(i) * bOrig(i)).sum +
+      (for { i <- 0 until d; j <- 0 until d } yield
+        beta(i) * beta(j) * sMat(i)(j)).sum
+    val rmse = math.sqrt(math.max(ssr, 0.0) / nRows)
+    PLS1Model(features, intercept, beta, rmse)
   }
 }

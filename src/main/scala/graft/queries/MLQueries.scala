@@ -614,24 +614,24 @@ object MLQueries {
           .withColumn("disc_s", col("l_discount") * 10.0)
           .withColumn("y_s", col("l_extendedprice") / 100000.0)
         val m = graft.ml.PLS.fit(data, Seq("qty_s", "disc_s"), "y_s", 2,
-          sumFn = Tables.detSum(_, 18)) // 18-decimal grid: the DEFLATED
-          // component's products shrink to ~1e-6, so the 6- and even
-          // 12-decimal grids perturb the Krylov directions enough to
-          // break the OLS identity at the 4th decimal; the fine grid is
-          // still order-independent (only Spark evaluates these sums —
-          // the oracle is the independent closed form)
+          sumFn = Tables.detSum(_, 18)) // 18-decimal grid: the fine grid
+          // keeps the moment doubles within ulps of the oracle's
+          // 12-decimal grid while staying order-independent (only Spark
+          // evaluates these sums — the oracle is the independent
+          // closed form)
         val bQty = m.beta.head * 100000.0 / 50.0
         val bDisc = m.beta(1) * 100000.0 * 10.0
         val b0 = m.intercept * 100000.0
-        val pred = lit(b0) + lit(bQty) * col("l_quantity") +
-          lit(bDisc) * col("l_discount")
-        data
-          .agg(round(Learners.Scoring.rmse(
-            col("l_extendedprice"), pred), 4).as("rmse"))
+        // moment-derived training RMSE (PLS.fit computes it from the
+        // same scatter — no further corpus scan), un-scaled like the
+        // betas; HALF_UP to match both engines' ROUND of positives
+        val rmse = new java.math.BigDecimal(m.trainRmse * 100000.0)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        data.limit(1)
           .select(lit(math.round(b0 * 1e4) / 1e4).as("intercept"),
             lit(math.round(bQty * 1e4) / 1e4).as("beta_qty"),
             lit(math.round(bDisc * 1e4) / 1e4).as("beta_disc"),
-            col("rmse"))
+            lit(rmse).as("rmse"))
       },
       Some(s"""WITH base AS (
               |  SELECT l_quantity / 50.0 AS q, l_discount * 10.0 AS dd,
