@@ -91,6 +91,39 @@ object RankOps {
       .drop("__pid", "__opid", "__ostrat", "__off", "__lrn")
   }
 
+  /** Distributed global row_number over the composite order `ord`
+    * (ascending), appended as `out` (1-based) — the scale-safe twin of
+    * `row_number().over(Window.orderBy(ord))`, which funnels the WHOLE
+    * table through one task. Two-pass: range-partition by `ord`, roll
+    * per-partition counts into broadcast offsets (a #partitions-row
+    * window), run the within-partition row_number keyed by partition id.
+    * When `ord` is a unique total order the result is bit-identical to
+    * the global window; with ties, equal keys land in one range
+    * partition, so the output multiset matches (same contract as the
+    * global window, whose tie order is equally unspecified). */
+  def rowNumber(df: DataFrame, ord: Seq[org.apache.spark.sql.Column],
+                out: String, parts: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(parts, ord.map(_.asc): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    // per-partition counts are ≤ `parts` rows — fold them into offsets on
+    // the driver (the accepted tiny-aggregate pattern) and inline as a
+    // literal pid→offset decode, so the final plan carries NO
+    // single-partition exchange at all (a window over the offsets frame
+    // would, even though that frame is tiny)
+    val cnts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = cnts.map { case (pid, n) => val o = acc; acc += n; (pid, o) }
+    val offCol = offs.foldLeft(lit(0L): org.apache.spark.sql.Column) {
+      case (e, (pid, o)) => when(col("__pid") === pid, lit(o)).otherwise(e)
+    }
+    val localW = Window.partitionBy(col("__pid")).orderBy(ord.map(_.asc): _*)
+    ranged.withColumn("__lrn", row_number().over(localW))
+      .withColumn(out, offCol + col("__lrn"))
+      .drop("__pid", "__lrn")
+  }
+
   /** Append an average-rank column `r_<c>` per column in `cols` (each joined
     * from its own value→rank map). */
   def withAvgRanks(df: DataFrame, cols: Seq[String],

@@ -95,9 +95,14 @@ object AdaBoost {
     // — are bit-unchanged. Rounds outside the scaled envelope (or a
     // nullable y) fall back to the aggregate path.
     val kCand = cands.size
+    // Math.round (post-JDK-8041734) is exact half-up on the double's real
+    // value — no floor(t+0.5) double-rounding at 0.49999999999999994 and
+    // no ties-to-even drift when boosted weights push t past 2^52;
+    // negated for t < 0 it is HALF_UP away from zero, matching DuckDB's
+    // std::round-based ROUND and Spark round()'s BigDecimal HALF_UP.
     def roundScaled(v: Double): Long = {
       val t = v * 1e12
-      (if (t >= 0) math.floor(t + 0.5) else math.ceil(t - 0.5)).toLong
+      if (t >= 0) Math.round(t) else -Math.round(-t)
     }
     lazy val hArr = {
       val hDf = base.select(cands.map(c => h(c)).zipWithIndex

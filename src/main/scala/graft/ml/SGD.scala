@@ -147,16 +147,35 @@ object SGD {
     // a single aggregate with k+1 expressions exceeds the codegen field
     // cap, so HashAggregate silently drops to interpreted per-expression
     // eval (measured 16 s/iteration at k=64, sf0.1 vs ~0.2 s here).
+    // Math.round (post-JDK-8041734) is EXACT half-up-toward-+inf on the
+    // real value of the double — no floor(t+0.5) double-rounding bump at
+    // 0.49999999999999994 and no ties-to-even drift at |t| ≥ 2^52;
+    // negating for t < 0 gives HALF_UP away from zero, matching Spark
+    // round()'s BigDecimal convention. (Residual divergence class: Spark
+    // rounds the SHORTEST decimal repr, DuckDB ROUND goes through
+    // floating-point ×10^s — a product landing within 1 ulp of an exact
+    // .5 grid line can still split engines; the [0,1] pre-scaling
+    // convention keeps per-term error far below the 1e-12 grid.)
     def roundScaled(v: Double): Long = {
       val t = v * 1e12
-      (if (t >= 0) math.floor(t + 0.5) else math.ceil(t - 0.5)).toLong
+      if (t >= 0) Math.round(t) else -Math.round(-t)
     }
+    // Row.getDouble reads a NULL as 0.0 silently — count nulls while
+    // building the cache so the wide path can VERIFY null-freedom
+    // instead of assuming the caller pre-dropped them (task retries can
+    // only over-count, which errs toward the safe aggregate fallback).
+    lazy val nullAcc = spark.sparkContext.longAccumulator("graft.sgd.nulls")
     lazy val arrRdd = {
       val kk = k
+      val acc = nullAcc
       val r = base.rdd.map { row =>
         val a = new Array[Double](kk + 1)
         var i = 0
-        while (i <= kk) { a(i) = row.getDouble(i); i += 1 }
+        while (i <= kk) {
+          if (row.isNullAt(i)) { acc.add(1L); a(i) = 0.0 }
+          else a(i) = row.getDouble(i)
+          i += 1
+        }
         a
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count()
@@ -167,9 +186,9 @@ object SGD {
     // a k+1-field max/abs aggregate pays the same interpreted-eval bill
     // the wide gradient would (measured ~12 s at k=64/sf0.1 vs ~1 s).
     // The doubles compared are identical, so the branch decision is too.
-    // Wide-path caveat: Row.getDouble reads a NULL feature as 0.0, so
-    // wide callers must pre-drop null feature rows (KernelSVM does);
-    // narrow aggregates skip null products instead.
+    // Null-freedom comes from the accumulator counted while building
+    // arrRdd (forced by its count()) — a nullable label/feature drops
+    // the fit to the aggregate path whose sums skip nulls correctly.
     val (nRows, maxAbs, nullFree) =
       if (k > 8) {
         val kk = k
@@ -184,7 +203,7 @@ object SGD {
           }
           Iterator.single((n, mx))
         }.treeReduce((a, b) => (a._1 + b._1, math.max(a._2, b._2)))
-        (n, mx, true) // wide callers pre-drop nulls (see caveat above)
+        (n, mx, nullAcc.value == 0L)
       } else {
         val preCols = count(lit(1)).as("n") +:
           (feats.map { case (n, _) => max(abs(col(s"x_$n"))).as(s"m_$n") } ++
@@ -216,7 +235,7 @@ object SGD {
     // overhead vs ~0.2 s here — but only when the features are verified
     // null-free: Row.getDouble reads NULL as 0.0, which would silently
     // differ from the aggregate path's null-skipping sums.
-    val useJvm = scaledSafe && (k > 8 || nullFree)
+    val useJvm = scaledSafe && nullFree
     // caller outside the JVM envelope with an uncached wide projection:
     // the DataFrame fallback loop re-scans base per iteration
     if (k > 8 && !useJvm) base.cache()

@@ -495,25 +495,34 @@ object PreprocessOps {
   /** Random imputation (impute.py:325-390): missing values drawn from the
     * column's empirical distribution — seeded inverse-CDF: u =
     * hash32(key)/2³², pick the ⌈u·n⌉-th defined value in sorted order.
-    * The global row_number over defined values is the fixture-scale CDF;
-    * at 100 TB the same contract is served by an approx-quantile sketch
-    * (percentile_approx) instead of the exact ranking. */
+    *
+    * The CDF index is the two-pass distributed rank (RankOps shape): a
+    * global `row_number().over(Window.orderBy(...))` would funnel every
+    * defined value through ONE task — the canonical single-partition
+    * scale killer. Instead: range-partition the defined values by
+    * (value, key), roll per-partition counts into broadcast offsets (a
+    * tiny #partitions-row window), and run the within-partition
+    * row_number keyed by partition id. The (off + local) index equals the
+    * global row_number bit-for-bit because (value, key) is a unique total
+    * order. The pick-index equi-join is left to AQE: broadcast at
+    * fixture scale, shuffle-hash when the CDF table is big. */
   def imputeRandom(df: DataFrame, c: String, key: Column,
-                   out: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                   out: String, parts: Int = 32): DataFrame = {
     val defined = df.filter(col(c).isNotNull)
       .select(col(c).as("__dv"), key.as("__dk"))
-      .withColumn("__idx",
-        row_number().over(Window.orderBy(col("__dv").asc, col("__dk").asc)))
-    val n = defined.agg(count(lit(1)).as("__ndef"))
+    val indexed = graft.functions.RankOps
+      .rowNumber(defined, Seq(col("__dv"), col("__dk")), "__idx", parts)
+      .select(col("__idx"), col("__dv"))
+    // nDef is one driver scalar (the accepted tiny-aggregate pattern) —
+    // inlining it keeps a global-agg SinglePartition exchange out of the
+    // plan
+    val nDef = defined.count()
     val u = (hashVal32(concat(lit("imp_"), key)) + 0.5) / 4294967296.0
-    df.crossJoin(broadcast(n))
-      .withColumn("__pick",
-        when(col(c).isNull, floor(u * col("__ndef")).cast("long") + 1))
-      .join(broadcast(defined.select(col("__idx"), col("__dv"))),
-        col("__pick") === col("__idx"), "left")
+    df.withColumn("__pick",
+        when(col(c).isNull, floor(u * lit(nDef.toDouble)).cast("long") + 1))
+      .join(indexed, col("__pick") === col("__idx"), "left")
       .withColumn(out, coalesce(col(c), col("__dv")))
-      .drop("__pick", "__idx", "__dv", "__ndef")
+      .drop("__pick", "__idx", "__dv")
   }
 
   // --- Normalize / Scale (normalize.py, preprocess.py:261-356,467-545) ---

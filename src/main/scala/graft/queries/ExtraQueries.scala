@@ -131,14 +131,17 @@ object ExtraQueries {
       }),
 
     Q("randomize_shuffle", // owrandomize.py: permute a column independently
-      // of the rest — deterministic permutation via two row_number orders.
+      // of the rest — deterministic permutation via two row_number orders,
+      // both through RankOps' two-pass distributed rank (a global
+      // Window.orderBy would funnel the whole table through one task).
       (s, d) => {
         val base = cust(s, d)
-        val left = base.select(col("c_custkey"), col("c_mktsegment"))
-          .withColumn("__rn", row_number().over(Window.orderBy(col("c_custkey"))))
-        val perm = base.select(col("c_acctbal"))
-          .withColumn("__rn", row_number().over(
-            Window.orderBy(md5(col("c_acctbal").cast("string")), col("c_acctbal"))))
+        val left = graft.functions.RankOps.rowNumber(
+          base.select(col("c_custkey"), col("c_mktsegment")),
+          Seq(col("c_custkey")), "__rn")
+        val perm = graft.functions.RankOps.rowNumber(
+          base.select(col("c_acctbal")),
+          Seq(md5(col("c_acctbal").cast("string")), col("c_acctbal")), "__rn")
         left.join(perm, "__rn")
           .select(col("c_custkey"), col("c_mktsegment"),
             col("c_acctbal").as("shuffled_acctbal"))

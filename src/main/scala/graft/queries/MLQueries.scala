@@ -625,13 +625,16 @@ object MLQueries {
         // moment-derived training RMSE (PLS.fit computes it from the
         // same scatter — no further corpus scan), un-scaled like the
         // betas; HALF_UP to match both engines' ROUND of positives
-        val rmse = new java.math.BigDecimal(m.trainRmse * 100000.0)
+        // HALF_UP for ALL four outputs (math.round is half-toward-+inf,
+        // which diverges from DuckDB ROUND on negative half-ties —
+        // beta_disc and intercept can be negative)
+        def r4(v: Double) = new java.math.BigDecimal(v)
           .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
         data.limit(1)
-          .select(lit(math.round(b0 * 1e4) / 1e4).as("intercept"),
-            lit(math.round(bQty * 1e4) / 1e4).as("beta_qty"),
-            lit(math.round(bDisc * 1e4) / 1e4).as("beta_disc"),
-            lit(rmse).as("rmse"))
+          .select(lit(r4(b0)).as("intercept"),
+            lit(r4(bQty)).as("beta_qty"),
+            lit(r4(bDisc)).as("beta_disc"),
+            lit(r4(m.trainRmse * 100000.0)).as("rmse"))
       },
       Some(s"""WITH base AS (
               |  SELECT l_quantity / 50.0 AS q, l_discount * 10.0 AS dd,

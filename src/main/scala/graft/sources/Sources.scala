@@ -13,18 +13,60 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Sources {
 
   /** Transparent-compression suffixes (reference `_compressed_open`,
-    * Orange/data/io.py:126): dispatch strips them, Hadoop codecs
-    * decompress both the header sniff and the distributed body read.
-    * (.xz/.zip need codecs Hadoop doesn't ship — unsupported here.) */
-  private val CompressedExts = Seq(".gz", ".bz2")
+    * Orange/data/io.py:126 — .gz/.bz2/.xz/.zip). Only the TEXT formats
+    * decompress (.parquet.gz etc. fall through to the unsupported-
+    * extension error rather than a confusing codec failure downstream).
+    * .gz/.bz2 stream through Hadoop codecs in both the header sniff and
+    * the distributed body read; .xz (commons-compress) and .zip (first
+    * archive member, JDK zip) have no Hadoop codec, so they decompress
+    * driver-side to a temp file — these are Orange's small-data
+    * interchange formats, parquet stays the scale path. */
+  private val CompressedExts = Seq(".gz", ".bz2", ".xz", ".zip")
+  private val CompressibleExts = Seq(".tab", ".tsv", ".csv", ".basket")
   private def stripCompressed(lower: String): String =
     CompressedExts.find(lower.endsWith)
-      .map(e => lower.dropRight(e.length)).getOrElse(lower)
+      .map(e => lower.dropRight(e.length))
+      .filter(inner => CompressibleExts.exists(inner.endsWith))
+      .getOrElse(lower)
+
+  /** Driver-side decompression for codecs Hadoop lacks: copy the
+    * decompressed stream to a local temp file carrying the inner
+    * extension, then re-dispatch on it. */
+  private def inflateToTemp(spark: SparkSession, path: String,
+                            ce: String, innerExt: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = fs.open(p)
+    val in: java.io.InputStream = ce match {
+      case ".xz" =>
+        new org.apache.commons.compress.compressors.xz.XZCompressorInputStream(raw)
+      case ".zip" =>
+        val z = new java.util.zip.ZipInputStream(raw)
+        val e = z.getNextEntry
+        require(e != null, s"empty zip archive: $path")
+        z
+      case other => throw new IllegalArgumentException(s"no inflater for $other")
+    }
+    val tmp = java.io.File.createTempFile("graft_inflate_", innerExt)
+    tmp.deleteOnExit()
+    try java.nio.file.Files.copy(in, tmp.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.getAbsolutePath
+  }
 
   /** Load a table by file extension: .parquet / .tab|.tsv / .csv /
-    * .basket / .xlsx — text formats also in .gz/.bz2. */
+    * .basket / .xlsx — text formats also in .gz/.bz2/.xz/.zip. */
   def fromFile(spark: SparkSession, path: String): DataFrame = {
-    val lower = stripCompressed(path.toLowerCase)
+    val lowerAll = path.toLowerCase
+    CompressedExts.find(e => lowerAll.endsWith(e) && e != ".gz" && e != ".bz2")
+      .foreach { ce =>
+        val inner = lowerAll.dropRight(ce.length)
+        CompressibleExts.find(inner.endsWith).foreach { innerExt =>
+          return fromFile(spark, inflateToTemp(spark, path, ce, innerExt))
+        }
+      }
+    val lower = stripCompressed(lowerAll)
     if (lower.endsWith(".parquet")) spark.read.parquet(path)
     else if (lower.endsWith(".tab") || lower.endsWith(".tsv"))
       TabReader.read(spark, path)

@@ -68,6 +68,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("impute_random CDF rank has no single-partition exchange") {
+    val p = plan("impute_random")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("randomize_shuffle permutation ranks have no single-partition exchange") {
+    val p = plan("randomize_shuffle")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("embedding near-dup candidates come from a band equi-join (no theta join)") {
     val p = plan("dedup_embedding_cosine")
     assert(!p.contains("CartesianProduct") &&

@@ -56,9 +56,48 @@ class SourcesSpec extends SparkSpec {
       plain.collect().map(_.toSeq).toSet)
   }
 
+  test("dispatch: xz-compressed .tab.xz reads transparently") {
+    val content = "name\tscore\ns\tc\nmeta\t\nax\t1.5\nbx\t2.5\n"
+    val f = java.io.File.createTempFile("graft_src_", ".tab.xz")
+    f.deleteOnExit()
+    val out =
+      new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(
+        new java.io.FileOutputStream(f))
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val df = Sources.fromFile(spark, f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("name", "score"))
+    val plain = Sources.fromFile(spark, tmpWith(".tab", content))
+    assert(df.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+  }
+
+  test("dispatch: .zip archive reads its first member") {
+    val content = "name\tscore\ns\tc\nmeta\t\nax\t1.5\nbx\t2.5\n"
+    val f = java.io.File.createTempFile("graft_src_", ".tab.zip")
+    f.deleteOnExit()
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(f))
+    try {
+      out.putNextEntry(new java.util.zip.ZipEntry("inner.tab"))
+      out.write(content.getBytes("UTF-8"))
+      out.closeEntry()
+    } finally out.close()
+    val df = Sources.fromFile(spark, f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("name", "score"))
+    assert(df.count() == 2)
+  }
+
   test("dispatch: unknown extension rejected") {
     intercept[IllegalArgumentException] {
       Sources.fromFile(spark, "/tmp/whatever.xyz")
+    }
+  }
+
+  test("dispatch: compressed non-text format rejected, not misdispatched") {
+    // .parquet.gz used to strip to .parquet and hand gzip bytes to the
+    // parquet reader — now it is an unsupported-extension error up front
+    intercept[IllegalArgumentException] {
+      Sources.fromFile(spark, "/tmp/whatever.parquet.gz")
     }
   }
 
