@@ -45,4 +45,165 @@ object Rules {
       .filter(col("rank") <= k)
       .orderBy(col("rank"))
   }
+
+  private case class CN2Rule(order: Int, feature: String, value: String,
+                             predicted: String, nCorrect: Long,
+                             covered: Long, laplace: Double)
+
+  /** CN2 ordered decision list via separate-and-conquer
+    * (rules.py:896-1007 `find_rules` + `exclusive_cover_and_remove`;
+    * CN2Learner appends a default majority rule): loop — evaluate every
+    * (feature = value ⇒ majority class) rule on the REMAINING rows,
+    * keep the Laplace-best, remove its covered rows, repeat until no
+    * candidate covers `minCovered` rows or `maxRules` rules exist.
+    *
+    * Scale shape: each iteration is ONE grouping-sets contingency scan
+    * (StatsOps.multiFeatureContingency — map-side partial, no row ever
+    * leaves the cluster); the candidate table is ≤ Σ|values|·|classes|
+    * rows, so rule selection is driver-side closed form (the accepted
+    * tiny-aggregate pattern). Ties pin (laplace desc, feature asc,
+    * value asc) and majority pins (count desc, class asc), so the
+    * trajectory — and the unrolled-CTE oracle [[cn2OrderedSql]] — are
+    * deterministic. The default rule mimics the reference: majority
+    * over the ORIGINAL data (fit_storage passes the unconsumed X,Y,W). */
+  def cn2Ordered(df: DataFrame, features: Seq[String], classCol: String,
+                 maxRules: Int, minCovered: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(
+      features.map(f => col(f).cast("string").as(f)) :+
+        col(classCol).cast("string").as("__cls"): _*).cache()
+    val kCls = base.agg(countDistinct(col("__cls")).as("k")).head().getLong(0)
+    def majority(rows: Seq[(String, Long)]): (String, Long) =
+      rows.minBy { case (c, n) => (-n, c) }
+    val rules = scala.collection.mutable.ArrayBuffer.empty[CN2Rule]
+    var remaining = base
+    var stop = false
+    while (!stop && rules.size < maxRules) {
+      val conts = graft.functions.StatsOps
+        .multiFeatureContingency(remaining, features, "__cls")
+      val cand = features.flatMap { f =>
+        conts(f).collect().iterator
+          .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+          .map(r => (f, r.getString(0), r.getString(1), r.getLong(2)))
+      }
+      val byRule = cand.groupBy(t => (t._1, t._2)).toSeq
+        .map { case ((f, v), rows) =>
+          val covered = rows.map(_._4).sum
+          val (cls, nc) = majority(rows.map(t => (t._3, t._4)))
+          CN2Rule(rules.size + 1, f, v, cls, nc, covered,
+            (nc + 1.0) / (covered + kCls))
+        }
+        .filter(_.covered >= minCovered)
+      if (byRule.isEmpty) stop = true
+      else {
+        val best = byRule.minBy(r => (-r.laplace, r.feature, r.value))
+        rules += best
+        remaining = remaining.filter(!(col(best.feature) <=> lit(best.value)))
+      }
+    }
+    // default rule = majority classifier over the original data
+    val clsCounts = base.groupBy(col("__cls")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val total = clsCounts.map(_._2).sum
+    val (dc, dn) = majority(clsCounts)
+    rules += CN2Rule(rules.size + 1, "_default", "", dc, dn, total,
+      (dn + 1.0) / (total + kCls))
+    base.unpersist()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def r6(v: Double) = new java.math.BigDecimal(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val schema = StructType(Seq(
+      StructField("rule_order", IntegerType, nullable = false),
+      StructField("feature", StringType, nullable = false),
+      StructField("value", StringType, nullable = false),
+      StructField("predicted", StringType, nullable = false),
+      StructField("n_correct", LongType, nullable = false),
+      StructField("covered", LongType, nullable = false),
+      StructField("laplace", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rules.toSeq.map(r => Row(r.order, r.feature,
+        r.value, r.predicted, r.nCorrect, r.covered, r6(r.laplace))): _*),
+      schema)
+  }
+
+  /** DuckDB twin of [[cn2Ordered]]: the covering loop unrolled as CTE
+    * rounds (the AdaBoost device) — cont_i contingency over rem_{i-1},
+    * best_i Laplace-argmax with the same tie pins, rem_i filtered by a
+    * CASE dispatch on best_i's data-dependent (feature, value). An
+    * empty best_i empties every later rem via the cross join, matching
+    * the driver loop's stop. CTEs are MATERIALIZED: each rem is
+    * referenced once per feature branch, so inlining would expand the
+    * rem chain |features|^maxRules times (DuckDB planner blow-up). */
+  def cn2OrderedSql(table: String, feats: Seq[(String, String)],
+                    clsSql: String, maxRules: Int,
+                    minCovered: Long = 1L): String = {
+    val featCols = feats.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    def caseRm(b: String, r: String): String =
+      s"CASE $b.feature " +
+        feats.dropRight(1).map { case (n, _) =>
+          s"WHEN '$n' THEN $r.$n = $b.value" }.mkString(" ") +
+        s" ELSE $r.${feats.last._1} = $b.value END"
+    val iters = (1 to maxRules).map { i =>
+      val rem = s"rem${i - 1}"
+      val cont = feats.map { case (n, _) =>
+        s"SELECT '$n' AS feature, $n AS value, __cls AS c, COUNT(*) AS nc " +
+          s"FROM $rem GROUP BY 2, 3"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""cont$i AS MATERIALIZED (
+         |  $cont),
+         |best$i AS MATERIALIZED (
+         |  SELECT feature, value, c AS predicted, nc AS n_correct, covered,
+         |         (nc + 1.0) / (covered + (SELECT k FROM kc)) AS lap
+         |  FROM (SELECT feature, value, c, nc,
+         |          CAST(SUM(nc) OVER (PARTITION BY feature, value) AS BIGINT) AS covered,
+         |          ROW_NUMBER() OVER (PARTITION BY feature, value
+         |                             ORDER BY nc DESC, c ASC) AS rn
+         |        FROM cont$i)
+         |  WHERE rn = 1 AND covered >= $minCovered
+         |  ORDER BY lap DESC, feature ASC, value ASC LIMIT 1),
+         |rem$i AS MATERIALIZED (
+         |  SELECT r.* FROM $rem r, best$i b
+         |  WHERE NOT (${caseRm("b", "r")}))""".stripMargin
+    }
+    val rulesUnion = (1 to maxRules).map { i =>
+      if (i == 1) s"SELECT 1 AS rule_order, * FROM best1"
+      else s"SELECT $i, * FROM best$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base0 AS MATERIALIZED (
+       |  SELECT $featCols, $clsSql AS __cls FROM $table),
+       |kc AS (SELECT CAST(COUNT(DISTINCT __cls) AS BIGINT) AS k FROM base0),
+       |rem0 AS (SELECT * FROM base0),
+       |${iters.mkString(",\n")},
+       |rules AS MATERIALIZED (
+       |  $rulesUnion),
+       |dflt AS (
+       |  SELECT CAST((SELECT COUNT(*) FROM rules) + 1 AS INT) AS rule_order,
+       |         '_default' AS feature, '' AS value, c AS predicted,
+       |         nc AS n_correct, covered,
+       |         (nc + 1.0) / (covered + (SELECT k FROM kc)) AS lap
+       |  FROM (SELECT __cls AS c, CAST(COUNT(*) AS BIGINT) AS nc,
+       |               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS covered,
+       |               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, __cls ASC) AS rn
+       |        FROM base0 GROUP BY __cls) WHERE rn = 1)
+       |SELECT rule_order, feature, value, predicted, n_correct, covered,
+       |       ROUND(lap, 6) AS laplace
+       |FROM (SELECT * FROM rules UNION ALL SELECT * FROM dflt)
+       |ORDER BY rule_order""".stripMargin
+  }
+
+  /** Decision-list prediction (rules.py:1176-1200 `ordered_predict`):
+    * rules fire in order, first match wins; the trailing `_default`
+    * rule covers everything. `rules` = ordered (feature, value,
+    * predicted) triples as produced by [[cn2Ordered]]. Compiles to one
+    * nested CASE — a pure projection, zero shuffle at any scale. */
+  def cn2Predict(rules: Seq[(String, String, String)],
+                 df: DataFrame): DataFrame = {
+    val pred = rules.foldRight(lit(null).cast("string")) {
+      case ((f, v, p), acc) =>
+        if (f == "_default") lit(p)
+        else when(col(f).cast("string") === lit(v), lit(p)).otherwise(acc)
+    }
+    df.withColumn("prediction", pred)
+  }
 }

@@ -1195,6 +1195,29 @@ object MLQueries {
              |  FROM rules)
              |WHERE rank <= 5 ORDER BY rank""".stripMargin)),
 
+    Q("ml_cn2_ruleset", // rules.py:896-1007 CN2 separate-and-conquer:
+      // ordered decision list — beam best single-condition rule, remove
+      // covered rows, repeat; default majority rule appended. Oracle =
+      // the covering loop unrolled as CTE rounds (the AdaBoost device).
+      // ship_year is strongly predictive of linestatus, so the induced
+      // list is a real classifier, not noise.
+      (s, d) => {
+        val base = li(s, d).select(
+          year(col("l_shipdate")).cast("string").as("ship_year"),
+          col("l_returnflag").cast("string").as("returnflag"),
+          floor((col("l_quantity") - 1) / 10).cast("int").cast("string")
+            .as("qty_bin"),
+          col("l_linestatus").as("cls"))
+        graft.ml.Rules.cn2Ordered(base,
+          Seq("ship_year", "returnflag", "qty_bin"), "cls", maxRules = 5)
+      },
+      Some(graft.ml.Rules.cn2OrderedSql("lineitem",
+        Seq(
+          "ship_year" -> "CAST(YEAR(l_shipdate) AS VARCHAR)",
+          "returnflag" -> "l_returnflag",
+          "qty_bin" -> "CAST(CAST(FLOOR((l_quantity - 1) / 10) AS INT) AS VARCHAR)"),
+        "l_linestatus", maxRules = 5))),
+
     Q("ml_ridge_regression", // regression/linear.py:42 Ridge — the
       // 2-feature normal equations have an exact Cramer closed form on
       // centered sums, so the "iterative sklearn solver" collapses to
