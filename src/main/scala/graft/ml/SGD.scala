@@ -330,10 +330,14 @@ object SGD {
 
   /** DuckDB twin of [[linearGD]]: iterations unrolled as chained CTEs.
     * `featsSql` = (name, sqlExpr) with the same scaling; `table`/`ySql`
-    * mirror the Spark inputs. */
+    * mirror the Spark inputs. `prelude` optionally prepends extra CTEs
+    * (e.g. a MATERIALIZED feature table the RFF fits reference by
+    * column, so the 32 cosine expressions aren't textually inlined into
+    * every weight update of every iteration) — it must end with a
+    * trailing comma. */
   def linearGDSql(table: String, featsSql: Seq[(String, String)],
                   ySql: String, iterations: Int, lr: Double,
-                  loss: GDLoss): String = {
+                  loss: GDLoss, prelude: String = ""): String = {
     // twin of the Spark side's gradient sum, INCLUDING the envelope
     // check: the env CTE evaluates the same nRows/max|x| predicate the
     // Spark side pre-computes, so both engines pick the same branch —
@@ -357,14 +361,17 @@ object SGD {
         s"ROUND(MIN($prev.w_$n) - $lr * ${scaledSum(s"($r) * ($e)")} / COUNT(*), 10) AS w_$n"
       } :+
         s"ROUND(MIN($prev.b) - $lr * ${scaledSum(r)} / COUNT(*), 10) AS b"
-      s"it$i AS (SELECT ${upd.mkString(",\n  ")} FROM $table CROSS JOIN $prev)"
+      // MATERIALIZED: each step is a 1-row table; letting the inliner
+      // expand the 30-deep chain instead blows DuckDB's max tree depth
+      // once the feature count is large (32 RFF columns)
+      s"it$i AS MATERIALIZED (SELECT ${upd.mkString(",\n  ")} FROM $table CROSS JOIN $prev)"
     }
     val last = s"it$iterations"
     val metric = loss.metricSql(z(last), ySql, scaledSum)
     val envAbs = featsSql.map { case (_, e) => s"ABS($e)" }.mkString(", ")
     val env = s"env AS (SELECT COUNT(*) BETWEEN 1 AND 8000000 AND " +
       s"COALESCE(MAX(GREATEST($envAbs)), 1e300) <= 1.0 AS safe FROM $table)"
-    s"""WITH $env,
+    s"""WITH $prelude$env,
        |it0 AS (SELECT $init),
        |${steps.mkString(",\n")}
        |SELECT ${names.map(n => s"MIN($last.w_$n) AS w_$n").mkString(", ")},

@@ -1022,7 +1022,27 @@ object MLQueries {
         li(s, d), Seq(col("l_quantity") / 50.0),
         when(col("l_quantity") >= 15 && col("l_quantity") <= 35, 1)
           .otherwise(-1)),
-      None),
+      Some {
+        // same device as outliers_oneclass_svm (commit 160d3ea): the RFF
+        // constants inline as identical double literals in a MATERIALIZED
+        // feature CTE, then linearGDSql unrolls the 30 hinge-GD steps
+        val d = 32; val gamma = 8.0
+        val (freqs, offs) = graft.ml.OneClassSVM.rffConstants(1, d, gamma)
+        val amp = math.sqrt(2.0 / d)
+        def dl(v: Double): String = if (v < 0) s"($v)" else v.toString
+        val zCols = (0 until d).map { j =>
+          s"COS((l_quantity / 50.0) * ${dl(freqs(j)(0))} + ${dl(offs(j))})" +
+            s" * ${dl(amp)} AS z$j"
+        }.mkString(",\n    ")
+        val prelude = s"feats AS MATERIALIZED (\n  SELECT\n    $zCols,\n" +
+          "    CASE WHEN l_quantity >= 15 AND l_quantity <= 35 " +
+          "THEN 1.0 ELSE -1.0 END AS y\n  FROM lineitem),\n"
+        val gd = graft.ml.SGD.linearGDSql("feats",
+          (0 until d).map(j => (s"z$j", s"z$j")), "y",
+          iterations = 30, lr = 1.0, graft.ml.SGD.HingeLoss, prelude)
+        s"""SELECT accuracy, CAST($d AS INT) AS rff_dim, $gamma AS gamma
+           |FROM ($gd) t""".stripMargin
+      }),
 
     Q("ml_som", // projection/som.py — batch SOM, 3×3 grid over the
       // embeddings table (deterministic init/epochs; rows-only).
