@@ -236,47 +236,136 @@ object OutlierOps {
       }
       (means, cov)
     }
-    def md2Of(means: Seq[Double], inv: Array[Array[Double]]): Column = {
-      val dx = features.zip(means).map { case (f, m) =>
-        col(f).cast(DoubleType) - lit(m) }
-      (for { i <- 0 until d; j <- 0 until d } yield
-        dx(i) * dx(j) * lit(inv(i)(j))).reduce(_ + _)
-    }
-    /** md2 value at ascending rank `k` via the bounded grid histogram. */
+    /** d = 2 uses the cofactor closed form STRUCTURED EXACTLY like the
+      * outliers_mahalanobis2d oracle expression (left-associated, cross
+      * term ×2.0 last), so the SQL twin evaluates bit-identical doubles;
+      * other d go through the Gauss-Jordan inverse (rows-only). */
+    def md2Of(means: Seq[Double], cov: Array[Array[Double]]): Column =
+      if (d == 2) {
+        val dx0 = col(features(0)).cast(DoubleType) - lit(means(0))
+        val dx1 = col(features(1)).cast(DoubleType) - lit(means(1))
+        val det = cov(0)(0) * cov(1)(1) - cov(0)(1) * cov(0)(1)
+        (dx0 * dx0 * lit(cov(1)(1)) - dx0 * dx1 * lit(cov(0)(1)) * lit(2.0) +
+          dx1 * dx1 * lit(cov(0)(0))) / lit(det)
+      } else {
+        val inv = invertGaussJordan(cov)
+        val dx = features.zip(means).map { case (f, m) =>
+          col(f).cast(DoubleType) - lit(m) }
+        (for { i <- 0 until d; j <- 0 until d } yield
+          dx(i) * dx(j) * lit(inv(i)(j))).reduce(_ + _)
+      }
+    /** EXACT md2 value at ascending rank `k`: the grid histogram locates
+      * the cell holding rank k (bounded ≤ `cells` driver rows), then a
+      * second value-level pass within THAT cell resolves the true order
+      * statistic — duplicated values no longer inflate the h-subset
+      * beyond h (the MCD breakdown guarantee), and the value is
+      * reproducible by a plain rank in the oracle. The within-cell
+      * collect is bounded by the cell's distinct count (~n/cells). */
     def rankValue(md2: Column, k: Long): Double = {
       val mm = base.agg(min(md2).as("lo"), max(md2).as("hi")).first()
       val lo = mm.getDouble(0); val hi = mm.getDouble(1)
       if (hi == lo) return hi
       val w = (hi - lo) / cells
-      val hist = base
-        .select(least(floor((md2 - lo) / w), lit(cells - 1L)).as("cell"),
-          md2.as("v"))
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("nc"), max(col("v")).as("vc"))
+      val cellOf = least(floor((md2 - lo) / w), lit(cells - 1L))
+      val hist = base.select(cellOf.as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("nc"))
         .orderBy(col("cell")).collect()
-      var cum = 0L
-      for (r <- hist) {
-        cum += r.getLong(1)
-        if (cum >= k) return r.getDouble(2)
+      var cum = 0L; var target = -1L; var before = 0L
+      for (r <- hist if target < 0) {
+        val nc = r.getLong(1)
+        if (cum + nc >= k) { target = r.getLong(0); before = cum }
+        else cum += nc
+      }
+      val vals = base.filter(cellOf === target)
+        .groupBy(md2.as("v")).agg(count(lit(1)).as("nv"))
+        .orderBy(col("v")).collect()
+      var c2 = before
+      for (r <- vals) {
+        c2 += r.getLong(1)
+        if (c2 >= k) return r.getDouble(0)
       }
       hi
     }
 
     var (means, cov) = moments(base)
-    var inv = invertGaussJordan(cov)
     for (_ <- 1 to cSteps) {
-      val t = rankValue(md2Of(means, inv), h)
-      val refit = moments(base.filter(md2Of(means, inv) <= t))
+      val t = rankValue(md2Of(means, cov), h)
+      val refit = moments(base.filter(md2Of(means, cov) <= t))
       means = refit._1; cov = refit._2
-      inv = invertGaussJordan(cov)
     }
     // consistency correction: scale so the sample's median md2 sits at
-    // the χ²_d median, then flag the 97.5% envelope
-    val factor = rankValue(md2Of(means, inv), (n + 1) / 2) / chi2_med
+    // the χ²_d median, then flag the 97.5% envelope. A zero median
+    // (≥ 50% of points exactly at the robust center) would make the
+    // correction divide by zero — fall back to no correction.
+    val medV = rankValue(md2Of(means, cov), (n + 1) / 2)
+    val factor = if (medV <= 0.0) 1.0 else medV / chi2_med
     base.unpersist()
-    val md2c = md2Of(means, inv) / lit(factor)
+    val md2c = md2Of(means, cov) / lit(factor)
     df.withColumn("md2_robust", md2c)
       .withColumn("is_outlier", (md2c > chi2_975).cast("int"))
+  }
+
+  /** DuckDB twin of the [[robustMahalanobis]] d = 2 summary query
+    * (is_outlier → count, max md2): the C-step loop unrolled as CTE
+    * rounds — per step, decimal-sum moments of the surviving subset, the
+    * cofactor md2 form (textually the Spark expression), and the EXACT
+    * h-th-rank threshold (a plain ROW_NUMBER rank equals the engine's
+    * grid + within-cell rule value-for-value). MATERIALIZED throughout:
+    * every md2 reference would otherwise re-expand the whole moment
+    * chain. */
+  def robustMahalanobis2dSummarySql(table: String, aSql: String,
+                                    bSql: String, cSteps: Int = 5): String = {
+    import graft.queries.SqlGen.{sqlMean, sqlCovarSamp}
+    val chi2_975 = 7.3778; val chi2_med = 1.3863
+    def md2(m: String): String =
+      s"((xa - $m.m0)*(xa - $m.m0)*$m.c11 - " +
+        s"(xa - $m.m0)*(xn - $m.m1)*$m.c01*2.0 + " +
+        s"(xn - $m.m1)*(xn - $m.m1)*$m.c00) / " +
+        s"($m.c00*$m.c11 - $m.c01*$m.c01)"
+    val momSel =
+      s"SELECT ${sqlMean("xa")} AS m0, ${sqlMean("xn")} AS m1, " +
+        s"${sqlCovarSamp("xa", "xa")} AS c00, " +
+        s"${sqlCovarSamp("xa", "xn")} AS c01, " +
+        s"${sqlCovarSamp("xn", "xn")} AS c11"
+    val steps = (1 to cSteps).map { i =>
+      val p = s"mom${i - 1}"
+      s"""thr$i AS MATERIALIZED (
+         |  SELECT m2 AS t FROM (
+         |    SELECT ${md2(p)} AS m2,
+         |      ROW_NUMBER() OVER (ORDER BY ${md2(p)} ASC) AS rn
+         |    FROM pts CROSS JOIN $p)
+         |  WHERE rn = (SELECT h FROM nn)),
+         |mom$i AS MATERIALIZED (
+         |  $momSel
+         |  FROM pts CROSS JOIN $p CROSS JOIN thr$i
+         |  WHERE ${md2(p)} <= t)""".stripMargin
+    }
+    val last = s"mom$cSteps"
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT $aSql AS xa, $bSql AS xn FROM $table
+       |  WHERE ($aSql) IS NOT NULL AND ($bSql) IS NOT NULL),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |              (COUNT(*) + 3) // 2 AS h,
+       |              (COUNT(*) + 1) // 2 AS hmed FROM pts),
+       |mom0 AS MATERIALIZED ($momSel FROM pts),
+       |${steps.mkString(",\n")},
+       |fct AS MATERIALIZED (
+       |  SELECT CASE WHEN med <= 0 THEN 1.0 ELSE med / $chi2_med END AS factor
+       |  FROM (
+       |    SELECT m2 AS med FROM (
+       |      SELECT ${md2(last)} AS m2,
+       |        ROW_NUMBER() OVER (ORDER BY ${md2(last)} ASC) AS rn
+       |      FROM pts CROSS JOIN $last)
+       |    WHERE rn = (SELECT hmed FROM nn))),
+       |scored AS MATERIALIZED (
+       |  SELECT ${md2(last)} / factor AS m2c
+       |  FROM pts CROSS JOIN $last CROSS JOIN fct)
+       |SELECT CAST(CASE WHEN m2c > $chi2_975 THEN 1 ELSE 0 END AS INT)
+       |         AS is_outlier,
+       |       CAST(COUNT(*) AS BIGINT) AS n,
+       |       ROUND(MAX(m2c), 4) AS max_md2
+       |FROM scored
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** In-place Gauss-Jordan inverse with partial pivoting (deterministic:

@@ -169,10 +169,11 @@ object AnalyticsQueries {
 
     Q("outliers_elliptic_robust", // outlier_detection.py:127
       // EllipticEnvelope (sklearn MinCovDet): deterministic C-step MCD —
-      // h-subset refits with grid-histogram rank thresholds, consistency
-      // -corrected χ²(0.975) envelope. Rows-only (driver d×d state,
-      // iterative); MahalanobisSpec pins that an injected outlier
-      // cluster masked under the plain covariance is flagged here.
+      // h-subset refits with exact-rank thresholds, consistency
+      // -corrected χ²(0.975) envelope. Oracle = the C-step loop unrolled
+      // as CTE rounds (cofactor md2 form, decimal-sum moments);
+      // MahalanobisSpec pins that an injected outlier cluster masked
+      // under the plain covariance is flagged here.
       (s, d) => graft.operators.OutlierOps.robustMahalanobis(
           Tables.load(s, d, "customer").select(col("c_custkey"),
             (col("c_acctbal") / 1000.0).as("xa"),
@@ -182,7 +183,8 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"),
           round(max(col("md2_robust")), 4).as("max_md2"))
         .orderBy(col("is_outlier")),
-      None),
+      Some(graft.operators.OutlierOps.robustMahalanobis2dSummarySql(
+        "customer", "c_acctbal / 1000.0", "CAST(c_nationkey AS DOUBLE)"))),
 
     Q("outliers_mahalanobis2d", // outlier_detection.py Mahalanobis scores:
       // closed-form 2-D Σ⁻¹ from exact sums → fully deterministic.
