@@ -44,4 +44,70 @@ object KernelSVM {
     rbfSvcFit(df, xs, y, d, gamma, iterations, lr)
       .select(col("accuracy"), lit(d).as("rff_dim"),
         lit(gamma).as("gamma"))
+
+  /** Random-feature neural-network regression — the Spark-native stand-in
+    * for the reference's MLPRegressor (Orange/regression/
+    * neural_network.py:20, sklearn MLPRegressor): a 1-hidden-layer net
+    * whose tanh hidden units are FIXED md5-keyed random projections
+    * (the extreme-learning-machine / random-features construction —
+    * same ω/b derivation as the RFF kernel maps) and whose linear output
+    * layer is trained by full-batch squared-loss GD. MLlib ships no MLP
+    * regressor; backprop through the hidden layer would forfeit the
+    * deterministic unrolled-CTE oracle, while the random-feature form
+    * keeps the fit one [[SGD.linearGD]] call — distributed, one
+    * aggregation per step, oracle-exact. */
+  def tanhFeatures(xs: Seq[Column], d: Int, gamma: Double): Seq[Column] = {
+    val (freqs, offs) = OneClassSVM.rffConstants(xs.length, d, gamma)
+    val amp = math.sqrt(2.0 / d)
+    (0 until d).map { j =>
+      val proj = xs.zipWithIndex.map { case (x, i) =>
+        x * freqs(j)(i) }.reduce(_ + _)
+      // tanh composed from exp — 1 − 2/(e^{2t}+1) — with the SAME
+      // expression shape the SQL twin uses: this DuckDB build ships no
+      // TANH, and the logistic-loss oracles already prove both engines'
+      // EXP agree bit-wise, so the composition is the deterministic form
+      val t = proj + (offs(j) - math.Pi)
+      ((lit(1.0) - lit(2.0) / (exp(t * lit(2.0)) + lit(1.0))) * amp)
+        .as(s"z$j")
+    }
+  }
+
+  /** Fit the random-feature MLP regressor; y scaled to ~[0,1] by the
+    * caller. Returns one row (mse, hidden_dim, gamma). */
+  def mlpRegressionSummary(df: DataFrame, xs: Seq[Column], y: Column,
+                           d: Int = 16, gamma: Double = 0.5,
+                           iterations: Int = 30,
+                           lr: Double = 0.5): DataFrame = {
+    val feats = tanhFeatures(xs, d, gamma)
+      .zipWithIndex.map { case (f, j) => (s"z$j", f) }
+    val nonNull = (xs :+ y).map(_.isNotNull).reduce(_ && _)
+    SGD.linearGD(df.filter(nonNull), feats, y, iterations, lr,
+      SGD.SquaredLoss)
+      .select(col("mse"), lit(d).as("hidden_dim"), lit(gamma).as("gamma"))
+  }
+
+  /** DuckDB twin of [[mlpRegressionSummary]]: tanh features inlined as
+    * identical literals in a MATERIALIZED CTE + the squared-loss GD
+    * unrolled by [[SGD.linearGDSql]]. */
+  def mlpRegressionSummarySql(table: String, xSqls: Seq[String],
+                              ySql: String, d: Int = 16,
+                              gamma: Double = 0.5, iterations: Int = 30,
+                              lr: Double = 0.5): String = {
+    val (freqs, offs) = OneClassSVM.rffConstants(xSqls.length, d, gamma)
+    val amp = math.sqrt(2.0 / d)
+    def dl(v: Double): String = if (v < 0) s"($v)" else v.toString
+    val zCols = (0 until d).map { j =>
+      val proj = xSqls.zipWithIndex.map { case (x, i) =>
+        s"($x) * ${dl(freqs(j)(i))}" }.mkString(" + ")
+      s"(1.0 - 2.0 / (EXP(($proj + ${dl(offs(j) - math.Pi)}) * 2.0) + 1.0))" +
+        s" * ${dl(amp)} AS z$j"
+    }.mkString(",\n    ")
+    val prelude = s"feats AS MATERIALIZED (\n  SELECT\n    $zCols,\n" +
+      s"    $ySql AS y\n  FROM $table),\n"
+    val gd = SGD.linearGDSql("feats",
+      (0 until d).map(j => (s"z$j", s"z$j")), "y",
+      iterations, lr, SGD.SquaredLoss, prelude)
+    s"""SELECT mse, CAST($d AS INT) AS hidden_dim, $gamma AS gamma
+       |FROM ($gd) t""".stripMargin
+  }
 }

@@ -84,6 +84,23 @@ object SGD {
       s"ROUND(${gsum(s"(($z) - ($y)) * (($z) - ($y))")} / COUNT(*), 6)"
   }
 
+  /** Squared loss (MSE regression, ½(z−y)² so the gradient residual is
+    * plain z−y); metric = MSE. Residuals are unbounded in principle —
+    * callers scale y to ~[0,1] like the features, which keeps |r·x|
+    * orders below the 2^52/1e12 exactness bound of the scaled-long
+    * grid. */
+  case object SquaredLoss extends GDLoss {
+    def residual(z: Column, y: Column): Column = z - y
+    def residualJvm(z: Double, y: Double): Double = z - y
+    def residualSql(z: String, y: String): String = s"(($z) - ($y))"
+    def metricName = "mse"
+    def metric(z: Column, y: Column, gsum: Column => Column,
+               n: Long): Column =
+      round(gsum((z - y) * (z - y)) / lit(n.toDouble), 6)
+    def metricSql(z: String, y: String, gsum: String => String): String =
+      s"ROUND(${gsum(s"(($z) - ($y)) * (($z) - ($y))")} / COUNT(*), 6)"
+  }
+
   /** Hinge loss (linear SVC subgradient), y ∈ {−1,+1}:
     * r = −y when y·z < 1 else 0; metric = sign accuracy. */
   case object HingeLoss extends GDLoss {

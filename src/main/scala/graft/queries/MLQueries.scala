@@ -1044,6 +1044,21 @@ object MLQueries {
            |FROM ($gd) t""".stripMargin
       }),
 
+    Q("ml_mlp_regression", // regression/neural_network.py:20
+      // NNRegressionLearner (sklearn MLPRegressor) — MLlib has no MLP
+      // regressor, so this is the random-feature form: fixed md5-keyed
+      // tanh hidden layer + linear output trained by squared-loss GD
+      // (KernelSVM.mlpRegressionSummary). Deterministic end to end →
+      // full unrolled-CTE oracle, not just rows-only.
+      (s, d) => graft.ml.KernelSVM.mlpRegressionSummary(
+        li(s, d),
+        Seq(col("l_quantity") / 50.0, col("l_discount") * 10.0),
+        col("l_extendedprice") / 100000.0),
+      Some(graft.ml.KernelSVM.mlpRegressionSummarySql(
+        "lineitem",
+        Seq("l_quantity / 50.0", "l_discount * 10.0"),
+        "l_extendedprice / 100000.0"))),
+
     Q("ml_som", // projection/som.py — batch SOM, 3×3 grid over the
       // embeddings table (deterministic init/epochs; rows-only).
       (s, d) => graft.ml.SOM.fit(emb(s, d), "vec_id", "embedding",

@@ -31,4 +31,30 @@ class KernelSVMSpec extends SparkSpec {
       .collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  // --- random-feature MLP regression (regression/neural_network.py:20) --
+
+  test("MLP regression fits a nonlinear target below the variance baseline") {
+    // y = bump(x): the mean regressor's best MSE is Var(y); a linear fit
+    // barely improves on it; the tanh hidden layer should
+    val df = (0 until 400).map { i =>
+      val x = i / 400.0
+      (x, if (x > 0.3 && x < 0.7) 0.8 else 0.2)
+    }.toDF("x", "y")
+    // sharp hidden layer: at gamma 0.5 the tanh units are ~linear over
+    // [0,1] and cannot express a bump; scale sqrt(2*32)=8 saturates them
+    val mse = KernelSVM.mlpRegressionSummary(df, Seq(col("x")), col("y"),
+      gamma = 32.0, iterations = 200, lr = 0.8)
+      .select(col("mse")).head().getDouble(0)
+    val varY = df.agg(var_pop(col("y"))).head().getDouble(0)
+    assert(mse < varY * 0.5, s"mse $mse not below half the variance $varY")
+  }
+
+  test("MLP regression is deterministic under repartitioning") {
+    val df = (0 until 300).map(i => (i / 300.0, (i % 7) / 7.0)).toDF("x", "y")
+    val a = KernelSVM.mlpRegressionSummary(df, Seq(col("x")), col("y")).collect()
+    val b = KernelSVM.mlpRegressionSummary(df.repartition(5), Seq(col("x")),
+      col("y")).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
 }
