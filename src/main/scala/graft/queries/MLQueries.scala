@@ -832,10 +832,15 @@ object MLQueries {
     Q("ml_dbscan_1d", // clustering/dbscan.py — exact 1-D DBSCAN as
       // range-frame window algebra, chunk-partitioned with ghost rows so
       // no global single-partition window exists; eps=10, minPts=3.
+      // chunkWidth 100 (was 2000): acctbal spans ~11000, so 2000-wide
+      // chunks gave only ~6 window tasks — the sf1 rehearsal measured
+      // 109 s from that serialization. ~110 chunks parallelize the
+      // window at a 20% ghost-row overhead; results are chunkWidth-
+      // invariant (any width ≥ 2·eps), which the oracle re-gate pins.
       (s, d) => graft.ml.Clustering
         .dbscan1dChunked(Tables.load(s, d, "customer").select(
           col("c_custkey").as("id"), col("c_acctbal").as("v")),
-          "id", "v", 10.0, 3, chunkWidth = 2000.0)
+          "id", "v", 10.0, 3, chunkWidth = 100.0)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
           max(col("v")).as("hi"), sum(col("is_core")).as("n_core"))
@@ -1229,6 +1234,36 @@ object MLQueries {
              |      value ASC) AS rank
              |  FROM rules)
              |WHERE rank <= 5 ORDER BY rank""".stripMargin)),
+
+    Q("ml_fitter_dispatch", // modelling/base.py:8-127 Fitter + constant.py
+      // ConstantLearner: ONE learner object fit on a discrete and a
+      // continuous target — dispatch picks Majority vs MeanRegressor
+      // from the target kind, like Orange's __fits__ dict.
+      (s, d) => {
+        val base = li(s, d)
+        val f = graft.ml.Fitter.Constant
+        val clsRow = f.fit(base, "l_returnflag").predict(base.limit(1))
+          .select(lit("l_returnflag").as("target"),
+            lit("classification").as("problem"),
+            col("prediction").as("prediction_label"),
+            lit(null).cast("double").as("prediction_value"))
+        val regRow = f.fit(base, "l_quantity").predict(base.limit(1))
+          .select(lit("l_quantity").as("target"),
+            lit("regression").as("problem"),
+            lit(null).cast("string").as("prediction_label"),
+            round(col("prediction"), 6).as("prediction_value"))
+        clsRow.unionByName(regRow).orderBy(col("target"))
+      },
+      Some(s"""SELECT 'l_returnflag' AS target,
+              |       'classification' AS problem,
+              |       (SELECT l_returnflag FROM lineitem GROUP BY 1
+              |        ORDER BY COUNT(*) DESC, l_returnflag ASC LIMIT 1)
+              |         AS prediction_label,
+              |       CAST(NULL AS DOUBLE) AS prediction_value
+              |UNION ALL
+              |SELECT 'l_quantity', 'regression', CAST(NULL AS VARCHAR),
+              |       (SELECT ROUND(${sqlMean("l_quantity")}, 6) FROM lineitem)
+              |ORDER BY target""".stripMargin)),
 
     Q("ml_cn2_ruleset", // rules.py:896-1007 CN2 separate-and-conquer:
       // ordered decision list — beam best single-condition rule, remove
