@@ -1288,6 +1288,27 @@ object MLQueries {
           "qty_bin" -> "CAST(CAST(FLOOR((l_quantity - 1) / 10) AS INT) AS VARCHAR)"),
         "l_linestatus", maxRules = 5))),
 
+    Q("ml_cn2_unordered", // rules.py CN2UnorderedLearner: per-class
+      // covering over the ORIGINAL data, removing covered positives
+      // only; rules overlap across classes, prediction is a weighted
+      // vote. Oracle = per-(class, round) CTE unrolling.
+      (s, d) => {
+        val base = li(s, d).select(
+          year(col("l_shipdate")).cast("string").as("ship_year"),
+          col("l_returnflag").cast("string").as("returnflag"),
+          floor((col("l_quantity") - 1) / 10).cast("int").cast("string")
+            .as("qty_bin"),
+          col("l_linestatus").as("cls"))
+        graft.ml.Rules.cn2Unordered(base,
+          Seq("ship_year", "returnflag", "qty_bin"), "cls", maxPerClass = 3)
+      },
+      Some(graft.ml.Rules.cn2UnorderedSql("lineitem",
+        Seq(
+          "ship_year" -> "CAST(YEAR(l_shipdate) AS VARCHAR)",
+          "returnflag" -> "l_returnflag",
+          "qty_bin" -> "CAST(CAST(FLOOR((l_quantity - 1) / 10) AS INT) AS VARCHAR)"),
+        "l_linestatus", Seq("F", "O"), maxPerClass = 3))),
+
     Q("ml_ridge_regression", // regression/linear.py:42 Ridge — the
       // 2-feature normal equations have an exact Cramer closed form on
       // centered sums, so the "iterative sklearn solver" collapses to

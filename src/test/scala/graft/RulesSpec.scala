@@ -50,6 +50,39 @@ class RulesSpec extends SparkSpec {
     assert(preds.values.forall(_ != null))
   }
 
+  test("cn2Unordered induces per-class overlapping rules + default") {
+    val rules = Rules.cn2Unordered(fixture, Seq("color", "shape"), "cls",
+      maxPerClass = 2).collect()
+    // class a gets color=red as its best rule (4/4 toward a)
+    assert(rules.exists(r => r.getString(0) == "a" &&
+      r.getString(2) == "color" && r.getString(3) == "red"))
+    // every induced rule covers at least one positive
+    assert(rules.forall(_.getLong(4) >= 1))
+    // trailing default row present
+    assert(rules.last.getString(0) == "_default")
+    // per-class orders are 1..n contiguous
+    val byCls = rules.dropRight(1).groupBy(_.getString(0))
+    byCls.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("cn2PredictUnordered votes coverage-weighted, default on no fire") {
+    val induced = Rules.cn2Unordered(fixture, Seq("color", "shape"), "cls",
+      maxPerClass = 2).collect()
+    val rules = induced.dropRight(1)
+      .map(r => (r.getString(0), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    val default = induced.last.getString(3) // default row: value = majority
+    val holdout = Seq(("red", "circle"), ("unseen", "unseen"))
+      .toDF("color", "shape")
+    val preds = Rules.cn2PredictUnordered(rules, default, holdout)
+      .select("color", "prediction").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(preds("red") == "a")
+    assert(preds("unseen") == "a") // nothing fires → default majority
+  }
+
   test("cn2Ordered stops when data is exhausted (no phantom rules)") {
     val tiny = Seq(("x", "p"), ("y", "q")).toDF("f", "cls")
     val rules = Rules.cn2Ordered(tiny, Seq("f"), "cls", maxRules = 5)
