@@ -746,14 +746,50 @@ object MLQueries {
       (s, d) => MLlibLearners.logisticOnEmbeddings(
         emb(s, d), "embedding", "label"), None),
 
-    Q("ml_softmax_regression", // softmax_regression.py → multinomial
-      // family pinned, L2 = 1/n (rows-only: iterative L-BFGS fit)
-      (s, d) => MLlibLearners.softmaxOnEmbeddings(
-        emb(s, d), "embedding", "label"), None),
+    Q("ml_softmax_regression", // softmax_regression.py:11-101
+      // SoftmaxRegressionLearner — the reference's exact L2
+      // cross-entropy gradient (bias regularized too), fit by
+      // full-batch GD instead of L-BFGS: one scan per iteration with
+      // partition-local scaled-long gradient sums, θ on the driver.
+      // Deterministic end to end → unrolled-CTE oracle (the argmax
+      // prediction compares raw z scores, never exp'd probabilities).
+      // 16 leading embedding coordinates (|x| ≤ 0.52, inside the
+      // scaled-long envelope), 10 classes; lr/iterations chosen so the
+      // convergence is visible (accuracy ≈ 0.21 vs 0.1 chance at
+      // sf0.01).
+      (s, d) => graft.ml.Softmax.fit(
+        emb(s, d),
+        (0 until 16).map(i =>
+          (s"e$i", element_at(col("embedding"), i + 1).cast("double"))),
+        col("label"), numClasses = 10, iterations = 20, lr = 10.0,
+        lambda = 1.0),
+      Some(graft.ml.Softmax.fitSql(
+        "embeddings",
+        (0 until 16).map(i => (s"e$i", s"embedding[${i + 1}]")),
+        "label", numClasses = 10, iterations = 20, lr = 10.0,
+        lambda = 1.0))),
 
     Q("ml_kmeans_embeddings", // MLlib seeded KMeans (rows-only)
       (s, d) => MLlibLearners.kmeansOnEmbeddings(
         emb(s, d), "embedding", 5), None),
+
+    Q("ml_kmeans_lloyd", // clustering/kmeans.py KMeans re-expressed as
+      // deterministic Lloyd iterations (first-k-by-id seeding instead
+      // of sklearn's random restarts): one scan per iteration —
+      // broadcast centroids, argmin CASE assignment, k-group centroid
+      // update through the scaled-long grid. Fully oracle-checked
+      // (sizes, per-cluster inertia, final centroids) via the
+      // unrolled-CTE twin — the iterative-clustering analogue of the
+      // GD device.
+      (s, d) => graft.ml.Lloyd.fit(
+        emb(s, d), col("vec_id"),
+        (0 until 4).map(i =>
+          (s"e$i", element_at(col("embedding"), i + 1).cast("double"))),
+        k = 4, iterations = 8),
+      Some(graft.ml.Lloyd.fitSql(
+        "embeddings", "vec_id",
+        (0 until 4).map(i => (s"e$i", s"embedding[${i + 1}]")),
+        k = 4, iterations = 8))),
 
     Q("ml_pca_embeddings", // MLlib PCA explained variance (rows-only)
       (s, d) => MLlibLearners.pcaExplainedVariance(
