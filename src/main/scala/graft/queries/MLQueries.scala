@@ -994,10 +994,38 @@ object MLQueries {
           round(min(col("tsne2")), 4).as("min2"),
           round(max(col("tsne2")), 4).as("max2")), None),
 
-    Q("ml_cur_leverage", // cur.py:13 — CUR column selection via PCA
-      // leverage scores (MLlib covariance/PCA distributed). Rows-only.
-      (s, d) => graft.ml.Manifold.curLeverage(
-        emb(s, d), "embedding", 5), None),
+    Q("ml_cur_leverage", // cur.py:13 — CUR column selection via
+      // leverage scores Σ_c v_cj² over the top-3 deflated
+      // power-iteration components (sign-free, so no eigenvector sign
+      // convention crosses engines). One moments scan; oracle-exact
+      // against the scalar-CTE twin — was rows-only under MLlib SVD.
+      (s, d) => graft.ml.PowerPCA.leverage(
+        emb(s, d),
+        (0 until 8).map(i =>
+          (s"e$i", element_at(col("embedding"), i + 1).cast("double"))),
+        nComp = 3, iters = 25),
+      Some(graft.ml.PowerPCA.leverageSql(
+        "embeddings",
+        (0 until 8).map(i => (s"e$i", s"embedding[${i + 1}]")),
+        nComp = 3, iters = 25))),
+
+    Q("ml_pca_power", // projection/pca.py PCA — top-2 eigenvalues +
+      // explained-variance ratios of the feature covariance by
+      // DEFLATED POWER ITERATION: one distributed moments scan, then
+      // pure scalar algebra on the driver, mirrored step-for-step by
+      // scalar CTEs. The first eigen-family query with a full DuckDB
+      // oracle — "T rounded power steps from e0" is deterministic
+      // whether or not it has converged. The 64-dim MLlib PCA stays
+      // under ml_pca_embeddings (rows-only).
+      (s, d) => graft.ml.PowerPCA.eigs(
+        emb(s, d),
+        (0 until 8).map(i =>
+          (s"e$i", element_at(col("embedding"), i + 1).cast("double"))),
+        nComp = 2, iters = 25),
+      Some(graft.ml.PowerPCA.eigsSql(
+        "embeddings",
+        (0 until 8).map(i => (s"e$i", s"embedding[${i + 1}]")),
+        nComp = 2, iters = 25))),
 
     Q("ml_sgd_logreg", // sgd.py → from-scratch full-batch gradient
       // descent on logistic loss: each iteration is one map-side-combined
