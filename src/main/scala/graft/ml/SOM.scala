@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   * kernel (grid²·dim work — negligible) into the new codebook.
   * Deterministic: codebook initialized from the first rows×cols vectors
   * by id, no sampling, fixed epochs — same result every run (SOMSpec).
-  * Iterative → rows-only driver check, like the other fitted models.
-  */
+  *
+  * Oracle-exact ([[fitSql]]): the whole trajectory is IEEE arithmetic
+  * both engines perform identically — per-BMU sums reduce through
+  * detSum's DECIMAL(38,14) grid, the Gaussian neighborhood weights are
+  * driver-computed literals inlined into the SQL (no libm call crosses
+  * the engine boundary), the BMU argmin compares fixed-order distance
+  * forms with lowest-unit tie-break, and skipped-empty-unit terms
+  * become exact +0.0 adds. The unrolled twin is one (assign, group,
+  * pivot, blend) CTE quad per epoch. */
 object SOM {
 
   /** @return per-unit assignment counts + mean quantization error after
@@ -101,5 +108,116 @@ object SOM {
         pmod(col("bmu"), lit(cols)).as("unit_col"),
         col("n_assigned"), col("mean_qerr"))
       .orderBy(col("unit_row"), col("unit_col"))
+  }
+
+  /** DuckDB twin of [[fit]] for array columns read straight from
+    * parquet (`arraySql(i)` must yield the i-th 0-based component).
+    * Epochs unroll as (assignment, group, pivot, blend) CTE quads; the
+    * Gaussian neighborhood factors inline as the identical doubles the
+    * driver computed. */
+  def fitSql(table: String, idSql: String, arraySql: Int => String,
+             dim: Int, rows: Int, cols: Int, epochs: Int,
+             sigma: Double): String = {
+    val k = rows * cols
+    def dl(v: Double): String = if (v < 0) s"($v)" else v.toString
+    def h(a: Int, b: Int): Double = {
+      val (ra, ca) = (a / cols, a % cols)
+      val (rb, cb) = (b / cols, b % cols)
+      val g2 = ((ra - rb) * (ra - rb) + (ca - cb) * (ca - cb)).toDouble
+      math.exp(-g2 / (2.0 * sigma * sigma))
+    }
+    def det(t: String) =
+      s"CAST(SUM(CAST(ROUND(($t), 12) AS DECIMAL(38,14))) AS DOUBLE)"
+    val xs = (0 until dim).map(i => s"x_$i")
+    val feats =
+      s"""feats AS MATERIALIZED (
+         |  SELECT $idSql AS id, ${(0 until dim).map(i =>
+             s"CAST(${arraySql(i)} AS DOUBLE) AS x_$i").mkString(", ")}
+         |  FROM $table)""".stripMargin
+    val init =
+      s"""seeds AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY id) AS rn
+         |  FROM (SELECT * FROM feats ORDER BY id LIMIT $k) s),
+         |cb0 AS MATERIALIZED (
+         |  SELECT ${(0 until k).flatMap(u => (0 until dim).map(i =>
+             s"MAX(CASE WHEN rn = ${u + 1} THEN x_$i END) AS m_${u}_$i"))
+             .mkString(",\n    ")}
+         |  FROM seeds)""".stripMargin
+    def distExpr(cb: String, u: Int) = (0 until dim).map(i =>
+      s"(x_$i - $cb.m_${u}_$i) * (x_$i - $cb.m_${u}_$i)").mkString(" + ")
+    def argminCase = {
+      val arms = (0 until k - 1).map { u =>
+        val conds = (u + 1 until k).map(j => s"dd_$u <= dd_$j")
+          .mkString(" AND ")
+        s"WHEN $conds THEN $u"
+      }
+      s"CASE ${arms.mkString(" ")} ELSE ${k - 1} END"
+    }
+    val epochCtes = (1 to epochs).map { e =>
+      val cb = s"cb${e - 1}"
+      val asg =
+        s"""asg$e AS (
+           |  SELECT ${xs.mkString(", ")},
+           |    ${(0 until k).map(u => s"${distExpr(cb, u)} AS dd_$u")
+               .mkString(",\n    ")},
+           |    $argminCase AS bmu
+           |  FROM feats CROSS JOIN $cb)""".stripMargin
+      val grp =
+        s"""grp$e AS (
+           |  SELECT bmu, COUNT(*) AS n,
+           |    ${(0 until dim).map(i => s"${det(s"x_$i")} AS s_$i")
+               .mkString(", ")}
+           |  FROM asg$e GROUP BY bmu)""".stripMargin
+      val piv =
+        s"""piv$e AS MATERIALIZED (
+           |  SELECT ${(0 until k).map(b =>
+               s"COALESCE(MAX(CASE WHEN bmu = $b THEN CAST(n AS DOUBLE) END), 0.0) AS n_$b")
+               .mkString(",\n    ")},
+           |    ${(0 until k).flatMap(b => (0 until dim).map(i =>
+               s"COALESCE(MAX(CASE WHEN bmu = $b THEN s_$i END), 0.0) AS s_${b}_$i"))
+               .mkString(",\n    ")}
+           |  FROM grp$e)""".stripMargin
+      // blend: den_u first (lateral aliases), then each codebook entry;
+      // +0.0 terms for empty units are exact no-ops, matching the
+      // driver's skip-missing loop
+      val dens = (0 until k).map { u =>
+        (0 until k).map(b => s"${dl(h(u, b))} * n_$b").mkString(" + ") +
+          s" AS den_$u"
+      }
+      val entries = (0 until k).flatMap { u =>
+        (0 until dim).map { i =>
+          val num = (0 until k).map(b => s"${dl(h(u, b))} * s_${b}_$i")
+            .mkString(" + ")
+          s"CASE WHEN den_$u > 0 THEN ($num) / den_$u " +
+            s"ELSE $cb.m_${u}_$i END AS m_${u}_$i"
+        }
+      }
+      val blend =
+        s"""cb$e AS MATERIALIZED (
+           |  SELECT ${entries.mkString(",\n    ")}
+           |  FROM (SELECT ${dens.mkString(",\n    ")}, piv$e.*
+           |    FROM piv$e) p CROSS JOIN $cb)""".stripMargin
+      s"$asg,\n$grp,\n$piv,\n$blend"
+    }
+    val cbF = s"cb$epochs"
+    val qerrCase = (0 until k - 1).foldRight(s"SQRT(dd_${k - 1})") {
+      (u, rest) => s"CASE WHEN bmu = $u THEN SQRT(dd_$u) ELSE $rest END"
+    }
+    s"""WITH $feats,
+       |$init,
+       |${epochCtes.mkString(",\n")},
+       |asgF AS (
+       |  SELECT ${xs.mkString(", ")},
+       |    ${(0 until k).map(u => s"${distExpr(cbF, u)} AS dd_$u")
+           .mkString(",\n    ")},
+       |    $argminCase AS bmu
+       |  FROM feats CROSS JOIN $cbF)
+       |SELECT CAST(bmu // $cols AS INT) AS unit_row,
+       |  CAST(bmu % $cols AS INT) AS unit_col,
+       |  CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       |  ROUND(${det(qerrCase)} / COUNT(*), 4) AS mean_qerr
+       |FROM asgF
+       |GROUP BY bmu
+       |ORDER BY unit_row, unit_col""".stripMargin
   }
 }

@@ -1129,9 +1129,16 @@ object MLQueries {
         "l_extendedprice / 100000.0"))),
 
     Q("ml_som", // projection/som.py — batch SOM, 3×3 grid over the
-      // embeddings table (deterministic init/epochs; rows-only).
+      // 64-dim embeddings. The whole trajectory is engine-identical
+      // IEEE arithmetic (detSum unit sums, literal Gaussian
+      // neighborhood weights, argmin on fixed-order distance forms), so
+      // the epochs unroll as (assign, group, pivot, blend) CTE quads —
+      // was rows-only.
       (s, d) => graft.ml.SOM.fit(emb(s, d), "vec_id", "embedding",
-        rows = 3, cols = 3, epochs = 3, sigma = 1.0), None),
+        rows = 3, cols = 3, epochs = 3, sigma = 1.0),
+      Some(graft.ml.SOM.fitSql("embeddings", "vec_id",
+        i => s"embedding[${i + 1}]", dim = 64, rows = 3, cols = 3,
+        epochs = 3, sigma = 1.0))),
 
     Q("ml_radviz", // projection family (SURVEY §2.11, widgets/visualize
       // radviz): span-normalize each feature, place anchors on the unit
