@@ -26,9 +26,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Read one fixture table from an sf directory. Parquet → columnar scan
-    * with predicate pushdown + column pruning for free. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    * with predicate pushdown + column pruning for free.
+    *
+    * events.ts has been generated both as int64 epoch NANOSECONDS (read
+    * as LONG under the nanosAsLong conf) and as a parquet µs timestamp;
+    * normalize to the int64-nanos form every downstream window/gap
+    * computation assumes — exact integer arithmetic, no double epoch()
+    * precision loss above 2^53 ns. Sessions pin UTC, so the NTZ→LTZ cast
+    * is wall-clock-preserving. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType != LongType)
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    else df
+  }
 
   // ---------------------------------------------------------------------
   // Deterministic aggregate building blocks (oracle-exact)

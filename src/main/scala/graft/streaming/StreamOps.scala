@@ -30,6 +30,14 @@ case class UserAgg(user_id: Long, n_events: Long, total_value: Double,
   */
 object StreamOps {
 
+  /** Normalize events.ts to the int64-nanos form all downstream window
+    * arithmetic assumes (see Tables.load — the fixture has carried both
+    * int64-nanos and µs-timestamp encodings; exact integer division
+    * beats double epoch() above 2^53 ns). Works on streaming frames. */
+  private def tsNanos(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType) df
+    else df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+
   /** Tumbling-window counts/sums over the events stream. Returns the
     * materialized result after draining all available input. */
   def tumblingWindowAgg(spark: SparkSession, sfDir: String,
@@ -38,9 +46,9 @@ object StreamOps {
     val schema = spark.read.parquet(path).schema
     // File streams need a directory source; point at the sf dir and
     // glob-filter to the events file.
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      // ts arrives as int64 nanos (nanosAsLong conf): exact integer
+    val stream = tsNanos(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      // ts normalized to int64 nanos: exact integer
       // division to µs, then a proper TimestampType for the watermark.
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
@@ -77,8 +85,8 @@ object StreamOps {
     dir.toFile.deleteOnExit()
     java.nio.file.Files.copy(java.nio.file.Paths.get(src),
       dir.resolve("batch0.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "*.parquet").parquet(dir.toString)
+    val stream = tsNanos(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(dir.toString))
       .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"),
@@ -91,9 +99,14 @@ object StreamOps {
       .format("memory").queryName(sinkName).outputMode("append").start()
     try {
       q.processAllAvailable()
-      // sentinel micro-batch: 2030-01-01 in nanos, impossible user id
+      // sentinel micro-batch: 2030-01-01 (typed to match the source
+      // schema — int64 nanos or µs timestamp), impossible user id
+      val sentinelTs =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          lit(1893456000000000000L)
+        else lit("2030-01-01 00:00:00").cast(schema("ts").dataType)
       val sentinel = spark.range(1).select(
-        lit(-1L).as("event_id"), lit(1893456000000000000L).as("ts"),
+        lit(-1L).as("event_id"), sentinelTs.as("ts"),
         lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
       spark.createDataFrame(sentinel.collectAsList(), schema)
@@ -112,8 +125,8 @@ object StreamOps {
                        sinkName: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val stream = tsNanos(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), size, slide), col("event_type"))
@@ -244,8 +257,8 @@ object StreamOps {
     import spark.implicits._
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val events = tsNanos(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
       .select(col("event_id"), col("user_id"),
         expr("ts div 1000000000").as("tsec"), col("value"))
       .as[Ev]
@@ -291,8 +304,8 @@ object StreamOps {
                               sinkName: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val stream = tsNanos(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
@@ -324,8 +337,8 @@ object StreamOps {
                        sinkName: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    def src = tsNanos(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
       .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("tsm").as("v_ts"),
