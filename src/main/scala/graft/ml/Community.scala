@@ -159,6 +159,104 @@ object Community {
     labels
   }
 
+  /** DuckDB twin of [[louvain]] (LPA scaffold + modularity-greedy
+    * refinement), for a caller-supplied CTE prefix that defines the
+    * symmetrized distinct edge table `sym(u, v)`.
+    *
+    * The refinement rounds unroll exactly because rejection is
+    * idempotent: when a round's best moves don't improve Q (or no move
+    * gains), the Scala loop stops while the unrolled SQL re-runs the
+    * SAME round on unchanged labels — recomputing the same candidate
+    * moves and the same rejection — so the final labeling agrees. All
+    * modularity inputs (edge counts, degree totals) are integers; the
+    * few-term double expressions (gain, Q) are written in the identical
+    * operation order on both engines.
+    *
+    * @param prefix  WITH-body CTEs ending in `sym(u, v)` (both
+    *                directions of each distinct undirected edge)
+    * @param select  final SELECT reading from rl`refineRounds`(node, label)
+    */
+  def louvainSql(prefix: String, lpaRounds: Int, refineRounds: Int,
+                 select: String): String = {
+    val lpa = (1 to lpaRounds).map { r =>
+      s"""lab$r AS MATERIALIZED (
+         |  SELECT u AS node, label FROM (
+         |    SELECT s.u, l.label,
+         |      ROW_NUMBER() OVER (PARTITION BY s.u
+         |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |    FROM sym s JOIN lab${r - 1} l ON l.node = s.v
+         |    GROUP BY s.u, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    // Q(labeling) = intra/m − ΣΣ_tot²/(4·m·m); sym counts each
+    // undirected edge twice, so intra = same-label sym count / 2.
+    def qSql(lab: String): String =
+      s"""SELECT
+         |  ((SELECT CAST(COUNT(*) AS DOUBLE) / 2.0
+         |    FROM sym s JOIN $lab la ON la.node = s.u
+         |    JOIN $lab lb ON lb.node = s.v
+         |    WHERE la.label = lb.label) / m.m) -
+         |  ((SELECT CAST(SUM(tot * tot) AS DOUBLE) FROM (
+         |      SELECT l.label, SUM(d.deg) AS tot
+         |      FROM $lab l JOIN deg d ON d.node = l.node
+         |      GROUP BY l.label)) / (4.0 * m.m * m.m)) AS q
+         |FROM mval m""".stripMargin
+    val refine = (1 to refineRounds).flatMap { r =>
+      val prev = s"rl${r - 1}"
+      Seq(
+        s"""sg_$r AS MATERIALIZED (
+           |  SELECT l.label, SUM(d.deg) AS tot
+           |  FROM $prev l JOIN deg d ON d.node = l.node
+           |  GROUP BY l.label)""".stripMargin,
+        s"""tc_$r AS MATERIALIZED (
+           |  SELECT s.u AS node, l.label AS c, COUNT(*) AS eic
+           |  FROM sym s JOIN $prev l ON l.node = s.v
+           |  GROUP BY s.u, l.label)""".stripMargin,
+        s"""cn_$r AS (
+           |  SELECT t.node, t.c, t.eic, o.a, d.deg,
+           |    sc.tot AS totc, sa.tot AS tota,
+           |    COALESCE(MAX(CASE WHEN t.c = o.a THEN t.eic ELSE 0 END)
+           |      OVER (PARTITION BY t.node), 0) AS eia
+           |  FROM tc_$r t
+           |  JOIN (SELECT node, label AS a FROM $prev) o ON o.node = t.node
+           |  JOIN deg d ON d.node = t.node
+           |  JOIN sg_$r sc ON sc.label = t.c
+           |  JOIN sg_$r sa ON sa.label = o.a)""".stripMargin,
+        s"""gn_$r AS (
+           |  SELECT node, c,
+           |    (eic - eia) / m.m -
+           |      deg * (totc - tota + deg) / (2.0 * m.m * m.m) AS gain
+           |  FROM cn_$r CROSS JOIN mval m WHERE c <> a)""".stripMargin,
+        s"""mv_$r AS MATERIALIZED (
+           |  SELECT node, c FROM (
+           |    SELECT node, c, ROW_NUMBER() OVER (PARTITION BY node
+           |      ORDER BY gain DESC, c ASC) AS rn
+           |    FROM gn_$r WHERE gain > 0)
+           |  WHERE rn = 1)""".stripMargin,
+        s"""nx_$r AS MATERIALIZED (
+           |  SELECT l.node, COALESCE(mv.c, l.label) AS label
+           |  FROM $prev l LEFT JOIN mv_$r mv ON mv.node = l.node)""".stripMargin,
+        s"qa_$r AS (${qSql(prev)})",
+        s"qb_$r AS (${qSql(s"nx_$r")})",
+        s"""rl$r AS MATERIALIZED (
+           |  SELECT l.node,
+           |    CASE WHEN qb.q > qa.q + 1e-12 THEN n.label
+           |         ELSE l.label END AS label
+           |  FROM $prev l JOIN nx_$r n ON n.node = l.node
+           |  CROSS JOIN qa_$r qa CROSS JOIN qb_$r qb)""".stripMargin)
+    }
+    s"""WITH $prefix,
+       |lab0 AS MATERIALIZED (
+       |  SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM sym)),
+       |${lpa.mkString(",\n")},
+       |deg AS MATERIALIZED (
+       |  SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+       |mval AS (SELECT COUNT(*) / 2.0 AS m FROM sym),
+       |rl0 AS (SELECT node, label FROM lab$lpaRounds),
+       |${refine.mkString(",\n")}
+       |$select""".stripMargin
+  }
+
   /** TEST-ONLY exact twin of [[knnGraphLSH]]: kNN graph by brute-force
     * O(n²) pair scan. Never in a query path — the engine's graph build is
     * knnGraphLSH (bucketed candidates); this exists solely as the

@@ -136,4 +136,228 @@ object Correspondence {
 
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ---- oracle-exact variant: deflated power iteration on BᵀB --------
+
+  private def r12(v: Double): Double = math.rint(v * 1e12) / 1e12
+
+  /** DuckDB-faithful ROUND(x, 6): std::round(x·1e6)/1e6, half away
+    * from zero on the scaled FP product (see Manifold.r6d). */
+  private def r6d(v: Double): Double = {
+    val p = v * 1e6
+    (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)) / 1e6
+  }
+
+  /** Row principal coordinates by deflated power iteration on the c×c
+    * matrix BᵀB (B = Dᵣ^{-1/2}(P − r·cᵀ)D꜀^{-1/2}) — the oracle-exact
+    * twin of [[rowCoordinates]]: categories are caller-pinned so both
+    * engines index the same dense matrix, every scalar step rounds to
+    * the 1e-12 grid in the same operation order (the PowerPCA device),
+    * and each axis' sign is pinned by its largest-|component| right
+    * vector entry. Eigenvalues of BᵀB are the squared singular values,
+    * so per-axis inertia and the χ²/N total (= trace BᵀB) fall out of
+    * the same trajectory. The ONLY distributed stage is the contingency
+    * groupBy; everything after is k·c-bounded driver scalar algebra. */
+  def rowCoordinatesPower(df: DataFrame, rowVar: Column, colVar: Column,
+                          rowCats: Seq[String], colCats: Seq[String],
+                          axes: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    val nr = rowCats.length
+    val nc = colCats.length
+    val cells = df.where(rowVar.isNotNull && colVar.isNotNull)
+      .groupBy(rowVar.cast("string").as("r"), colVar.cast("string").as("c"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val cnt = Array.tabulate(nr, nc)((i, j) =>
+      cells.getOrElse((rowCats(i), colCats(j)), 0L).toDouble)
+    val total = cnt.map(_.sum).sum // exact: integer-valued doubles
+    val p = Array.tabulate(nr, nc)((i, j) => r12(cnt(i)(j) / total))
+    val rm = Array.tabulate(nr)(i =>
+      r12((0 until nc).map(j => p(i)(j)).reduceLeft(_ + _)))
+    val cm = Array.tabulate(nc)(j =>
+      r12((0 until nr).map(i => p(i)(j)).reduceLeft(_ + _)))
+    val b = Array.tabulate(nr, nc) { (i, j) =>
+      if (rm(i) <= 0 || cm(j) <= 0) 0.0
+      else r12((p(i)(j) - rm(i) * cm(j)) /
+        math.sqrt(rm(i)) / math.sqrt(cm(j)))
+    }
+    var btb = Array.tabulate(nc, nc) { (j, l) =>
+      r12((0 until nr).map(i => b(i)(j) * b(i)(l)).reduceLeft(_ + _))
+    }
+    val trace = r12((0 until nc).map(j => btb(j)(j)).reduceLeft(_ + _))
+    val k = math.min(axes, nc)
+    val comps = (1 to k).map { _ =>
+      var v = Array.tabulate(nc)(j => if (j == 0) 1.0 else 0.0)
+      for (_ <- 1 to iters) {
+        val u = Array.tabulate(nc)(j =>
+          (0 until nc).map(l => btb(j)(l) * v(l)).reduceLeft(_ + _))
+        val nrm = math.sqrt(u.map(x => x * x).reduceLeft(_ + _))
+        v = u.map(x => r12(x / nrm))
+      }
+      val w = Array.tabulate(nc)(j =>
+        (0 until nc).map(l => btb(j)(l) * v(l)).reduceLeft(_ + _))
+      val lam = math.rint(
+        (0 until nc).map(j => v(j) * w(j)).reduceLeft(_ + _) * 1e8) / 1e8
+      // sign pin: first global max-|v_j| component is positive
+      val pivot = (0 until nc).maxBy(j => (math.abs(v(j)), -j))
+      val vP = if (v(pivot) < 0) v.map(-_) else v
+      val lamF = lam
+      btb = Array.tabulate(nc, nc)((j, l) =>
+        r12(btb(j)(l) - lamF * v(j) * v(l)))
+      (lamF, vP)
+    }
+    val out = for {
+      i <- 0 until nr
+      ax <- 0 until k
+    } yield {
+      val (lam, v) = comps(ax)
+      val f =
+        if (rm(i) <= 0) 0.0
+        else r6d((0 until nc).map(j => b(i)(j) * v(j)).reduceLeft(_ + _) /
+          math.sqrt(rm(i)))
+      Row(rowCats(i), ax, f, r6d(lam),
+        if (trace > 0) r6d(lam / trace) else 0.0)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(out).asJava),
+      StructType(Seq(
+        StructField("category", StringType),
+        StructField("axis", IntegerType, nullable = false),
+        StructField("coord", DoubleType, nullable = false),
+        StructField("inertia", DoubleType, nullable = false),
+        StructField("inertia_share", DoubleType, nullable = false))))
+  }
+
+  /** DuckDB twin of [[rowCoordinatesPower]] — contingency pivoted to
+    * scalars via FILTERed counts, then the identical grid-rounded
+    * scalar trajectory as CTEs. */
+  def rowCoordinatesPowerSql(table: String, rowExpr: String,
+                             colExpr: String, rowCats: Seq[String],
+                             colCats: Seq[String], axes: Int,
+                             iters: Int): String = {
+    val nr = rowCats.length
+    val nc = colCats.length
+    val k = math.min(axes, nc)
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val cells =
+      s"""cells AS MATERIALIZED (
+         |  SELECT CAST(($rowExpr) AS VARCHAR) AS r,
+         |    CAST(($colExpr) AS VARCHAR) AS c, COUNT(*) AS n
+         |  FROM $table
+         |  WHERE ($rowExpr) IS NOT NULL AND ($colExpr) IS NOT NULL
+         |  GROUP BY 1, 2)""".stripMargin
+    val m =
+      s"""m AS MATERIALIZED (
+         |  SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+         |    ${(for (i <- 0 until nr; j <- 0 until nc) yield
+             s"CAST(COALESCE(SUM(n) FILTER (WHERE r = ${lit(rowCats(i))}" +
+               s" AND c = ${lit(colCats(j))}), 0) AS DOUBLE) AS n_${i}_$j")
+             .mkString(",\n    ")}
+         |  FROM cells)""".stripMargin
+    val pCte =
+      s"""p AS (SELECT
+         |    ${(for (i <- 0 until nr; j <- 0 until nc) yield
+             s"ROUND(n_${i}_$j / nn, 12) AS p_${i}_$j").mkString(",\n    ")}
+         |  FROM m)""".stripMargin
+    val mass =
+      s"""mass AS MATERIALIZED (SELECT *,
+         |    ${(0 until nr).map(i =>
+             s"ROUND(${(0 until nc).map(j => s"p_${i}_$j")
+               .mkString(" + ")}, 12) AS rm_$i").mkString(",\n    ")},
+         |    ${(0 until nc).map(j =>
+             s"ROUND(${(0 until nr).map(i => s"p_${i}_$j")
+               .mkString(" + ")}, 12) AS cm_$j").mkString(",\n    ")}
+         |  FROM p)""".stripMargin
+    val bCte =
+      s"""b AS MATERIALIZED (SELECT *,
+         |    ${(for (i <- 0 until nr; j <- 0 until nc) yield
+             s"CASE WHEN rm_$i <= 0 OR cm_$j <= 0 THEN 0.0 ELSE " +
+               s"ROUND((p_${i}_$j - rm_$i * cm_$j) / SQRT(rm_$i) / " +
+               s"SQRT(cm_$j), 12) END AS b_${i}_$j").mkString(",\n    ")}
+         |  FROM mass)""".stripMargin
+    val btb0 =
+      s"""btb0 AS MATERIALIZED (SELECT
+         |    ${(for (j <- 0 until nc; l <- 0 until nc) yield
+             s"ROUND(${(0 until nr).map(i => s"b_${i}_$j * b_${i}_$l")
+               .mkString(" + ")}, 12) AS t_${j}_$l").mkString(",\n    ")}
+         |  FROM b)""".stripMargin
+    val tr =
+      s"""tr AS (SELECT ROUND(${(0 until nc).map(j => s"t_${j}_$j")
+           .mkString(" + ")}, 12) AS trace FROM btb0)""".stripMargin
+    val compCtes = (1 to k).flatMap { comp =>
+      val cv = s"btb${comp - 1}"
+      val v0 =
+        s"""pw${comp}_0 AS (SELECT ${(0 until nc).map(j =>
+             s"CAST(${if (j == 0) "1.0" else "0.0"} AS DOUBLE) AS v_$j")
+             .mkString(", ")})""".stripMargin
+      val steps = (1 to iters).map { t =>
+        val prev = s"pw${comp}_${t - 1}"
+        val us = (0 until nc).map { j =>
+          (0 until nc).map(l => s"$cv.t_${j}_$l * $prev.v_$l")
+            .mkString(" + ") + s" AS u_$j"
+        }
+        val nrm = (0 until nc).map(j => s"u_$j * u_$j").mkString(" + ")
+        s"""pw${comp}_$t AS (
+           |  SELECT ${(0 until nc).map(j =>
+               s"ROUND(u_$j / nrm, 12) AS v_$j").mkString(", ")}
+           |  FROM (SELECT ${us.mkString(", ")}, SQRT($nrm) AS nrm
+           |    FROM $cv CROSS JOIN $prev) t)""".stripMargin
+      }
+      val pl = s"pw${comp}_$iters"
+      val ws = (0 until nc).map { j =>
+        (0 until nc).map(l => s"$cv.t_${j}_$l * $pl.v_$l")
+          .mkString(" + ") + s" AS w_$j"
+      }
+      val lam = (0 until nc).map(j => s"$pl.v_$j * w_$j").mkString(" + ")
+      // sign pin on the UNflipped vector, then store the flipped one
+      val pivotVal = (0 until nc).map { j =>
+        val conds = (0 until nc).filter(_ != j).map { l =>
+          if (l < j) s"ABS($pl.v_$j) > ABS($pl.v_$l)"
+          else s"ABS($pl.v_$j) >= ABS($pl.v_$l)"
+        }.mkString(" AND ")
+        s"WHEN $conds THEN $pl.v_$j"
+      }
+      val pivotExpr =
+        if (nc == 1) s"$pl.v_0" else pivotVal.mkString("CASE ", " ", " END")
+      val lamCte =
+        s"""comp$comp AS MATERIALIZED (
+           |  SELECT ROUND($lam, 8) AS lam,
+           |    CASE WHEN $pivotExpr < 0 THEN -1.0 ELSE 1.0 END AS sgn,
+           |    ${(0 until nc).map(j => s"$pl.v_$j AS v_$j").mkString(", ")}
+           |  FROM (SELECT ${ws.mkString(", ")}
+           |    FROM $cv CROSS JOIN $pl) t CROSS JOIN $pl)""".stripMargin
+      val defl =
+        if (comp == k) Nil
+        else Seq(
+          s"""btb$comp AS MATERIALIZED (
+             |  SELECT ${(for (j <- 0 until nc; l <- 0 until nc) yield
+                 s"ROUND(c.t_${j}_$l - e.lam * e.v_$j * e.v_$l, 12)" +
+                   s" AS t_${j}_$l").mkString(",\n    ")}
+             |  FROM btb${comp - 1} c CROSS JOIN comp$comp e)""".stripMargin)
+      Seq(v0) ++ steps ++ Seq(lamCte) ++ defl
+    }
+    val rows = for (i <- 0 until nr; ax <- 0 until k) yield {
+      val cc = s"comp${ax + 1}"
+      val dot = (0 until nc).map(j => s"b.b_${i}_$j * $cc.sgn * $cc.v_$j")
+        .mkString(" + ")
+      s"""SELECT ${lit(rowCats(i))} AS category, CAST($ax AS INT) AS axis,
+         |  CASE WHEN b.rm_$i <= 0 THEN 0.0
+         |    ELSE ROUND(($dot) / SQRT(b.rm_$i), 6) END AS coord,
+         |  ROUND($cc.lam, 6) AS inertia,
+         |  CASE WHEN tr.trace > 0 THEN ROUND($cc.lam / tr.trace, 6)
+         |    ELSE 0.0 END AS inertia_share
+         |FROM b CROSS JOIN $cc CROSS JOIN tr""".stripMargin
+    }
+    s"""WITH $cells,
+       |$m,
+       |$pCte,
+       |$mass,
+       |$bCte,
+       |$btb0,
+       |$tr,
+       |${compCtes.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY category, axis""".stripMargin
+  }
 }

@@ -73,6 +73,187 @@ object Manifold {
     }.toDF(idCol, "mds1", "mds2")
   }
 
+  // ---- oracle-exact classical MDS --------------------------------------
+
+  /** DuckDB-faithful ROUND(x, s) on DOUBLE: std::round(x·10^s)/10^s —
+    * half away from zero on the scaled FP product. math.rint would
+    * round half-even and diverge by one grid step whenever a quotient
+    * lands exactly on a .5 boundary (observed once in the 16k MDS
+    * matvec roundings). */
+  private def rAway(v: Double, pow: Double): Double = {
+    val p = v * pow
+    (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)) / pow
+  }
+  private def r12(v: Double): Double = rAway(v, 1e12)
+  private def r6d(v: Double): Double = rAway(v, 1e6)
+
+  /** Order-independent exact sum of 1e-12-grid doubles: each term's
+    * shortest decimal form at scale 14 (exact for grid values), summed
+    * as decimals — the driver-side mirror of the SQL
+    * `CAST(SUM(CAST(ROUND(t, 12) AS DECIMAL(38,14))) AS DOUBLE)`. */
+  private def decSum(ts: IterableOnce[Double]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    ts.iterator.foreach { t =>
+      acc = acc.add(java.math.BigDecimal.valueOf(t)
+        .setScale(14, java.math.RoundingMode.HALF_UP))
+    }
+    acc.doubleValue()
+  }
+
+  /** Classical MDS with a fully reproducible trajectory — the
+    * oracle-exact twin of [[mdsSampled]]: same Torgerson scaling
+    * (double-centered squared distances, top-2 deflated power
+    * iteration) but every matrix entry rounds to the 1e-12 grid and
+    * every reduction (pair distances, row means, matvecs, norms,
+    * Rayleigh quotients) goes through exact decimal sums, so DuckDB
+    * replays the identical IEEE trajectory CTE-for-CTE. The alternating
+    * start vector is the same one [[mdsSampled]] uses (the constant
+    * vector is in B's null space). Sample and iteration count bound the
+    * driver work; the distributed contract is unchanged (deterministic
+    * first-n-by-id sample, everything after is m²-scalar algebra). */
+  def mdsSampledExact(df: DataFrame, idCol: String, arrayCol: String,
+                      dims: Int, n: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("long"),
+        col(arrayCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(n)
+      .as[(Long, Seq[Double])].collect()
+    val ids = rows.map(_._1)
+    val x = rows.map(_._2.take(dims).toArray)
+    val m = ids.length
+    val md = m.toDouble
+    val d2 = Array.tabulate(m, m) { (i, j) =>
+      decSum((0 until dims).map { k =>
+        val d = x(i)(k) - x(j)(k); r12(d * d)
+      })
+    }
+    val rm = Array.tabulate(m)(i => r12(decSum(d2(i)) / md))
+    val grand = r12(decSum(rm) / md)
+    // B/m, not B: keeps every decimal-summed term (b·v, u², u·v) small
+    // enough that the double→DECIMAL(38,14) boundary is unambiguous
+    // (|t| ≲ 30 ⇒ ulp < half the 1e-14 grid); eigenvalues rescale by m
+    // at the output.
+    var b = Array.tabulate(m, m)((i, j) =>
+      r12(-0.5 * (d2(i)(j) - rm(i) - rm(j) + grand) / md))
+    def v0 = Array.tabulate(m)(i =>
+      r12((if (i % 2 == 0) 1.0 else -1.0) * (1.0 + i.toDouble / md) /
+        math.sqrt(md)))
+    val comps = (1 to 2).map { comp =>
+      var v = v0
+      for (_ <- 1 to iters) {
+        val u = Array.tabulate(m)(i =>
+          decSum((0 until m).map(j => r12(b(i)(j) * v(j)))))
+        val nrm = math.sqrt(decSum(u.map(ui => r12(ui * ui))))
+        v = u.map(ui => r12(ui / nrm))
+      }
+      val w = Array.tabulate(m)(i =>
+        decSum((0 until m).map(j => r12(b(i)(j) * v(j)))))
+      val lam = rAway(
+        decSum((0 until m).map(i => r12(v(i) * w(i)))), 1e8)
+      if (comp == 1)
+        b = Array.tabulate(m, m)((i, j) => r12(b(i)(j) - lam * v(i) * v(j)))
+      (lam, v)
+    }
+    val (l1, v1) = comps(0)
+    val (l2, v2) = comps(1)
+    val c1 = math.sqrt(math.max(l1 * md, 0.0))
+    val c2 = math.sqrt(math.max(l2 * md, 0.0))
+    // snap to the 1e-12 grid before presentation rounding: any last-ulp
+    // divergence between the engines' products dies at the grid, so the
+    // 6-decimal boundary is decided on identical doubles
+    ids.indices.map(i =>
+      (ids(i), r6d(r12(v1(i) * c1)), r6d(r12(v2(i) * c2))))
+      .toDF(idCol, "mds1", "mds2")
+  }
+
+  /** DuckDB twin of [[mdsSampledExact]]: the pair table replays the
+    * grid-rounded distances, centering and per-iteration matvec
+    * reductions through the same DECIMAL(38,14) sums. */
+  def mdsSampledExactSql(table: String, idSql: String, arraySql: Int => String,
+                         dims: Int, n: Int, iters: Int): String = {
+    def det(t: String) =
+      s"CAST(SUM(CAST(($t) AS DECIMAL(38,14))) AS DOUBLE)"
+    val xCols = (0 until dims).map(k =>
+      s"CAST(${arraySql(k)} AS DOUBLE) AS x_$k").mkString(",\n    ")
+    val d2Terms = (0 until dims).map(k =>
+      s"CAST(ROUND((a.x_$k - b.x_$k) * (a.x_$k - b.x_$k), 12) " +
+        "AS DECIMAL(38,14))").mkString(" + ")
+    s"""WITH samp AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS i, id,
+       |    ${(0 until dims).map(k => s"x_$k").mkString(", ")}
+       |  FROM (SELECT $idSql AS id,
+       |    $xCols
+       |  FROM $table ORDER BY 1 LIMIT $n) t),
+       |mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS md FROM samp),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j,
+       |    CAST($d2Terms AS DOUBLE) AS d2
+       |  FROM samp a CROSS JOIN samp b),
+       |rm AS MATERIALIZED (
+       |  SELECT i, ROUND(${det("d2")} / mm.md, 12) AS rm
+       |  FROM pairs CROSS JOIN mm GROUP BY i, mm.md),
+       |gg AS (SELECT ROUND(${det("rm")} / mm.md, 12) AS g
+       |  FROM rm CROSS JOIN mm GROUP BY mm.md),
+       |b0 AS MATERIALIZED (
+       |  SELECT p.i, p.j,
+       |    ROUND(-0.5 * (p.d2 - ri.rm - rj.rm + gg.g) / mm.md, 12) AS v
+       |  FROM pairs p
+       |  JOIN rm ri ON ri.i = p.i
+       |  JOIN rm rj ON rj.i = p.j
+       |  CROSS JOIN gg CROSS JOIN mm),
+       |vinit AS MATERIALIZED (
+       |  SELECT i, ROUND((CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END) *
+       |    (1.0 + CAST(i AS DOUBLE) / mm.md) / SQRT(mm.md), 12) AS v
+       |  FROM samp CROSS JOIN mm),
+       |${(1 to 2).flatMap { comp =>
+           val bT = s"b${comp - 1}"
+           val pv0 = s"pw${comp}_0 AS (SELECT i, v FROM vinit)"
+           val steps = (1 to iters).flatMap { t =>
+             val prev = s"pw${comp}_${t - 1}"
+             Seq(
+               s"""u${comp}_$t AS MATERIALIZED (
+                  |  SELECT b.i,
+                  |    ${det(s"ROUND(b.v * vv.v, 12)")} AS u
+                  |  FROM $bT b JOIN $prev vv ON b.j = vv.i
+                  |  GROUP BY b.i)""".stripMargin,
+               s"""n${comp}_$t AS (SELECT
+                  |  SQRT(${det(s"ROUND(u * u, 12)")}) AS nrm
+                  |  FROM u${comp}_$t)""".stripMargin,
+               s"""pw${comp}_$t AS MATERIALIZED (
+                  |  SELECT i, ROUND(u / nrm, 12) AS v
+                  |  FROM u${comp}_$t CROSS JOIN n${comp}_$t)""".stripMargin)
+           }
+           val pl = s"pw${comp}_$iters"
+           val lamCte =
+             s"""lam$comp AS MATERIALIZED (
+                |  SELECT ROUND(${det("ROUND(w.u * vv.v, 12)")}, 8) AS lam
+                |  FROM (SELECT b.i, ${det("ROUND(b.v * vv.v, 12)")} AS u
+                |        FROM $bT b JOIN $pl vv ON b.j = vv.i
+                |        GROUP BY b.i) w
+                |  JOIN $pl vv ON w.i = vv.i)""".stripMargin
+           val defl =
+             if (comp == 2) Nil
+             else Seq(
+               s"""b$comp AS MATERIALIZED (
+                  |  SELECT b.i, b.j,
+                  |    ROUND(b.v - l.lam * vi.v * vj.v, 12) AS v
+                  |  FROM $bT b
+                  |  JOIN $pl vi ON vi.i = b.i
+                  |  JOIN $pl vj ON vj.i = b.j
+                  |  CROSS JOIN lam$comp l)""".stripMargin)
+           Seq(pv0) ++ steps ++ Seq(lamCte) ++ defl
+         }.mkString(",\n")}
+       |SELECT s.id AS vec_id,
+       |  ROUND(ROUND(v1.v * SQRT(GREATEST(l1.lam * mm.md, 0.0)), 12), 6) AS mds1,
+       |  ROUND(ROUND(v2.v * SQRT(GREATEST(l2.lam * mm.md, 0.0)), 12), 6) AS mds2
+       |FROM samp s
+       |JOIN pw1_$iters v1 ON v1.i = s.i
+       |JOIN pw2_$iters v2 ON v2.i = s.i
+       |CROSS JOIN lam1 l1 CROSS JOIN lam2 l2 CROSS JOIN mm
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** t-SNE on a deterministic sample (reference
     * Orange/projection/manifold.py:287 TSNE, openTSNE-backed): exact
     * perplexity-calibrated affinities (per-point σ by binary search),

@@ -335,6 +335,193 @@ object Rules {
        |ORDER BY cls, rule_order, feature, value""".stripMargin
   }
 
+  /** DuckDB-faithful ROUND(x, s): half away from zero on the scaled FP
+    * product (std::round semantics). */
+  private def rAway(v: Double, pow: Double): Double = {
+    val p = v * pow
+    (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)) / pow
+  }
+
+  /** CN2-SD subgroup discovery (rules.py:1377-1423 CN2SDLearner,
+    * Lavrač et al. JMLR 2004): weighted covering — covered examples are
+    * NOT removed, their weight multiplies by γ=0.7 — with the Weighted
+    * Relative Accuracy evaluator (rules.py:203-226, target class None:
+    * p_cond·(p_tp − p_class) when p_tp > p_class, else
+    * (p_tp − p_class)/max(p_cond, 1e-6), all from the CURRENT weighted
+    * distributions). The loop stops at `maxRules` or when no rule has
+    * positive WRAcc; a default weighted-majority rule closes the list
+    * (generate_default_rule receives the post-covering weights).
+    *
+    * Scale shape: per round one weighted contingency scan per feature
+    * (map-side partial k·|values| groups) + one prior scan; selection
+    * is driver-side on the ≤ Σ|values|·|classes| candidate table. Weights
+    * stay on the 1e-12 grid (γ-multiplications round per step) and all
+    * weight reductions go through DECIMAL(38,14) sums, so the whole
+    * trajectory — including the data-dependent stop — replays exactly
+    * in the unrolled-CTE oracle [[cn2SDSql]]. */
+  def cn2SD(df: DataFrame, features: Seq[String], classCol: String,
+            maxRules: Int, gamma: Double = 0.7): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val wDec = DecimalType(38, 14)
+    def detW = sum(col("__w").cast(wDec)).cast("double")
+    var cur = df.select(
+        features.map(f => col(f).cast("string").as(f)) :+
+          col(classCol).cast("string").as("__cls"): _*)
+      .withColumn("__w", lit(1.0))
+      .localCheckpoint(eager = true)
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Double, Double, Double)]
+    var stop = false
+    var rnd = 0
+    while (!stop && rnd < maxRules) {
+      rnd += 1
+      val pri = cur.groupBy(col("__cls")).agg(detW.as("pw"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val ps = {
+        var acc = java.math.BigDecimal.ZERO
+        pri.toSeq.sortBy(_._1).foreach { case (_, v) =>
+          acc = acc.add(java.math.BigDecimal.valueOf(v)) }
+        acc.doubleValue()
+      }
+      val perFeat = features.map { f =>
+        cur.groupBy(col(f).as("v"), col("__cls").as("c")).agg(detW.as("s"))
+          .collect().filter(!_.isNullAt(0))
+          .map(r => (f, r.getString(0), r.getString(1), r.getDouble(2)))
+      }
+      val cand = perFeat.flatten.groupBy(t => (t._1, t._2)).toSeq
+        .map { case ((f, v), rows) =>
+          val dsum = {
+            var acc = java.math.BigDecimal.ZERO
+            rows.sortBy(_._3).foreach(t =>
+              acc = acc.add(java.math.BigDecimal.valueOf(t._4)))
+            acc.doubleValue()
+          }
+          val (modus, s) = rows.map(t => (t._3, t._4))
+            .minBy { case (c, sw) => (-sw, c) }
+          val pcond = dsum / ps
+          val ptp = s / dsum
+          val pcls = pri(modus) / ps
+          val q = if (ptp > pcls) pcond * (ptp - pcls)
+                  else (ptp - pcls) / math.max(pcond, 1e-6)
+          (f, v, modus, s, dsum, q)
+        }
+        .filter(_._6 > 0)
+      if (cand.isEmpty) stop = true
+      else {
+        val b = cand.minBy(t => (-t._6, t._1, t._2))
+        rules += ((rnd, b._1, b._2, b._3,
+          rAway(b._6, 1e6), rAway(b._5, 1e6), rAway(b._4, 1e6)))
+        cur = cur.withColumn("__w",
+            when(col(b._1) <=> lit(b._2),
+              round(col("__w") * gamma, 12)).otherwise(col("__w")))
+          .localCheckpoint(eager = true)
+      }
+    }
+    // default rule: weighted majority with the POST-covering weights
+    val pri = cur.groupBy(col("__cls")).agg(detW.as("pw"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val psF = {
+      var acc = java.math.BigDecimal.ZERO
+      pri.sortBy(_._1).foreach { case (_, v) =>
+        acc = acc.add(java.math.BigDecimal.valueOf(v)) }
+      acc.doubleValue()
+    }
+    val (dc, dw) = pri.minBy { case (c, w) => (-w, c) }
+    rules += ((rules.size + 1, "_default", "", dc, 0.0,
+      rAway(psF, 1e6), rAway(dw, 1e6)))
+    val schema = StructType(Seq(
+      StructField("rule_order", IntegerType, nullable = false),
+      StructField("feature", StringType, nullable = false),
+      StructField("value", StringType, nullable = false),
+      StructField("predicted", StringType, nullable = false),
+      StructField("wracc", DoubleType, nullable = false),
+      StructField("covered_w", DoubleType, nullable = false),
+      StructField("correct_w", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rules.toSeq.map(r =>
+        Row(r._1, r._2, r._3, r._4, r._5, r._6, r._7)): _*), schema)
+  }
+
+  /** DuckDB twin of [[cn2SD]]: weighted-covering rounds unrolled as
+    * (priors → weighted contingency → WRAcc argmax → weight update)
+    * CTE quads. An empty best (no positive-WRAcc rule) leaves weights
+    * unchanged via the LEFT JOIN, so later rounds recompute the same
+    * empty result — matching the driver loop's early stop. */
+  def cn2SDSql(table: String, feats: Seq[(String, String)],
+               clsSql: String, maxRules: Int,
+               gamma: Double = 0.7): String = {
+    val featCols = feats.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    def det(t: String) = s"CAST(SUM(CAST(($t) AS DECIMAL(38,14))) AS DOUBLE)"
+    def caseCov(b: String, r: String): String =
+      s"CASE $b.feature " +
+        feats.dropRight(1).map { case (n, _) =>
+          s"WHEN '$n' THEN $r.$n = $b.value" }.mkString(" ") +
+        s" ELSE $r.${feats.last._1} = $b.value END"
+    val iters = (1 to maxRules).map { i =>
+      val w = s"w${i - 1}"
+      val cont = feats.map { case (n, _) =>
+        s"SELECT '$n' AS feature, $n AS value, __cls AS c, " +
+          s"${det("__w")} AS s FROM $w WHERE $n IS NOT NULL GROUP BY 2, 3"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""pri$i AS MATERIALIZED (
+         |  SELECT __cls AS c, ${det("__w")} AS pw FROM $w GROUP BY __cls),
+         |ps$i AS (SELECT ${det("pw")} AS ps FROM pri$i),
+         |cont$i AS MATERIALIZED (
+         |  $cont),
+         |best$i AS MATERIALIZED (
+         |  SELECT feature, value, predicted, correct_w, covered_w, q FROM (
+         |    SELECT t.feature, t.value, t.c AS predicted,
+         |      t.s AS correct_w, t.dsum AS covered_w,
+         |      CASE WHEN t.s / t.dsum > p.pw / x.ps
+         |        THEN (t.dsum / x.ps) * (t.s / t.dsum - p.pw / x.ps)
+         |        ELSE (t.s / t.dsum - p.pw / x.ps) /
+         |          GREATEST(t.dsum / x.ps, 1e-6) END AS q
+         |    FROM (SELECT feature, value, c, s,
+         |            CAST(SUM(CAST(s AS DECIMAL(38,14)))
+         |              OVER (PARTITION BY feature, value) AS DOUBLE) AS dsum,
+         |            ROW_NUMBER() OVER (PARTITION BY feature, value
+         |              ORDER BY s DESC, c ASC) AS rn
+         |          FROM cont$i) t
+         |    JOIN pri$i p ON p.c = t.c
+         |    CROSS JOIN ps$i x
+         |    WHERE t.rn = 1)
+         |  WHERE q > 0 ORDER BY q DESC, feature ASC, value ASC LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT ${feats.map { case (n, _) => s"r.$n" }.mkString(", ")},
+         |    r.__cls,
+         |    CASE WHEN b.feature IS NOT NULL AND (${caseCov("b", "r")})
+         |      THEN ROUND(r.__w * $gamma, 12) ELSE r.__w END AS __w
+         |  FROM $w r LEFT JOIN best$i b ON TRUE)""".stripMargin
+    }
+    val rulesUnion = (1 to maxRules).map { i =>
+      s"SELECT $i AS rule_order, feature, value, predicted," +
+        s" ROUND(q, 6) AS wracc, ROUND(covered_w, 6) AS covered_w," +
+        s" ROUND(correct_w, 6) AS correct_w FROM best$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT $featCols, $clsSql AS __cls, CAST(1.0 AS DOUBLE) AS __w
+       |  FROM $table),
+       |${iters.mkString(",\n")},
+       |rules AS MATERIALIZED (
+       |  $rulesUnion),
+       |dflt AS (
+       |  SELECT CAST((SELECT COUNT(*) FROM rules) + 1 AS INT) AS rule_order,
+       |    '_default' AS feature, '' AS value, c AS predicted,
+       |    0.0 AS wracc, ROUND(ps, 6) AS covered_w, ROUND(pw, 6) AS correct_w
+       |  FROM (SELECT p.c, p.pw,
+       |          CAST(SUM(CAST(p.pw AS DECIMAL(38,14))) OVER () AS DOUBLE) AS ps,
+       |          ROW_NUMBER() OVER (ORDER BY p.pw DESC, p.c ASC) AS rn
+       |        FROM (SELECT __cls AS c, ${det("__w")} AS pw
+       |              FROM w$maxRules GROUP BY __cls) p)
+       |  WHERE rn = 1)
+       |SELECT CAST(rule_order AS INT) AS rule_order, feature, value,
+       |  predicted, wracc, covered_w, correct_w
+       |FROM (SELECT * FROM rules UNION ALL SELECT * FROM dflt)
+       |ORDER BY rule_order""".stripMargin
+  }
+
   /** Unordered rule-set prediction (rules.py:1202-1243
     * `unordered_predict`, coverage-weighted vote): every firing rule
     * adds its positive-coverage weight to its class; argmax (tie →

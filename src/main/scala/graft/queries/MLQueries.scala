@@ -331,16 +331,24 @@ object MLQueries {
 
     Q("ml_correspondence", // owcorrespondence.py:381-421: CA of the
       // quantity-bucket × returnflag contingency. Distributed stage =
-      // one contingency groupBy (k·c rows out); the generalized SVD runs
-      // on that tiny matrix driver-side (deterministic Jacobi, pinned
-      // signs). Rows-only: no SQL SVD — invariants (total inertia =
-      // χ²/N, weighted orthogonality, reconstruction) are spec-pinned.
-      (s, d) => Correspondence.rowCoordinates(
+      // one contingency groupBy (k·c rows out); the generalized SVD is
+      // deflated power iteration on the 3×3 BᵀB with every scalar step
+      // on the 1e-12 grid (the PowerPCA device) and caller-pinned
+      // categories, so the whole trajectory — coordinates, per-axis
+      // inertia, χ²/N shares — is oracle-exact via the scalar-CTE twin.
+      // Was rows-only under the driver Jacobi SVD.
+      (s, d) => Correspondence.rowCoordinatesPower(
           li(s, d),
-          floor((col("l_quantity") - 1) / 10).cast("int").cast("string"),
-          col("l_returnflag"), axes = 2)
+          floor((col("l_quantity") - 1) / 10).cast("int"),
+          col("l_returnflag"),
+          rowCats = (0 to 4).map(_.toString),
+          colCats = Seq("A", "N", "R"), axes = 2, iters = 30)
         .orderBy(col("category"), col("axis")),
-      None),
+      Some(Correspondence.rowCoordinatesPowerSql(
+        "lineitem",
+        "CAST(FLOOR((l_quantity - 1) / 10) AS INT)", "l_returnflag",
+        rowCats = (0 to 4).map(_.toString),
+        colCats = Seq("A", "N", "R"), axes = 2, iters = 30))),
 
     Q("ml_eval_classification_ext", // F1 / specificity / MCC / LogLoss
       // (scoring.py:207,340,394,288) over the same deterministic rule
@@ -742,9 +750,26 @@ object MLQueries {
            |ORDER BY feature, ROUND(threshold, 6)""".stripMargin
       }),
 
-    Q("ml_logreg_embeddings", // MLlib logistic regression (rows-only)
-      (s, d) => MLlibLearners.logisticOnEmbeddings(
-        emb(s, d), "embedding", "label"), None),
+    Q("ml_logreg_embeddings", // classification/logistic_regression.py
+      // LogisticRegressionLearner — binary logistic fit (label < 5 vs
+      // rest) over the 8 leading embedding coordinates, re-expressed as
+      // the deterministic full-batch GD device (same machinery as
+      // ml_sgd_logreg: partition-local scaled-long gradient sums,
+      // per-step 10-decimal weight rounding) instead of MLlib's LBFGS —
+      // was rows-only, now oracle-exact via the unrolled-CTE twin. The
+      // MLlib adapter surface stays covered by ml_random_forest/ml_gbt/
+      // ml_mlp_embeddings.
+      (s, d) => graft.ml.SGD.logRegGD(
+        emb(s, d),
+        (0 until 8).map(i =>
+          (s"e$i", element_at(col("embedding"), i + 1).cast("double"))),
+        when(col("label") < 5, 1).otherwise(0),
+        iterations = 15, lr = 2.0),
+      Some(graft.ml.SGD.logRegGDSql(
+        "embeddings",
+        (0 until 8).map(i => (s"e$i", s"embedding[${i + 1}]")),
+        "CASE WHEN label < 5 THEN 1 ELSE 0 END",
+        iterations = 15, lr = 2.0))),
 
     Q("ml_softmax_regression", // softmax_regression.py:11-101
       // SoftmaxRegressionLearner — the reference's exact L2
@@ -769,9 +794,23 @@ object MLQueries {
         "label", numClasses = 10, iterations = 20, lr = 10.0,
         lambda = 1.0))),
 
-    Q("ml_kmeans_embeddings", // MLlib seeded KMeans (rows-only)
-      (s, d) => MLlibLearners.kmeansOnEmbeddings(
-        emb(s, d), "embedding", 5), None),
+    Q("ml_kmeans_embeddings", // clustering/kmeans.py over the embedding
+      // table at working dimensionality (8 dims, k=5) — deterministic
+      // Lloyd (first-k-by-id seeding) instead of MLlib's seeded random
+      // init — was rows-only, now oracle-exact via the unrolled
+      // (assign, group, update) CTE trajectory. Distinct from
+      // ml_kmeans_lloyd (4 dims, k=4) in shape: wider argmin CASE
+      // chain, more centroid columns through the same one-scan-per-
+      // iteration plan.
+      (s, d) => graft.ml.Lloyd.fit(
+        emb(s, d), col("vec_id"),
+        (0 until 8).map(i =>
+          (s"e$i", element_at(col("embedding"), i + 1).cast("double"))),
+        k = 5, iterations = 6),
+      Some(graft.ml.Lloyd.fitSql(
+        "embeddings", "vec_id",
+        (0 until 8).map(i => (s"e$i", s"embedding[${i + 1}]")),
+        k = 5, iterations = 6))),
 
     Q("ml_kmeans_lloyd", // clustering/kmeans.py KMeans re-expressed as
       // deterministic Lloyd iterations (first-k-by-id seeding instead
@@ -791,9 +830,21 @@ object MLQueries {
         (0 until 4).map(i => (s"e$i", s"embedding[${i + 1}]")),
         k = 4, iterations = 8))),
 
-    Q("ml_pca_embeddings", // MLlib PCA explained variance (rows-only)
-      (s, d) => MLlibLearners.pcaExplainedVariance(
-        emb(s, d), "embedding", 5), None),
+    Q("ml_pca_embeddings", // projection/pca.py PCA explained variance —
+      // top-5 eigenvalues of the 12-dim leading-coordinate covariance
+      // by deflated power iteration (PowerPCA: ONE moments scan, all
+      // iteration scalar algebra driver-side on the 1e-12 grid) instead
+      // of MLlib's SVD — was rows-only, now oracle-exact via the
+      // scalar-CTE twin (same device as ml_cur_leverage).
+      (s, d) => graft.ml.PowerPCA.eigs(
+        emb(s, d),
+        (0 until 12).map(i =>
+          (s"e$i", element_at(col("embedding"), i + 1).cast("double"))),
+        nComp = 5, iters = 25),
+      Some(graft.ml.PowerPCA.eigsSql(
+        "embeddings",
+        (0 until 12).map(i => (s"e$i", s"embedding[${i + 1}]")),
+        nComp = 5, iters = 25))),
 
     Q("ml_decision_tree", // tree.py TreeLearner on discrete attributes —
       // depth-2 multiway entropy tree as pure contingency algebra (two
@@ -832,10 +883,28 @@ object MLQueries {
         "l_linestatus", nEstimators = 6, learningRate = 0.3,
         maxDepth = 3, subsample = 0.8), None),
 
-    Q("ml_linear_svc", // svm.py → MLlib linear SVM (rows-only)
-      (s, d) => MLlibLearners.linearSvc(li(s, d),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        "l_linestatus"), None),
+    Q("ml_linear_svc", // svm.py LinearSVC — the full 4-feature linear
+      // SVM fit (hinge subgradient, deterministic full-batch GD with
+      // scaled-long gradient sums) instead of MLlib's OWLQN — was
+      // rows-only, now oracle-exact via the unrolled-CTE twin.
+      // l_linestatus is shipdate-separable, so the fit converges to
+      // high accuracy; features pre-scaled inside the |x| ≤ 1 envelope.
+      (s, d) => graft.ml.SGD.linearGD(
+        li(s, d),
+        Seq(("qty", col("l_quantity") / 50.0),
+          ("price", col("l_extendedprice") / 120000.0),
+          ("disc", col("l_discount") * 10.0),
+          ("tax", col("l_tax") * 10.0)),
+        when(col("l_linestatus") === "F", 1).otherwise(-1),
+        iterations = 12, lr = 1.0, graft.ml.SGD.HingeLoss),
+      Some(graft.ml.SGD.linearGDSql(
+        "lineitem",
+        Seq(("qty", "l_quantity / 50.0"),
+          ("price", "l_extendedprice / 120000.0"),
+          ("disc", "l_discount * 10.0"),
+          ("tax", "l_tax * 10.0")),
+        "CASE WHEN l_linestatus = 'F' THEN 1 ELSE -1 END",
+        iterations = 12, lr = 1.0, graft.ml.SGD.HingeLoss))),
 
     Q("ml_linear_regression", // regression/linear.py
       // LinearRegressionLearner (sklearn lstsq) — for the 3-feature fits
@@ -923,9 +992,11 @@ object MLQueries {
 
     Q("ml_louvain_lpa", // louvain.py:103 — kNN graph from embeddings
       // (LSH-bucketed candidates, equi-join on bucket — no all-pairs
-      // scan) + LPA scaffold + modularity-greedy refinement.
-      // Deterministic but iterative → rows-only; CommunitySpec pins the
-      // semantics (incl. modularity non-decrease).
+      // scan) + LPA scaffold + modularity-greedy refinement. Now
+      // oracle-exact end-to-end: the refinement rounds unroll as CTEs
+      // (rejection is idempotent, so the unrolled rounds agree with the
+      // early-stopping loop — Community.louvainSql); all modularity
+      // inputs are integer counts/degrees. Was rows-only.
       (s, d) => {
         val e = emb(s, d).filter(col("vec_id") < 500)
         val graph = graft.ml.Community.knnGraphLSH(
@@ -935,29 +1006,50 @@ object MLQueries {
           .agg(count(lit(1)).as("size"))
           .filter(col("size") >= 3)
           .orderBy(col("community"))
-      }, None),
+      },
+      Some(graft.ml.Community.louvainSql(
+        SimilarityQueries.lshSymGraphPrefix(500, 5, nPlanes = 4),
+        lpaRounds = 5, refineRounds = 3,
+        select = """SELECT label AS community, COUNT(*) AS size
+                   |FROM rl3 GROUP BY label HAVING COUNT(*) >= 3
+                   |ORDER BY community""".stripMargin))),
 
     Q("ml_hierarchical", // hierarchical.py:437-470 — agglomerative
-      // linkage (average) fitted on a deterministic 200-point sample,
-      // extended to all rows by nearest-centroid assignment (broadcast
-      // join). Deterministic but matrix-algorithmic → rows-only;
-      // HierarchicalSpec pins linkage semantics.
-      (s, d) => {
-        val feats = (1 to 16).map(i =>
-          element_at(col("embedding"), i).cast("double").as(s"e$i"))
-        val base = emb(s, d).select(col("vec_id") +: feats: _*)
-        graft.ml.Hierarchical.cluster(
-            base, "vec_id", (1 to 16).map(i => s"e$i"), 5, "average", 200)
-          .groupBy(col("cluster"))
-          .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
-          .orderBy(col("cluster"))
-      }, None),
+      // linkage fitted on a deterministic 40-point sample, extended to
+      // all rows by nearest-centroid assignment (broadcast join). The
+      // average-SQUARED-Euclidean linkage has a closed moment form
+      // (ms_A + ms_B − 2·μ_A·μ_B), so the dendrogram is a scalar merge
+      // trajectory that unrolls as 35 (pairs → argmin → state) CTE
+      // triples — was rows-only under the Lance–Williams matrix loop.
+      // The generic single/complete/average/ward path stays in
+      // Hierarchical.cluster (HierarchicalSpec).
+      (s, d) => graft.ml.Hierarchical.clusterMoments(
+          emb(s, d), "vec_id",
+          (0 until 8).map(i =>
+            (s"e$i", element_at(col("embedding"), i + 1).cast("double"))),
+          nClusters = 5, sampleN = 40)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
+        .orderBy(col("cluster")),
+      Some(graft.ml.Hierarchical.clusterMomentsSql(
+        "embeddings", "vec_id",
+        (0 until 8).map(i => (s"e$i", s"embedding[${i + 1}]")),
+        nClusters = 5, sampleN = 40,
+        select = """SELECT cluster, COUNT(*) AS n, MIN(id) AS min_id
+                   |FROM assigned GROUP BY cluster ORDER BY cluster"""
+          .stripMargin))),
 
     Q("ml_mds_sampled", // manifold.py:119 MDS — classical scaling on a
       // deterministic 200-point sample (survey: driver-side, sampled,
-      // non-goal at full scale). Rows-only: eigensolver output.
-      (s, d) => graft.ml.Manifold.mdsSampled(
-        emb(s, d), "vec_id", "embedding", 200), None),
+      // non-goal at full scale), 16 leading coordinates. The
+      // grid-rounded power-iteration trajectory (B/m scaling, DECIMAL
+      // matvec sums) replays CTE-for-CTE in DuckDB — was rows-only
+      // under the free-running eigensolver.
+      (s, d) => graft.ml.Manifold.mdsSampledExact(
+        emb(s, d), "vec_id", "embedding", dims = 16, n = 200, iters = 40),
+      Some(graft.ml.Manifold.mdsSampledExactSql(
+        "embeddings", "vec_id", k => s"embedding[${k + 1}]",
+        dims = 16, n = 200, iters = 40))),
 
     Q("ml_freeviz", // projection/freeviz.py:241-383 — force-optimized
       // linear projection: anchors fitted on a deterministic sample
@@ -1379,6 +1471,31 @@ object MLQueries {
           "returnflag" -> "l_returnflag",
           "qty_bin" -> "CAST(CAST(FLOOR((l_quantity - 1) / 10) AS INT) AS VARCHAR)"),
         "l_linestatus", Seq("F", "O"), maxPerClass = 3))),
+
+    Q("ml_cn2sd_subgroups", // rules.py:1377-1423 CN2SDLearner (Lavrač
+      // JMLR'04 subgroup discovery): weighted covering — covered rows
+      // keep γ=0.7-decayed weights instead of being removed — scored by
+      // Weighted Relative Accuracy over the CURRENT weighted
+      // distributions. Weights live on the 1e-12 grid and reduce
+      // through DECIMAL sums, so the data-dependent trajectory
+      // (including the positive-WRAcc stop) is oracle-exact via the
+      // unrolled weighted-covering CTE quads.
+      (s, d) => {
+        val base = li(s, d).select(
+          year(col("l_shipdate")).cast("string").as("ship_year"),
+          col("l_returnflag").cast("string").as("returnflag"),
+          floor((col("l_quantity") - 1) / 10).cast("int").cast("string")
+            .as("qty_bin"),
+          col("l_linestatus").as("cls"))
+        graft.ml.Rules.cn2SD(base,
+          Seq("ship_year", "returnflag", "qty_bin"), "cls", maxRules = 4)
+      },
+      Some(graft.ml.Rules.cn2SDSql("lineitem",
+        Seq(
+          "ship_year" -> "CAST(YEAR(l_shipdate) AS VARCHAR)",
+          "returnflag" -> "l_returnflag",
+          "qty_bin" -> "CAST(CAST(FLOOR((l_quantity - 1) / 10) AS INT) AS VARCHAR)"),
+        "l_linestatus", maxRules = 4))),
 
     Q("ml_ridge_regression", // regression/linear.py:42 Ridge — the
       // 2-feature normal equations have an exact Cramer closed form on

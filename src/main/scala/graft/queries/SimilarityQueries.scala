@@ -25,6 +25,38 @@ object SimilarityQueries {
   private def sqlCos(a: String, b: String): String =
     s"${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"
 
+  /** Shared WITH-body prefix: LSH-bucketed cosine kNN graph over
+    * `embeddings WHERE vec_id < limitId`, symmetrized distinct edges in
+    * `sym(u, v)` — the oracle twin of Community.knnGraphLSH (used by
+    * both ml_lpa_communities and ml_louvain_lpa). */
+  def lshSymGraphPrefix(limitId: Int, k: Int, nPlanes: Int): String = {
+    val bucket = (0 until nPlanes).map { j =>
+      val proj = (1 to Dim).map { i =>
+        s"CAST(embedding[$i] AS DOUBLE) * ${SimilarityOps.planeComponent(j, i)}"
+      }.mkString("(", " + ", ")")
+      s"CASE WHEN $proj > 0 THEN ${math.pow(2, j).toLong} ELSE 0 END"
+    }.mkString(" + ")
+    s"""b AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ($bucket) AS bucket
+       |  FROM embeddings WHERE vec_id < $limitId),
+       |knn AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM b q JOIN b c ON q.bucket = c.bucket
+       |      AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= $k),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(query_id, neighbor_id) AS u0,
+       |    GREATEST(query_id, neighbor_id) AS v0 FROM knn),
+       |sym AS MATERIALIZED (
+       |  SELECT u0 AS u, v0 AS v FROM edges
+       |  UNION
+       |  SELECT v0 AS u, u0 AS v FROM edges)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("ml_lpa_communities", // clustering/louvain.py's label-propagation
