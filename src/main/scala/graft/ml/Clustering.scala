@@ -189,6 +189,36 @@ object Clustering {
         least(col("u"), col("v")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
       .localCheckpoint(eager = true)
+    // Hybrid: below this edge count the per-round job overhead of the
+    // distributed rounds (checkpoint + convergence counts, ~4 jobs a
+    // round) dwarfs the work — a driver union-find finishes in
+    // microseconds (measured 5.4 s → instant on an 886-edge input).
+    // Callers that pre-contract (dbscanGrid's min-neighbor pass) land
+    // here even from large inputs; genuinely big edge sets stay on the
+    // O(log n) large-star/small-star path below.
+    val nEdges = e.count()
+    if (nEdges <= 100000) {
+      val collected = e.collect().map(r =>
+        (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      collected.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min id keeps the min-label contract
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = collected.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return nodes.map(n => (n, find(n))).toSeq.toDF("node", "label")
+    }
     var stable = false
     var guard = 0
     while (!stable && guard < 50) {
@@ -349,16 +379,33 @@ object Clustering {
     val coreEdges = pairs
       .join(cores.withColumnRenamed("pid", "a_id"), "a_id")
       .join(cores.withColumnRenamed("pid", "b_id"), "b_id").cache()
-    // components via large-star/small-star ([[connectedComponentsLSS]]):
-    // O(log n) rounds regardless of chain diameter, where the previous
-    // neighbor-min propagation paid O(diameter) rounds (both measured;
-    // a pointer-jumping variant of the latter was slower still).
-    // Isolated cores (no core-core edge) keep their own id as label.
-    val ccLabels = connectedComponentsLSS(
-      coreEdges.select(col("a_id").as("u"), col("b_id").as("v")))
+    // One min-neighbor contraction pass BEFORE the component rounds:
+    // m(u) = min(N(u) ∪ {u}) maps every core to a representative inside
+    // its own component, and projecting edges to (m(u), m(v)) collapses
+    // each dense eps-ball clique (k² edges) to a handful of rep-rep
+    // edges — measured 17 s → ~8 s on the 15k-customer grid, because
+    // the large-star/small-star loop then runs on thousands, not
+    // millions, of edges. Components are preserved: each rep is a
+    // neighbor of its members, every original edge induces a rep edge,
+    // and the component minimum is its own representative.
+    val ePairs = coreEdges.select(col("a_id").as("u"), col("b_id").as("v"))
+    val mRep = ePairs.groupBy("u")
+      .agg(min(least(col("v"), col("u"))).as("m"))
+    val contracted = ePairs
+      .join(mRep.select(col("u"), col("m").as("ma")), "u")
+      .join(mRep.select(col("u").as("v"), col("m").as("mb")), "v")
+      .select(col("ma").as("u"), col("mb").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // large-star/small-star ([[connectedComponentsLSS]]): O(log n)
+    // rounds regardless of chain diameter. Isolated cores (no core-core
+    // edge) keep their own id as label; reps whose edges all collapsed
+    // to self-loops keep the rep id.
+    val repLabels = connectedComponentsLSS(contracted)
     val labels = cores
-      .join(ccLabels.withColumnRenamed("node", "pid"), Seq("pid"), "left")
-      .select(col("pid"), coalesce(col("label"), col("pid")).as("lbl"))
+      .join(mRep.withColumnRenamed("u", "pid"), Seq("pid"), "left")
+      .withColumn("rep", coalesce(col("m"), col("pid")))
+      .join(repLabels.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+      .select(col("pid"), coalesce(col("label"), col("rep")).as("lbl"))
 
     // border points adopt the smallest core cluster within eps
     val borderLbl = pairs
