@@ -925,10 +925,22 @@ object MLQueries {
         ("tax", "l_tax * 10.0"),
         "l_extendedprice / 100000.0"))),
 
-    Q("ml_bisecting_kmeans", // hierarchical.py → MLlib divisive
-      // hierarchical clustering over embeddings (rows-only)
-      (s, d) => MLlibLearners.bisectingKmeansOnEmbeddings(
-        emb(s, d), "embedding", 5), None),
+    Q("ml_bisecting_kmeans", // hierarchical.py's divisive complement
+      // (MLlib BisectingKMeans) re-expressed as deterministic bisecting
+      // Lloyd: split the largest cluster with lowest-id-seeded 2-means,
+      // repeat to k — every choice pinned, centroid updates through the
+      // scaled-long grid, so the trajectory is oracle-exact via the
+      // unrolled split/iteration CTE blocks. Was rows-only under the
+      // seeded-random MLlib fit.
+      (s, d) => graft.ml.Bisect.fit(
+        emb(s, d), col("vec_id"),
+        (0 until 6).map(i =>
+          (s"e$i", element_at(col("embedding"), i + 1).cast("double"))),
+        k = 5, iterations = 4),
+      Some(graft.ml.Bisect.fitSql(
+        "embeddings", "vec_id",
+        (0 until 6).map(i => (s"e$i", s"embedding[${i + 1}]")),
+        k = 5, iterations = 4))),
 
     Q("ml_mlp_embeddings", // neural_network.py MLP → MLlib (rows-only)
       (s, d) => MLlibLearners.mlpOnEmbeddings(
@@ -1052,24 +1064,36 @@ object MLQueries {
         dims = 16, n = 200, iters = 40))),
 
     Q("ml_freeviz", // projection/freeviz.py:241-383 — force-optimized
-      // linear projection: anchors fitted on a deterministic sample
-      // (radial init, same-class attract / cross-class repel, unit-disc
-      // rescale per step), rows projected distributively as X·A.
-      // Deterministic but force-loop-iterative → rows-only; FreeVizSpec
-      // pins separation + determinism.
+      // linear projection: anchors fitted on a deterministic 200-point
+      // sample (radial init inlined as literals, same-class attract /
+      // clamped cross-class repel, unit-disc rescale per step), rows
+      // projected distributively as X·A. The fixed-schedule trajectory
+      // with 1e-6-grid force terms and DECIMAL(38,8) sums replays
+      // CTE-for-CTE in DuckDB — was rows-only under the early-stopping
+      // force loop (which stays as FreeViz.fitProject / FreeVizSpec).
       (s, d) => {
-        val base = li(s, d).filter(col("l_orderkey") < 3000)
-        val (_, proj) = graft.ml.FreeViz.fitProject(
-          base.withColumn("rid",
-            col("l_orderkey") * 10 + col("l_linenumber")),
-          "rid", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-          "l_returnflag", sampleN = 250)
-        proj.groupBy(col("l_returnflag"))
+        val base = emb(s, d).select(
+          col("vec_id") +: col("label") +:
+            (0 until 4).map(i =>
+              element_at(col("embedding"), i + 1).cast("double")
+                .as(s"e$i")): _*)
+        val (_, proj) = graft.ml.FreeViz.fitProjectExact(
+          base, "vec_id", (0 until 4).map(i => s"e$i"), "label",
+          sampleN = 200, iters = 12)
+        proj.groupBy(col("label").cast("string").as("label"))
           .agg(count(lit(1)).as("n"),
             round(exactMean(col("fv1")), 6).as("mean_fv1"),
             round(exactMean(col("fv2")), 6).as("mean_fv2"))
-          .orderBy(col("l_returnflag"))
-      }, None),
+          .orderBy(col("label"))
+      },
+      Some(graft.ml.FreeViz.fitProjectExactSql(
+          "embeddings", "vec_id",
+          (0 until 4).map(i => (s"e$i", s"embedding[${i + 1}]")),
+          "label", sampleN = 200, iters = 12) +
+        s"""SELECT cls AS label, COUNT(*) AS n,
+           |  ROUND(${SqlGen.sqlMean("fv1")}, 6) AS mean_fv1,
+           |  ROUND(${SqlGen.sqlMean("fv2")}, 6) AS mean_fv2
+           |FROM proj GROUP BY cls ORDER BY label""".stripMargin)),
 
     Q("ml_tsne_sampled", // projection/manifold.py:287 TSNE — exact
       // perplexity-calibrated t-SNE on a deterministic 150-point sample
