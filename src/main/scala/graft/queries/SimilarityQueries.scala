@@ -57,6 +57,83 @@ object SimilarityQueries {
        |  SELECT v0 AS u, u0 AS v FROM edges)""".stripMargin
   }
 
+  /** WITH-body prefix replaying the PQ training + ADC scan of
+    * SimilarityOps.pqEncode/pqTopKCosine: corpus unit vectors → m
+    * subspace tables → smallest-id-seeded codebook → `lloyd` exact-mean
+    * Lloyd rounds (window argmin with the identical
+    * na²+nb²−2·dot forms) → final codes + per-query LUT → ADC ranking
+    * in `ranked(query_id, neighbor_id, adc, rank)`. All reductions use
+    * the proven devices (sqlMean on derived unit components, sqlDetSum
+    * for the ADC sum), every distance is a fixed-order chain. */
+  def pqAdcRankedCtes(queryPred: String, m: Int, ksub: Int,
+                      lloyd: Int): String = {
+    val sub = Dim / m
+    def vcols(pre: String = "") = (1 to sub).map(i => s"$pre" + s"v$i")
+    def normSq(pre: String) =
+      (1 to sub).map(i => s"$pre" + s"v$i * $pre" + s"v$i").mkString(" + ")
+    def dotQ(a: String, b: String) =
+      (1 to sub).map(i => s"${a}v$i * ${b}v$i").mkString(" + ")
+    // l2sq(a, b) exactly as SimilarityOps.l2sq: na·na + nb·nb − 2·dot
+    // with na/nb = SQRT(Σ) (sqrt-then-square, mirroring norm2D usage)
+    def l2sq(a: String, b: String) =
+      s"SQRT(${normSq(a)}) * SQRT(${normSq(a)}) + " +
+        s"SQRT(${normSq(b)}) * SQRT(${normSq(b)}) - 2.0 * (${dotQ(a, b)})"
+    val uCols = (1 to Dim).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) / nrm AS u_$i").mkString(",\n    ")
+    def subSelect(src: String, idAs: String, pred: String) =
+      (0 until m).map { s =>
+        s"SELECT $idAs, $s AS s, ${(1 to sub).map(i =>
+          s"u_${s * sub + i} AS v$i").mkString(", ")} FROM $src$pred"
+      }.mkString("\n  UNION ALL\n  ")
+    val lloydRounds = (1 to lloyd).map { r =>
+      s"""asg$r AS MATERIALIZED (
+         |  SELECT cid, s, code, ${vcols().mkString(", ")} FROM (
+         |    SELECT c.cid, c.s, b.code, ${vcols("c.").mkString(", ")},
+         |      ROW_NUMBER() OVER (PARTITION BY c.cid, c.s
+         |        ORDER BY (${l2sq("c.", "b.")}) ASC, b.code ASC) AS rk
+         |    FROM csub c JOIN cb${r - 1} b ON b.s = c.s)
+         |  WHERE rk = 1),
+         |cb$r AS MATERIALIZED (
+         |  SELECT s, code, ${(1 to sub).map(i =>
+             s"${sqlMean(s"v$i")} AS v$i").mkString(", ")}
+         |  FROM asg$r GROUP BY s, code)""".stripMargin
+    }.mkString(",\n")
+    s"""un AS MATERIALIZED (
+       |  SELECT vec_id, $uCols
+       |  FROM (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm
+       |        FROM embeddings)),
+       |csub AS MATERIALIZED (
+       |  ${subSelect("un", "vec_id AS cid", "")}),
+       |sd16 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $ksub),
+       |cb0 AS MATERIALIZED (
+       |  SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY cid)
+       |    - 1 AS INT) AS code, ${vcols().mkString(", ")}
+       |  FROM csub WHERE cid IN (SELECT vec_id FROM sd16)),
+       |$lloydRounds,
+       |asgF AS MATERIALIZED (
+       |  SELECT cid, s, code FROM (
+       |    SELECT c.cid, c.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY c.cid, c.s
+       |        ORDER BY (${l2sq("c.", "b.")}) ASC, b.code ASC) AS rk
+       |    FROM csub c JOIN cb$lloyd b ON b.s = c.s)
+       |  WHERE rk = 1),
+       |qsub AS MATERIALIZED (
+       |  ${subSelect("un", "vec_id AS query_id", s" WHERE $queryPred")}),
+       |lut AS MATERIALIZED (
+       |  SELECT q.query_id, q.s, b.code, (${l2sq("q.", "b.")}) AS d2
+       |  FROM qsub q JOIN cb$lloyd b ON b.s = q.s),
+       |ranked AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, neighbor_id ASC) AS rank
+       |  FROM (
+       |    SELECT l.query_id, c.cid AS neighbor_id,
+       |      ROUND(${sqlDetSum("l.d2")}, 6) AS adc
+       |    FROM asgF c JOIN lut l ON l.s = c.s AND l.code = c.code
+       |    GROUP BY l.query_id, c.cid)
+       |  WHERE query_id <> neighbor_id)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("ml_lpa_communities", // clustering/louvain.py's label-propagation
@@ -158,14 +235,27 @@ object SimilarityQueries {
       // DECIMAL Lloyd, deterministic seeds/ties) → ADC scan where each
       // corpus row costs m LUT lookups, never a 64-dim distance.
       // The query runs the production contract: ADC shortlist (10% of
-      // corpus) + exact re-rank of shortlist rows only. Rows-only: the
-      // ranking depends on the trained codebook (no SQL twin);
-      // SimilaritySpec pins determinism + recall vs brute force.
+      // corpus) + exact re-rank of shortlist rows only. Now
+      // oracle-exact: the codebook training replays as CTE rounds
+      // (pqAdcRankedCtes) and the re-rank is the proven fixed-chain
+      // cosine — was rows-only.
       (s, d) => SimilarityOps.pqRerankTopKCosine(
           emb(s, d).filter(col("vec_id") < 20), emb(s, d),
           "vec_id", "embedding", Dim, k = 5, shortlist = 50)
         .orderBy(col("query_id"), col("rank")),
-      None),
+      Some(s"""WITH ${pqAdcRankedCtes("vec_id < 20", 4, 16, 2)},
+              |short AS (SELECT query_id, neighbor_id FROM ranked
+              |  WHERE rank <= 50)
+              |SELECT query_id, neighbor_id, cosine, rank FROM (
+              |  SELECT s.query_id, s.neighbor_id,
+              |    ROUND(${sqlCos("q.embedding", "c.embedding")}, 6) AS cosine,
+              |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+              |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC,
+              |               s.neighbor_id ASC) AS rank
+              |  FROM short s
+              |  JOIN embeddings q ON q.vec_id = s.query_id
+              |  JOIN embeddings c ON c.vec_id = s.neighbor_id)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q("ann_ivf_pq", // the composed FAISS production shape: coarse lists
       // shrink candidates ~nprobe/nlist BEFORE any distance work, then
@@ -177,7 +267,12 @@ object SimilarityQueries {
           emb(s, d).filter(col("vec_id") < 20), emb(s, d),
           "vec_id", "embedding", Dim, k = 5, nlist = 8, nprobe = 8)
         .orderBy(col("query_id"), col("rank")),
-      None),
+      // nprobe = nlist ⇒ provably equal to the plain PQ-ADC scan
+      // (SimilaritySpec identity), so the oracle is the replayed
+      // codebook + ADC ranking itself — was rows-only.
+      Some(s"""WITH ${pqAdcRankedCtes("vec_id < 20", 4, 16, 2)}
+              |SELECT query_id, neighbor_id, adc, rank FROM ranked
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     Q("ann_lsh_bucketed", // scale path: sign-of-projection buckets, then
       // exact cosine within bucket only (equi-join, no cross join).
