@@ -254,6 +254,297 @@ object Manifold {
        |ORDER BY vec_id""".stripMargin
   }
 
+  private def rAwayAt(v: Double, pow: Double): Double = {
+    val p = v * pow
+    (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)) / pow
+  }
+
+  /** decSum at an arbitrary decimal scale — mirror of
+    * SqlGen.sqlDetSum(term, scale): terms are pre-rounded to the
+    * 10^-scale grid, summed exactly as decimals. */
+  private def decSumAt(scale: Int, ts: IterableOnce[Double]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    ts.iterator.foreach { t =>
+      acc = acc.add(java.math.BigDecimal.valueOf(t)
+        .setScale(scale + 2, java.math.RoundingMode.HALF_UP))
+    }
+    acc.doubleValue()
+  }
+
+  /** t-SNE with a fully reproducible trajectory — the oracle-exact twin
+    * of [[tsneSampled]]. Same pipeline (perplexity-calibrated
+    * affinities by per-point β bisection, classical-scaling init,
+    * early-exaggerated momentum GD with van-der-Maaten gains, landmark
+    * extension), but every engine-divergent quantity is pinned:
+    *
+    *   - pair distances / matvecs go through the decimal-sum devices,
+    *   - the ONLY libm calls (exp in the affinity kernel, log in the
+    *     entropy) are grid-rounded — exp(−βd²) to 1e-8, the entropy H
+    *     to 1e-9 — so a ≤1-ulp libm disagreement between JVM and
+    *     DuckDB dies at the grid (measured: exp differs in ~18% of
+    *     calls, log in ~98%, all ≤ 9e-16),
+    *   - the GD phase is purely rational (q ∝ 1/(1+d²)): gradient
+    *     terms round to 1e-9 and sum at DECIMAL(38,11), y re-grids to
+    *     1e-12 per step, gains/velocities evolve by identical IEEE
+    *     arithmetic,
+    *   - init comes from [[mdsSampledExact]]'s already-pinned output.
+    *
+    * Returns (id, tsne1, tsne2) for EVERY row: landmarks exact,
+    * the rest by the deterministic top-3 inverse-distance landmark
+    * interpolation (same shape as [[extendByLandmarks]]). */
+  def tsneSampledExact(df: DataFrame, idCol: String, arrayCol: String,
+                       dims: Int, n: Int, perplexity: Double,
+                       betaSteps: Int, iters: Int, exagIters: Int,
+                       mdsIters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val init = mdsSampledExact(df, idCol, arrayCol, dims, n, mdsIters)
+      .orderBy(col(idCol)).as[(Long, Double, Double)].collect()
+    val ids = init.map(_._1)
+    val m = ids.length
+    val maxAbs = math.max(1e-9,
+      init.flatMap(r => Seq(math.abs(r._2), math.abs(r._3))).max)
+    var y = init.map(r =>
+      Array(r._2 / maxAbs * 1e-4, r._3 / maxAbs * 1e-4))
+    val rows = df.select(col(idCol).cast("long"),
+        col(arrayCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(n)
+      .as[(Long, Seq[Double])].collect()
+    val x = rows.map(_._2.take(dims).toArray)
+    val d2 = Array.tabulate(m, m) { (i, j) =>
+      decSumAt(12, (0 until dims).map { k =>
+        val d = x(i)(k) - x(j)(k); r12(d * d)
+      })
+    }
+    // per-point β bisection on the 1e-8/1e-9 grids
+    val target = math.log(math.min(perplexity, (m - 1).toDouble))
+    val beta = Array.ofDim[Double](m)
+    for (i <- 0 until m) {
+      var bLo = 1e-20; var bHi = 1e20; var b = 1.0
+      for (_ <- 1 to betaSteps) {
+        val ex = (0 until m).map(j =>
+          if (j == i) 0.0 else rAwayAt(math.exp(-d2(i)(j) * b), 1e8))
+        val sum = decSumAt(8, ex)
+        val sd = decSumAt(8,
+          (0 until m).map(j => rAwayAt(d2(i)(j) * ex(j), 1e8)))
+        val h = if (sum > 0) rAwayAt(math.log(sum) + b * sd / sum, 1e9)
+                else 0.0
+        if (h > target) {
+          bLo = b; b = if (bHi < 1e19) (b + bHi) / 2 else b * 2
+        } else { bHi = b; b = (b + bLo) / 2 }
+      }
+      beta(i) = b
+    }
+    val pn = Array.tabulate(m, m) { (i, j) =>
+      if (j == i) 0.0 else rAwayAt(math.exp(-d2(i)(j) * beta(i)), 1e8)
+    }
+    for (i <- 0 until m) {
+      val s = decSumAt(8, pn(i))
+      if (s > 0) for (j <- 0 until m) pn(i)(j) = pn(i)(j) / s
+    }
+    val pij = Array.tabulate(m, m) { (i, j) =>
+      math.max((pn(i)(j) + pn(j)(i)) / (2.0 * m), 1e-12) }
+    // momentum GD with gains — rational arithmetic + grid rounding
+    val vel = Array.ofDim[Double](m, 2)
+    val gains = Array.fill(m, 2)(1.0)
+    val lr = math.max(m / 12.0 / 4.0, 50.0)
+    for (it <- 0 until iters) {
+      val exag = if (it < exagIters) 12.0 else 1.0
+      val mom = if (it < exagIters) 0.5 else 0.8
+      val num = Array.tabulate(m, m) { (i, j) =>
+        if (i == j) 0.0
+        else {
+          val d0 = y(i)(0) - y(j)(0); val d1 = y(i)(1) - y(j)(1)
+          r12(1.0 / (1.0 + (d0 * d0 + d1 * d1)))
+        }
+      }
+      val z = decSumAt(12, num.iterator.flatMap(_.iterator))
+      val g = Array.tabulate(m) { i =>
+        def terms(c: Int) = (0 until m).iterator.filter(_ != i).map { j =>
+          val q = math.max(num(i)(j) / z, 1e-12)
+          val coef = (exag * pij(i)(j) - q) * num(i)(j)
+          rAwayAt(coef * (y(i)(c) - y(j)(c)), 1e9)
+        }
+        Array(decSumAt(9, terms(0)), decSumAt(9, terms(1)))
+      }
+      for (i <- 0 until m; c <- 0 to 1) {
+        val gr = 4.0 * g(i)(c)
+        gains(i)(c) =
+          if (math.signum(gr) != math.signum(vel(i)(c))) gains(i)(c) + 0.2
+          else math.max(gains(i)(c) * 0.8, 0.01)
+        vel(i)(c) = mom * vel(i)(c) - lr * gains(i)(c) * gr
+      }
+      for (i <- 0 until m; c <- 0 to 1)
+        y(i)(c) = r12(y(i)(c) + vel(i)(c))
+    }
+    val landmarks = ids.indices.map(i =>
+      (ids(i), rAwayAt(y(i)(0), 1e6), rAwayAt(y(i)(1), 1e6)))
+      .toDF(idCol, "tsne1", "tsne2")
+    extendByLandmarks(df, idCol, arrayCol, landmarks, "tsne1", "tsne2", 3)
+  }
+
+  /** DuckDB twin of [[tsneSampledExact]] — the β bisection and GD
+    * iterations unroll as CTE rounds over the pair table; the landmark
+    * extension replays the top-3 inverse-distance interpolation. The
+    * final CTE is `allpts(id, tsne1, tsne2)`; the caller appends its
+    * SELECT. Requires the same `dims`-component MDS twin parameters. */
+  def tsneSampledExactSql(table: String, idSql: String,
+                          arraySql: Int => String, fullDim: Int,
+                          dims: Int, n: Int, perplexity: Double,
+                          betaSteps: Int, iters: Int, exagIters: Int,
+                          mdsIters: Int): String = {
+    def dl(v: Double): String = if (v < 0) s"($v)" else v.toString
+    def det(t: String, s: Int) =
+      s"CAST(SUM(CAST(ROUND(($t), $s) AS DECIMAL(38,${s + 2}))) AS DOUBLE)"
+    val target = math.log(math.min(perplexity, (n - 1).toDouble))
+    // init: the MDS twin's CTE chain, renamed — reuse mdsSampledExactSql
+    // up to its final select by re-deriving the same CTE body here.
+    val mdsSql = mdsSampledExactSql(table, idSql, arraySql, dims, n,
+      mdsIters)
+    val mdsBody = mdsSql.stripPrefix("WITH ")
+      .substring(0, mdsSql.stripPrefix("WITH ").lastIndexOf("SELECT s.id"))
+    val mdsFinal =
+      s"""mds AS MATERIALIZED (
+         |  SELECT s.i, s.id,
+         |    ROUND(ROUND(v1.v * SQRT(GREATEST(l1.lam * mm.md, 0.0)), 12), 6) AS m1,
+         |    ROUND(ROUND(v2.v * SQRT(GREATEST(l2.lam * mm.md, 0.0)), 12), 6) AS m2
+         |  FROM samp s
+         |  JOIN pw1_$mdsIters v1 ON v1.i = s.i
+         |  JOIN pw2_$mdsIters v2 ON v2.i = s.i
+         |  CROSS JOIN lam1 l1 CROSS JOIN lam2 l2 CROSS JOIN mm),
+         |mx AS (SELECT GREATEST(1e-9, MAX(GREATEST(ABS(m1), ABS(m2)))) AS ma
+         |  FROM mds),
+         |y0 AS MATERIALIZED (
+         |  SELECT i, m1 / mx.ma * 1e-4 AS y0, m2 / mx.ma * 1e-4 AS y1,
+         |    CAST(0.0 AS DOUBLE) AS v0, CAST(0.0 AS DOUBLE) AS v1,
+         |    CAST(1.0 AS DOUBLE) AS g0, CAST(1.0 AS DOUBLE) AS g1
+         |  FROM mds CROSS JOIN mx)""".stripMargin
+    val betaCtes = (1 to betaSteps).map { t =>
+      val p = s"bt${t - 1}"
+      s"""bs$t AS (
+         |  SELECT b.i,
+         |    ${det(s"CASE WHEN p.j = b.i THEN 0.0 ELSE " +
+             s"ROUND(EXP(-p.d2 * b.beta), 8) END", 8)} AS ssum,
+         |    ${det(s"ROUND(p.d2 * (CASE WHEN p.j = b.i THEN 0.0 ELSE " +
+             s"ROUND(EXP(-p.d2 * b.beta), 8) END), 8)", 8)} AS sd
+         |  FROM $p b JOIN pairs p ON p.i = b.i
+         |  GROUP BY b.i),
+         |bt$t AS MATERIALIZED (
+         |  SELECT b.i,
+         |    CASE WHEN h > ${dl(target)} THEN b.beta ELSE b.blo END AS blo,
+         |    CASE WHEN h > ${dl(target)} THEN b.bhi ELSE b.beta END AS bhi,
+         |    CASE WHEN h > ${dl(target)} THEN
+         |      CASE WHEN b.bhi < 1e19 THEN (b.beta + b.bhi) / 2
+         |           ELSE b.beta * 2 END
+         |      ELSE (b.beta + b.blo) / 2 END AS beta
+         |  FROM (SELECT b.*, CASE WHEN s.ssum > 0 THEN
+         |      ROUND(LN(s.ssum) + b.beta * s.sd / s.ssum, 9)
+         |      ELSE 0.0 END AS h
+         |    FROM $p b JOIN bs$t s ON s.i = b.i) b)""".stripMargin
+    }
+    val iterCtes = (1 to iters).map { t =>
+      val p = s"y${t - 1}"
+      val exag = if (t - 1 < exagIters) "12.0" else "1.0"
+      val mom = if (t - 1 < exagIters) "0.5" else "0.8"
+      val lr = s"GREATEST(${dl(n / 12.0 / 4.0)}, 50.0)"
+      s"""nm$t AS MATERIALIZED (
+         |  SELECT a.i, b.i AS j,
+         |    ROUND(1.0 / (1.0 + ((a.y0 - b.y0) * (a.y0 - b.y0) +
+         |      (a.y1 - b.y1) * (a.y1 - b.y1))), 12) AS num,
+         |    a.y0 - b.y0 AS d0, a.y1 - b.y1 AS d1
+         |  FROM $p a JOIN $p b ON a.i <> b.i),
+         |zz$t AS (SELECT ${det("num", 12)} AS z FROM nm$t),
+         |gg$t AS MATERIALIZED (
+         |  SELECT nm.i,
+         |    ${det(s"ROUND(($exag * pp.pij - GREATEST(nm.num / zz.z, 1e-12))" +
+             s" * nm.num * nm.d0, 9)", 9)} AS gx,
+         |    ${det(s"ROUND(($exag * pp.pij - GREATEST(nm.num / zz.z, 1e-12))" +
+             s" * nm.num * nm.d1, 9)", 9)} AS gy
+         |  FROM nm$t nm JOIN pp ON pp.i = nm.i AND pp.j = nm.j
+         |  CROSS JOIN zz$t zz
+         |  GROUP BY nm.i),
+         |y$t AS MATERIALIZED (
+         |  SELECT i, ROUND(y0 + nv0, 12) AS y0, ROUND(y1 + nv1, 12) AS y1,
+         |    nv0 AS v0, nv1 AS v1, ng0 AS g0, ng1 AS g1
+         |  FROM (
+         |    SELECT p.i, p.y0, p.y1,
+         |      $mom * p.v0 - $lr * p.ng0 * (4.0 * p.gx) AS nv0,
+         |      $mom * p.v1 - $lr * p.ng1 * (4.0 * p.gy) AS nv1,
+         |      p.ng0, p.ng1
+         |    FROM (
+         |      SELECT p.*, g.gx, g.gy,
+         |        CASE WHEN SIGN(4.0 * g.gx) <> SIGN(p.v0)
+         |          THEN p.g0 + 0.2 ELSE GREATEST(p.g0 * 0.8, 0.01) END AS ng0,
+         |        CASE WHEN SIGN(4.0 * g.gy) <> SIGN(p.v1)
+         |          THEN p.g1 + 0.2 ELSE GREATEST(p.g1 * 0.8, 0.01) END AS ng1
+         |      FROM $p p JOIN gg$t g ON g.i = p.i) p) t)""".stripMargin
+    }
+    val fullD2 = (1 to fullDim).map(k =>
+      s"(CAST(e.embedding[$k] AS DOUBLE) - CAST(l.embedding[$k] AS DOUBLE))" +
+        s" * (CAST(e.embedding[$k] AS DOUBLE) - " +
+        s"CAST(l.embedding[$k] AS DOUBLE))").mkString(" + ")
+    s"""WITH ${mdsBody.trim.stripSuffix(",")},
+       |$mdsFinal,
+       |bt0 AS (SELECT i, 1e-20 AS blo, 1e20 AS bhi,
+       |  CAST(1.0 AS DOUBLE) AS beta FROM samp),
+       |${betaCtes.mkString(",\n")},
+       |pr AS MATERIALIZED (
+       |  SELECT p.i, p.j, CASE WHEN p.j = p.i THEN 0.0 ELSE
+       |    ROUND(EXP(-p.d2 * b.beta), 8) END AS e
+       |  FROM pairs p JOIN bt$betaSteps b ON b.i = p.i),
+       |ps AS (SELECT i, ${det("e", 8)} AS s FROM pr GROUP BY i),
+       |pnorm AS MATERIALIZED (
+       |  SELECT pr.i, pr.j,
+       |    CASE WHEN ps.s > 0 THEN pr.e / ps.s ELSE pr.e END AS pn
+       |  FROM pr JOIN ps ON ps.i = pr.i),
+       |pp AS MATERIALIZED (
+       |  SELECT a.i, a.j,
+       |    GREATEST((a.pn + b.pn) / ${dl(2.0 * n)}, 1e-12) AS pij
+       |  FROM pnorm a JOIN pnorm b ON b.i = a.j AND b.j = a.i
+       |  WHERE a.i <> a.j),
+       |${iterCtes.mkString(",\n")},
+       |lm AS MATERIALIZED (
+       |  SELECT s.id, ROUND(y.y0, 6) AS tsne1, ROUND(y.y1, 6) AS tsne2
+       |  FROM samp s JOIN y$iters y ON y.i = s.i),
+       |ext AS MATERIALIZED (
+       |  SELECT id, tsne1, tsne2 FROM (
+       |    SELECT agg.id,
+       |      ROUND((c11 + c12 + c13) /
+       |            (w1 + w2 + w3) * 1e6) / 1e6 AS tsne1,
+       |      ROUND((c21 + c22 + c23) /
+       |            (w1 + w2 + w3) * 1e6) / 1e6 AS tsne2
+       |    FROM (
+       |      SELECT id,
+       |        COALESCE(MAX(CASE WHEN rk = 1 THEN w END), 0.0) AS w1,
+       |        COALESCE(MAX(CASE WHEN rk = 2 THEN w END), 0.0) AS w2,
+       |        COALESCE(MAX(CASE WHEN rk = 3 THEN w END), 0.0) AS w3,
+       |        COALESCE(MAX(CASE WHEN rk = 1 THEN w * t1 END), 0.0) AS c11,
+       |        COALESCE(MAX(CASE WHEN rk = 2 THEN w * t1 END), 0.0) AS c12,
+       |        COALESCE(MAX(CASE WHEN rk = 3 THEN w * t1 END), 0.0) AS c13,
+       |        COALESCE(MAX(CASE WHEN rk = 1 THEN w * t2 END), 0.0) AS c21,
+       |        COALESCE(MAX(CASE WHEN rk = 2 THEN w * t2 END), 0.0) AS c22,
+       |        COALESCE(MAX(CASE WHEN rk = 3 THEN w * t2 END), 0.0) AS c23
+       |      FROM (
+       |        SELECT e.id, l.tsne1 AS t1, l.tsne2 AS t2,
+       |          1.0 / (dd.d2 + 1e-9) AS w,
+       |          ROW_NUMBER() OVER (PARTITION BY e.id
+       |            ORDER BY dd.d2 ASC, l.lid ASC) AS rk
+       |        FROM (SELECT $idSql AS id, embedding FROM $table
+       |              WHERE $idSql NOT IN (SELECT id FROM lm)) e
+       |        CROSS JOIN (SELECT lm.id AS lid, lm.tsne1, lm.tsne2,
+       |                      e2.embedding
+       |                    FROM lm JOIN (SELECT $idSql AS lmid, embedding
+       |                      FROM $table) e2 ON e2.lmid = lm.id) l
+       |        CROSS JOIN LATERAL (SELECT ($fullD2) AS d2) dd
+       |        QUALIFY rk <= 3) ranked
+       |      GROUP BY id) agg) fin),
+       |allpts AS (
+       |  SELECT id, tsne1, tsne2 FROM lm
+       |  UNION ALL
+       |  SELECT id, tsne1, tsne2 FROM ext)
+       |""".stripMargin
+  }
+
   /** t-SNE on a deterministic sample (reference
     * Orange/projection/manifold.py:287 TSNE, openTSNE-backed): exact
     * perplexity-calibrated affinities (per-point σ by binary search),

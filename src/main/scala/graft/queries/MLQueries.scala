@@ -1096,19 +1096,33 @@ object MLQueries {
            |FROM proj GROUP BY cls ORDER BY label""".stripMargin)),
 
     Q("ml_tsne_sampled", // projection/manifold.py:287 TSNE — exact
-      // perplexity-calibrated t-SNE on a deterministic 150-point sample
-      // (classical-scaling init, early-exaggerated momentum GD), every
-      // other row placed by inverse-distance landmark interpolation
-      // (openTSNE transform analogue). Deterministic but
-      // eigensolver/GD-bound → rows-only; ManifoldSpec pins semantics.
-      (s, d) => graft.ml.Manifold.tsneSampled(
+      // perplexity-calibrated t-SNE on a deterministic 120-point sample
+      // (pinned classical-scaling init, per-point β bisection on the
+      // 1e-8/1e-9 grids so the only libm calls die at a grid,
+      // early-exaggerated momentum GD in pure rational arithmetic with
+      // DECIMAL gradient sums), every other row placed by the
+      // deterministic top-3 inverse-distance landmark interpolation.
+      // The whole trajectory replays CTE-for-CTE — was rows-only; the
+      // free-running 250-iteration variant stays as tsneSampled
+      // (ManifoldSpec).
+      (s, d) => graft.ml.Manifold.tsneSampledExact(
           emb(s, d).filter(col("vec_id") < 1000), "vec_id", "embedding",
-          150, perplexity = 20.0, iters = 250)
+          dims = 16, n = 120, perplexity = 20.0, betaSteps = 40,
+          iters = 80, exagIters = 40, mdsIters = 30)
         .agg(count(lit(1)).as("n"),
           round(min(col("tsne1")), 4).as("min1"),
           round(max(col("tsne1")), 4).as("max1"),
           round(min(col("tsne2")), 4).as("min2"),
-          round(max(col("tsne2")), 4).as("max2")), None),
+          round(max(col("tsne2")), 4).as("max2")),
+      Some(graft.ml.Manifold.tsneSampledExactSql(
+          "(SELECT * FROM embeddings WHERE vec_id < 1000)", "vec_id",
+          k => s"embedding[${k + 1}]", fullDim = 64, dims = 16, n = 120,
+          perplexity = 20.0, betaSteps = 40, iters = 80, exagIters = 40,
+          mdsIters = 30) +
+        """SELECT COUNT(*) AS n,
+          |  ROUND(MIN(tsne1), 4) AS min1, ROUND(MAX(tsne1), 4) AS max1,
+          |  ROUND(MIN(tsne2), 4) AS min2, ROUND(MAX(tsne2), 4) AS max2
+          |FROM allpts""".stripMargin)),
 
     Q("ml_cur_leverage", // cur.py:13 — CUR column selection via
       // leverage scores Σ_c v_cj² over the top-3 deflated
