@@ -62,7 +62,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmQs,"queries_cold":$coldQs,"total_cold":$totalCold,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+    // The driver captures only the LAST ~2000 chars of sbt output; the full
+    // 210-query map (~12 KB) can never parse from that window. Print a
+    // compact line that fits — headline total + the slowest warm queries —
+    // and point at the file holding the complete cold+warm maps.
+    val slowest = results.sortBy(-_._3).take(25).map(r => (r._1, r._3))
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(slowest)},"n_queries":${results.size},"total_cold":$totalCold,"sf":"$sfDir","full":"$outPath"}"""
+    println(compact)
     spark.stop()
   }
 }

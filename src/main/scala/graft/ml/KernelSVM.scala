@@ -89,19 +89,60 @@ object KernelSVM {
   /** DuckDB twin of [[mlpRegressionSummary]]: tanh features inlined as
     * identical literals in a MATERIALIZED CTE + the squared-loss GD
     * unrolled by [[SGD.linearGDSql]]. */
+  /** Softsign hidden units t/(1+|t|) (Glorot & Bengio 2010) over the
+    * same md5-keyed random projections as [[tanhFeatures]]. Unlike the
+    * exp-composed tanh, softsign is PURE IEEE arithmetic (+ × ÷ |·|),
+    * so Spark and DuckDB produce bit-identical activations at every
+    * argument — the activation for fits whose loss then feeds the
+    * values through EXP (softmax), where a libm-exp ulp in the feature
+    * would amplify across GD iterations. */
+  def softsignFeatures(xs: Seq[Column], d: Int,
+                       gamma: Double): Seq[Column] = {
+    val (freqs, offs) = OneClassSVM.rffConstants(xs.length, d, gamma)
+    val amp = math.sqrt(2.0 / d)
+    (0 until d).map { j =>
+      val proj = xs.zipWithIndex.map { case (x, i) =>
+        x * freqs(j)(i) }.reduce(_ + _)
+      val t = proj + (offs(j) - math.Pi)
+      (t / (lit(1.0) + abs(t)) * amp).as(s"z$j")
+    }
+  }
+
+  /** SQL twins of [[softsignFeatures]] — identical literals/shape. */
+  def softsignFeatureSqls(xSqls: Seq[String], d: Int,
+                          gamma: Double): Seq[String] = {
+    val (freqs, offs) = OneClassSVM.rffConstants(xSqls.length, d, gamma)
+    val amp = math.sqrt(2.0 / d)
+    def dl(v: Double): String = if (v < 0) s"($v)" else v.toString
+    (0 until d).map { j =>
+      val proj = xSqls.zipWithIndex.map { case (x, i) =>
+        s"($x) * ${dl(freqs(j)(i))}" }.mkString(" + ")
+      val t = s"($proj + ${dl(offs(j) - math.Pi)})"
+      s"$t / (1.0 + ABS($t)) * ${dl(amp)}"
+    }
+  }
+
+  /** SQL twins of [[tanhFeatures]] — the identical literals and
+    * expression shape, one string per hidden unit (no alias). */
+  def tanhFeatureSqls(xSqls: Seq[String], d: Int,
+                      gamma: Double): Seq[String] = {
+    val (freqs, offs) = OneClassSVM.rffConstants(xSqls.length, d, gamma)
+    val amp = math.sqrt(2.0 / d)
+    def dl(v: Double): String = if (v < 0) s"($v)" else v.toString
+    (0 until d).map { j =>
+      val proj = xSqls.zipWithIndex.map { case (x, i) =>
+        s"($x) * ${dl(freqs(j)(i))}" }.mkString(" + ")
+      s"(1.0 - 2.0 / (EXP(($proj + ${dl(offs(j) - math.Pi)}) * 2.0) + 1.0))" +
+        s" * ${dl(amp)}"
+    }
+  }
+
   def mlpRegressionSummarySql(table: String, xSqls: Seq[String],
                               ySql: String, d: Int = 16,
                               gamma: Double = 0.5, iterations: Int = 30,
                               lr: Double = 0.5): String = {
-    val (freqs, offs) = OneClassSVM.rffConstants(xSqls.length, d, gamma)
-    val amp = math.sqrt(2.0 / d)
-    def dl(v: Double): String = if (v < 0) s"($v)" else v.toString
-    val zCols = (0 until d).map { j =>
-      val proj = xSqls.zipWithIndex.map { case (x, i) =>
-        s"($x) * ${dl(freqs(j)(i))}" }.mkString(" + ")
-      s"(1.0 - 2.0 / (EXP(($proj + ${dl(offs(j) - math.Pi)}) * 2.0) + 1.0))" +
-        s" * ${dl(amp)} AS z$j"
-    }.mkString(",\n    ")
+    val zCols = tanhFeatureSqls(xSqls, d, gamma).zipWithIndex
+      .map { case (z, j) => s"$z AS z$j" }.mkString(",\n    ")
     val prelude = s"feats AS MATERIALIZED (\n  SELECT\n    $zCols,\n" +
       s"    $ySql AS y\n  FROM $table),\n"
     val gd = SGD.linearGDSql("feats",

@@ -864,24 +864,94 @@ object MLQueries {
           ("disc_bin", "CAST(FLOOR(l_discount * 20) AS BIGINT)")),
         "l_linestatus"))),
 
-    Q("ml_random_forest", // random_forest.py → MLlib RF (rows-only)
-      (s, d) => MLlibLearners.randomForest(li(s, d),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        "l_linestatus"), None),
+    Q("ml_random_forest", // classification/random_forest.py (sklearn
+      // RandomForestClassifier) — deterministic forest of bagged depth-2
+      // contingency trees: md5-hash Bernoulli(0.632) row bags, cyclic
+      // per-tree feature subsets, majority vote with pinned ties. Was
+      // rows-only on the MLlib RF (RNG-bound); now oracle-exact — the
+      // twin replays every tree's induction over the same hash bags and
+      // the identical vote algebra. 2T contingency scans + one vote
+      // scan; the model never leaves the driver.
+      (s, d) => graft.ml.RandomForest.fitVote(
+        li(s, d),
+        Seq(("flag", col("l_returnflag")),
+          ("qty_bin", floor((col("l_quantity") - 1) / 10)),
+          ("disc_bin", floor(col("l_discount") * 20)),
+          ("tax_bin", floor(col("l_tax") * 25))),
+        col("l_linestatus"),
+        concat_ws("#", col("l_orderkey"), col("l_linenumber")),
+        trees = 5),
+      Some(graft.ml.RandomForest.fitVoteSql(
+        "lineitem",
+        Seq(("flag", "l_returnflag"),
+          ("qty_bin", "CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT)"),
+          ("disc_bin", "CAST(FLOOR(l_discount * 20) AS BIGINT)"),
+          ("tax_bin", "CAST(FLOOR(l_tax * 25) AS BIGINT)")),
+        "l_linestatus",
+        "concat_ws('#', l_orderkey, l_linenumber)",
+        trees = 5))),
 
-    Q("ml_gbt", // gb.py → MLlib gradient-boosted trees (rows-only)
-      (s, d) => MLlibLearners.gbt(li(s, d),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        "l_linestatus"), None),
+    Q("ml_gbt", { // classification/gb.py GBClassifier (sklearn
+      // GradientBoostingClassifier) — in-house Newton boosting over
+      // depth-1 regression stumps (Friedman 2001 gain/leaf algebra),
+      // one scaled-long-sum pass per round over the primitive-array
+      // cache instead of MLlib's per-tree job storm. Deterministic end
+      // to end — was rows-only on the MLlib wrapper, now oracle-exact
+      // against the CTE-unrolled twin that replays the identical
+      // split-selection trajectory.
+      val cands = graft.ml.GradBoost.splits(Seq(
+        "qty" -> Seq(10.0, 20.0, 30.0, 40.0),
+        "disc" -> Seq(0.02, 0.05, 0.08),
+        "tax" -> Seq(0.03, 0.06)))
+      (s: SparkSession, d: String) => graft.ml.GradBoost.fitLogistic(
+        li(s, d),
+        Seq("qty" -> col("l_quantity"), "disc" -> col("l_discount"),
+          "tax" -> col("l_tax")),
+        when(col("l_extendedprice") > 30000, 1.0).otherwise(0.0),
+        cands, rounds = 6, lr = 0.3)
+    },
+      Some(graft.ml.GradBoost.fitLogisticSql(
+        "lineitem",
+        Seq("qty" -> "l_quantity", "disc" -> "l_discount",
+          "tax" -> "l_tax"),
+        "CASE WHEN l_extendedprice > 30000 THEN 1.0 ELSE 0.0 END",
+        graft.ml.GradBoost.splits(Seq(
+          "qty" -> Seq(10.0, 20.0, 30.0, 40.0),
+          "disc" -> Seq(0.02, 0.05, 0.08),
+          "tax" -> Seq(0.03, 0.06))), rounds = 6, lr = 0.3))),
 
-    Q("ml_xgb_adapter", // classification/xgb.py XGBBase / catgb.py —
-      // the external-booster hyperparameter surface mapped onto the
-      // Spark-native booster (learning_rate/subsample/colsample/depth);
-      // rows-only like the reference's own wrapper tests.
-      (s, d) => MLlibLearners.gbtTuned(li(s, d),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        "l_linestatus", nEstimators = 6, learningRate = 0.3,
-        maxDepth = 3, subsample = 0.8), None),
+    Q("ml_xgb_adapter", { // classification/xgb.py XGBBase / catgb.py —
+      // the external-booster hyperparameter surface (learning_rate,
+      // reg_lambda, subsample, colsample_bytree) on the in-house
+      // Newton booster: per-round md5-hash row bagging (stochastic
+      // gradient boosting with a replayable random source) and a
+      // cyclic colsample feature rotation — was rows-only on the MLlib
+      // wrapper, now oracle-exact (the twin replays the same bags from
+      // the same portable hash).
+      val cands = graft.ml.GradBoost.splits(Seq(
+        "qty" -> Seq(10.0, 20.0, 30.0, 40.0),
+        "disc" -> Seq(0.02, 0.05, 0.08),
+        "tax" -> Seq(0.03, 0.06)))
+      (s: SparkSession, d: String) => graft.ml.GradBoost.fitLogistic(
+        li(s, d),
+        Seq("qty" -> col("l_quantity"), "disc" -> col("l_discount"),
+          "tax" -> col("l_tax")),
+        when(col("l_extendedprice") > 30000, 1.0).otherwise(0.0),
+        cands, rounds = 6, lr = 0.3, lambda = 2.0, subsample = 0.8,
+        colsample = 0.67,
+        rowKey = concat_ws("#", col("l_orderkey"), col("l_linenumber")))
+    },
+      Some(graft.ml.GradBoost.fitLogisticSql(
+        "lineitem",
+        Seq("qty" -> "l_quantity", "disc" -> "l_discount",
+          "tax" -> "l_tax"),
+        "CASE WHEN l_extendedprice > 30000 THEN 1.0 ELSE 0.0 END",
+        graft.ml.GradBoost.splits(Seq(
+          "qty" -> Seq(10.0, 20.0, 30.0, 40.0),
+          "disc" -> Seq(0.02, 0.05, 0.08),
+          "tax" -> Seq(0.03, 0.06))), rounds = 6, lr = 0.3,
+        lambda = 2.0, subsample = 0.8, colsample = 0.67,
+        rowKeySql = "concat_ws('#', l_orderkey, l_linenumber)"))),
 
     Q("ml_linear_svc", // svm.py LinearSVC — the full 4-feature linear
       // SVM fit (hinge subgradient, deterministic full-batch GD with
@@ -942,9 +1012,37 @@ object MLQueries {
         (0 until 6).map(i => (s"e$i", s"embedding[${i + 1}]")),
         k = 5, iterations = 4))),
 
-    Q("ml_mlp_embeddings", // neural_network.py MLP → MLlib (rows-only)
-      (s, d) => MLlibLearners.mlpOnEmbeddings(
-        emb(s, d), "embedding", "label", Seq(16)), None),
+    Q("ml_mlp_embeddings", // classification/neural_network.py
+      // NNClassificationLearner (sklearn MLPClassifier) — 1-hidden-layer
+      // net as a random-feature network (the same extreme-learning-
+      // machine construction as ml_mlp_regression): FIXED md5-keyed
+      // softsign hidden units over 16 embedding coordinates + a softmax
+      // output layer trained by full-batch GD (Softmax.fit's one-scan-
+      // per-iteration scaled-long gradient path). Softsign (not the
+      // exp-composed tanh): the softmax loss feeds activations through
+      // EXP, and a libm-exp ulp inside the FEATURE would amplify across
+      // iterations — softsign is pure IEEE arithmetic, bit-identical in
+      // both engines. Was rows-only on the MLlib MLP (LBFGS,
+      // non-replayable); now oracle-exact.
+      (s, d) => graft.ml.Softmax.fit(
+        emb(s, d),
+        graft.ml.KernelSVM.softsignFeatures(
+          (0 until 16).map(i =>
+            element_at(col("embedding"), i + 1).cast("double")),
+          16, 1.0).zipWithIndex.map { case (f, j) => (s"z$j", f) },
+        col("label"), numClasses = 10, iterations = 15, lr = 10.0,
+        lambda = 1.0),
+      Some(graft.ml.Softmax.fitSql(
+        "embeddings",
+        graft.ml.KernelSVM.softsignFeatureSqls(
+          // cast BEFORE the projection arithmetic: DuckDB evaluates
+          // FLOAT * DOUBLE in FLOAT (the literal is truncated!), while
+          // Spark widens — uncast, the twin's features differ at 1e-8
+          (0 until 16).map(i => s"CAST(embedding[${i + 1}] AS DOUBLE)"),
+          16, 1.0)
+          .zipWithIndex.map { case (z, j) => (s"z$j", z) },
+        "label", numClasses = 10, iterations = 15, lr = 10.0,
+        lambda = 1.0))),
 
     Q("ml_dbscan_1d", // clustering/dbscan.py — exact 1-D DBSCAN as
       // range-frame window algebra, chunk-partitioned with ghost rows so
