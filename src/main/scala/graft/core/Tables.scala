@@ -127,4 +127,18 @@ object Tables {
     (1 to 8).map { i =>
       s"(instr('0123456789abcdef', substring(md5($sExpr), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
     }.mkString("(", " + ", ")")
+
+  /** [[hashVal32]] read from hex chars [off, off+8) of the SAME digest —
+    * one md5 yields several near-independent 32-bit draws (offsets up to
+    * 25 fit the 32-char digest). Callers that need k hashes per row pay
+    * ONE md5 instead of k: within a single projection Spark's
+    * subexpression elimination evaluates the shared md5 once. */
+  def hashVal32At(s: Column, off: Int): Column =
+    conv(substring(md5(s), off, 8), 16, 10).cast(LongType)
+
+  /** DuckDB-SQL twin of [[hashVal32At]]. */
+  def hashVal32AtSql(sExpr: String, off: Int): String =
+    (0 until 8).map { i =>
+      s"(instr('0123456789abcdef', substring(md5($sExpr), ${off + i}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}"
+    }.mkString("(", " + ", ")")
 }

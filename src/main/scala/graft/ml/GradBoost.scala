@@ -87,8 +87,13 @@ object GradBoost {
     // 2K+2 HashAggregate columns fall out of whole-stage codegen)
     val iCols = cands.zipWithIndex.map { case (c, k) =>
       when(featCol(c.feat) <= c.thr, 1.0).otherwise(0.0).as(s"i_$k") }
+    // one md5 digest serves 5 rounds of bag draws (32-bit windows at
+    // offsets 1,7,13,19,25) — hashing per round made the digest the
+    // dominant cache-build cost, same economy as RandomForest.bagFilter
     val subCols = if (doSub) (1 to rounds).map { r =>
-      (pmod(hashVal32(concat_ws("#", rowKey, lit("gbbag"), lit(r))),
+      (pmod(hashVal32At(
+        concat_ws("#", rowKey, lit("gbbag"), lit((r - 1) / 5)),
+        1 + 6 * ((r - 1) % 5)),
         lit(1000)) < lit((subsample * 1000).toInt))
         .cast("double").as(s"s_$r") } else Seq.empty
     val nonNull = feats.map(_._2.isNotNull).reduce(_ && _) && y01.isNotNull
@@ -231,7 +236,9 @@ object GradBoost {
     def iSql(c: Split): String =
       s"(CASE WHEN (${fSqlMap(c.feat)}) <= ${c.thr} THEN 1.0 ELSE 0.0 END)"
     def subSql(r: Int): String = {
-      val h = hashVal32Sql(s"concat_ws('#', $rowKeySql, 'gbbag', '$r')")
+      val h = hashVal32AtSql(
+        s"concat_ws('#', $rowKeySql, 'gbbag', '${(r - 1) / 5}')",
+        1 + 6 * ((r - 1) % 5))
       s"(CASE WHEN ($h) % 1000 < ${(subsample * 1000).toInt} THEN 1.0 ELSE 0.0 END)"
     }
     // leaf of the round-j selection, dispatched on sel_j.k

@@ -38,9 +38,14 @@ object RandomForest {
     feats.zipWithIndex.collect {
       case (f, i) if i != (t - 1) % feats.size => f }
 
-  private def bagFilter(rowKey: Column, t: Int, permille: Int): Column =
-    pmod(hashVal32(concat_ws("#", rowKey, lit("rfbag"), lit(t))),
-      lit(1000)) < lit(permille)
+  /** Tree t's bag: 32-bit window (t−1)%5 of md5(rowKey, group) — every
+    * 5 trees share one digest, so a T-tree forest pays ⌈T/5⌉ md5 per
+    * row (the md5 was 70% of the fit's wall time when hashed per tree). */
+  private def bagFilter(rowKey: Column, t: Int, permille: Int): Column = {
+    val g = (t - 1) / 5
+    pmod(hashVal32At(concat_ws("#", rowKey, lit("rfbag"), lit(g)),
+      1 + 6 * ((t - 1) % 5)), lit(1000)) < lit(permille)
+  }
 
   /** Fit `trees` bagged depth-2 trees and emit the majority-vote
     * confusion matrix (actual, predicted, n), ordered. */
@@ -51,21 +56,94 @@ object RandomForest {
     require(feats.size >= 3,
       s"random forest needs >= 3 features, got ${feats.size}")
     val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    // bag membership is md5-per-(row, tree) — evaluate it ONCE into the
+    // cache instead of re-hashing on every tree's scan
     val base = df.filter(cls.isNotNull).select(
-      feats.map { case (n, c) => c.cast("string").as(s"f_$n") } :+
-        cls.cast("string").as("cls") :+
-        rowKey.as("__rk"): _*).cache()
+      feats.map { case (n, c) => c.cast("string").as(s"f_$n") } ++:
+        (cls.cast("string").as("cls") +:
+          (1 to trees).map(t =>
+            bagFilter(rowKey, t, bagPermille).cast("int").as(s"b_$t"))): _*)
+      .cache()
     base.count()
 
-    // per-tree leaf tables (tiny — collected to the driver, the model)
+    // All T trees fit in TWO corpus scans (not 2T): the long-form
+    // explode carries the tree id, so every tree's level-1/level-2
+    // contingency comes out of ONE map-side-combined groupBy, and the
+    // entropy/rank algebra runs per tree over the joint (still tiny)
+    // contingency. Numerically identical to fitting each tree with
+    // [[DecisionTree.depth2]] on its bag — same per-group decimal sums,
+    // same 10-decimal rounding, same (h ASC, fname ASC) ties — which is
+    // exactly what the SQL twin replays per tree.
+    def term = round(graft.core.Tables.detSum(
+      -(col("nvc") / col("nt")) * log2(col("nvc") / col("nv"))), 10)
+
+    val pairs1 = for { t <- 1 to trees; (n, _) <- treeFeats(feats, t) }
+      yield (t, n)
+    val long1 = base.select(explode(array(pairs1.map { case (t, n) =>
+        struct(lit(t).as("tree"), lit(n).as("fname"),
+          col(s"f_$n").as("fval"), col(s"b_$t").as("inbag")) }: _*))
+        .as("fv"), col("cls"))
+      .filter(col("fv.inbag") === 1)
+      .select(col("fv.tree").as("tree"), col("fv.fname").as("fname"),
+        col("fv.fval").as("fval"), col("cls"))
+    val cont1 = long1.groupBy(col("tree"), col("fname"), col("fval"),
+      col("cls")).agg(count(lit(1)).as("nvc"))
+    val h1 = cont1
+      .withColumn("nv", sum(col("nvc")).over(
+        Window.partitionBy(col("tree"), col("fname"), col("fval"))))
+      .withColumn("nt", sum(col("nvc")).over(
+        Window.partitionBy(col("tree"), col("fname"))))
+      .groupBy(col("tree"), col("fname")).agg(term.as("h_cond"))
+    val roots: Map[Int, String] = h1
+      .withColumn("rk", row_number().over(Window.partitionBy(col("tree"))
+        .orderBy(col("h_cond").asc, col("fname").asc)))
+      .filter(col("rk") === 1)
+      .select(col("tree"), col("fname")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+
+    val pairs2 = for { t <- 1 to trees; (n, _) <- treeFeats(feats, t)
+                       if n != roots(t) } yield (t, n)
+    val long2 = base.select(explode(array(pairs2.map { case (t, n) =>
+        struct(lit(t).as("tree"), col(s"f_${roots(t)}").as("root_val"),
+          lit(n).as("fname"), col(s"f_$n").as("fval"),
+          col(s"b_$t").as("inbag")) }: _*)).as("fv"), col("cls"))
+      .filter(col("fv.inbag") === 1)
+      .select(col("fv.tree").as("tree"), col("fv.root_val").as("root_val"),
+        col("fv.fname").as("fname"), col("fv.fval").as("fval"), col("cls"))
+    val cont2 = long2.groupBy(col("tree"), col("root_val"), col("fname"),
+      col("fval"), col("cls")).agg(count(lit(1)).as("nvc"))
+    val h2 = cont2
+      .withColumn("nv", sum(col("nvc")).over(Window.partitionBy(
+        col("tree"), col("root_val"), col("fname"), col("fval"))))
+      .withColumn("nt", sum(col("nvc")).over(Window.partitionBy(
+        col("tree"), col("root_val"), col("fname"))))
+      .groupBy(col("tree"), col("root_val"), col("fname"))
+      .agg(term.as("h_cond"))
+    val pick2 = h2
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("tree"), col("root_val"))
+          .orderBy(col("h_cond").asc, col("fname").asc)))
+      .filter(col("rk") === 1)
+      .select(col("tree"), col("root_val"), col("fname").as("leaf_feat"))
+    val leafW = Window.partitionBy(col("tree"), col("root_val"),
+      col("fval"))
+    val leafRows = cont2.as("c").join(pick2.as("p"),
+        col("c.tree") === col("p.tree") &&
+        col("c.root_val") === col("p.root_val") &&
+        col("c.fname") === col("p.leaf_feat"))
+      .select(col("c.tree").as("tree"), col("c.root_val").as("root_val"),
+        col("p.leaf_feat").as("leaf_feat"), col("c.fval").as("fval"),
+        col("c.cls").as("cls"), col("c.nvc").as("nvc"))
+      .withColumn("rk", row_number().over(
+        leafW.orderBy(col("nvc").desc, col("cls").asc)))
+      .filter(col("rk") === 1).collect()
+    // per-tree leaf tables (tiny — the model lives on the driver)
     val models = (1 to trees).map { t =>
-      val sub = treeFeats(feats, t)
-      val bag = base.filter(bagFilter(col("__rk"), t, bagPermille))
-      DecisionTree.depth2(bag,
-        sub.map { case (n, _) => (n, col(s"f_$n")) }, col("cls"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getString(2),
-          r.getString(3), r.getString(5)))
+      leafRows.filter(_.getInt(0) == t).map { r =>
+        (roots(t), r.getString(1), r.getString(2), r.getString(3),
+          r.getString(4))
+      }
     }
     val classes = base.select(col("cls")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
@@ -110,7 +188,9 @@ object RandomForest {
                  clsSql: String, rowKeySql: String, trees: Int,
                  bagPermille: Int = 632): String = {
     def bagSql(t: Int): String = {
-      val h = hashVal32Sql(s"concat_ws('#', $rowKeySql, 'rfbag', '$t')")
+      val h = hashVal32AtSql(
+        s"concat_ws('#', $rowKeySql, 'rfbag', '${(t - 1) / 5}')",
+        1 + 6 * ((t - 1) % 5))
       s"($h) % 1000 < $bagPermille"
     }
     val treeCtes = (1 to trees).map { t =>
