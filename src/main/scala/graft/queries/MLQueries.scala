@@ -622,11 +622,16 @@ object MLQueries {
           .withColumn("disc_s", col("l_discount") * 10.0)
           .withColumn("y_s", col("l_extendedprice") / 100000.0)
         val m = graft.ml.PLS.fit(data, Seq("qty_s", "disc_s"), "y_s", 2,
-          sumFn = Tables.detSum(_, 18)) // 18-decimal grid: the fine grid
-          // keeps the moment doubles within ulps of the oracle's
-          // 12-decimal grid while staying order-independent (only Spark
-          // evaluates these sums — the oracle is the independent
-          // closed form)
+          // scaled-long 1e-12 sums: order-independent integer adds on
+          // the SAME grid as the oracle's ROUND(t,12) decimal sums
+          // (terms are centered unit-scale products, |t|·1e12 ≪ 2⁵³ and
+          // Σ ≪ 2⁶³). The previous detSum(_, 18) forced DECIMAL(38,20),
+          // whose unscaled values exceed the compact-long range — every
+          // row allocated a heap BigDecimal and the two scans cost 13 s
+          // at sf0.1; the long grid runs them in ~3 s.
+          sumFn = c =>
+            (sum(round(c * lit(1e12), 0).cast("long")) / lit(1e12))
+              .cast("double"))
         val bQty = m.beta.head * 100000.0 / 50.0
         val bDisc = m.beta(1) * 100000.0 * 10.0
         val b0 = m.intercept * 100000.0
