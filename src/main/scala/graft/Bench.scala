@@ -39,6 +39,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // drop any cached plans a query left
+      // clearCache only covers SQL caches — localCheckpoint/persist RDD
+      // blocks a query leaked stay resident until the async cleaner's
+      // next GC, and measurably slowed the SECOND (warm) execution of
+      // checkpoint-heavy queries below the first (memory pressure +
+      // eviction). Drop them eagerly so runs are independent.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       dt
     }
 

@@ -47,6 +47,43 @@ object RandomForest {
       1 + 6 * ((t - 1) % 5)), lit(1000)) < lit(permille)
   }
 
+  /** String-cast feature/class columns + the per-tree bag flags — md5
+    * membership evaluated ONCE into this projection instead of re-hashed
+    * on every tree's scan. */
+  private[graft] def baseProjection(df: DataFrame,
+      feats: Seq[(String, Column)], cls: Column, rowKey: Column,
+      trees: Int, bagPermille: Int): DataFrame =
+    df.filter(cls.isNotNull).select(
+      feats.map { case (n, c) => c.cast("string").as(s"f_$n") } ++:
+        (cls.cast("string").as("cls") +:
+          (1 to trees).map(t =>
+            bagFilter(rowKey, t, bagPermille).cast("int").as(s"b_$t"))): _*)
+
+  /** Level-1 joint contingency for ALL trees from one scan: the long
+    * form carries the tree id, one map-side-combined groupBy. */
+  private[graft] def levelOneFrom(base: DataFrame,
+      feats: Seq[(String, Column)], trees: Int): DataFrame = {
+    val pairs1 = for { t <- 1 to trees; (n, _) <- treeFeats(feats, t) }
+      yield (t, n)
+    base.select(explode(array(pairs1.map { case (t, n) =>
+        struct(lit(t).as("tree"), lit(n).as("fname"),
+          col(s"f_$n").as("fval"), col(s"b_$t").as("inbag")) }: _*))
+        .as("fv"), col("cls"))
+      .filter(col("fv.inbag") === 1)
+      .select(col("fv.tree").as("tree"), col("fv.fname").as("fname"),
+        col("fv.fval").as("fval"), col("cls"))
+      .groupBy(col("tree"), col("fname"), col("fval"), col("cls"))
+      .agg(count(lit(1)).as("nvc"))
+  }
+
+  /** [[levelOneFrom]] over a fresh (uncached) projection — the plan-pin
+    * surface for PlanSpec. */
+  private[graft] def levelOneContingency(df: DataFrame,
+      feats: Seq[(String, Column)], cls: Column, rowKey: Column,
+      trees: Int, bagPermille: Int = 632): DataFrame =
+    levelOneFrom(baseProjection(df, feats, cls, rowKey, trees,
+      bagPermille), feats, trees)
+
   /** Fit `trees` bagged depth-2 trees and emit the majority-vote
     * confusion matrix (actual, predicted, n), ordered. */
   def fitVote(df: DataFrame, feats: Seq[(String, Column)], cls: Column,
@@ -57,13 +94,7 @@ object RandomForest {
       s"random forest needs >= 3 features, got ${feats.size}")
     val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
-    // bag membership is md5-per-(row, tree) — evaluate it ONCE into the
-    // cache instead of re-hashing on every tree's scan
-    val base = df.filter(cls.isNotNull).select(
-      feats.map { case (n, c) => c.cast("string").as(s"f_$n") } ++:
-        (cls.cast("string").as("cls") +:
-          (1 to trees).map(t =>
-            bagFilter(rowKey, t, bagPermille).cast("int").as(s"b_$t"))): _*)
+    val base = baseProjection(df, feats, cls, rowKey, trees, bagPermille)
       .cache()
     base.count()
 
@@ -78,17 +109,7 @@ object RandomForest {
     def term = round(graft.core.Tables.detSum(
       -(col("nvc") / col("nt")) * log2(col("nvc") / col("nv"))), 10)
 
-    val pairs1 = for { t <- 1 to trees; (n, _) <- treeFeats(feats, t) }
-      yield (t, n)
-    val long1 = base.select(explode(array(pairs1.map { case (t, n) =>
-        struct(lit(t).as("tree"), lit(n).as("fname"),
-          col(s"f_$n").as("fval"), col(s"b_$t").as("inbag")) }: _*))
-        .as("fv"), col("cls"))
-      .filter(col("fv.inbag") === 1)
-      .select(col("fv.tree").as("tree"), col("fv.fname").as("fname"),
-        col("fv.fval").as("fval"), col("cls"))
-    val cont1 = long1.groupBy(col("tree"), col("fname"), col("fval"),
-      col("cls")).agg(count(lit(1)).as("nvc"))
+    val cont1 = levelOneFrom(base, feats, trees)
     val h1 = cont1
       .withColumn("nv", sum(col("nvc")).over(
         Window.partitionBy(col("tree"), col("fname"), col("fval"))))

@@ -39,6 +39,21 @@ object Stacking {
   def fitCA(df: DataFrame, nbFeatures: Seq[String], target: String,
             posClass: String, foldKey: Column, k: Int,
             iterations: Int = 8, lr: Double = 4.0): DataFrame = {
+    val stacked = stackedTable(df, nbFeatures, target, foldKey, k)
+    // meta features: base-prediction indicators for the positive class
+    SGD.logRegGD(
+      stacked,
+      Seq(("nb", when(col("__nb") === posClass, 1.0).otherwise(0.0)),
+          ("maj", when(col("__maj") === posClass, 1.0).otherwise(0.0))),
+      when(col(target) === posClass, 1).otherwise(0),
+      iterations, lr)
+  }
+
+  /** The out-of-fold stacked table (rows + __nb/__maj base predictions)
+    * — the distributed assembly [[fitCA]] feeds the meta GD; exposed so
+    * PlanSpec can pin its broadcast-join shape. */
+  private[graft] def stackedTable(df: DataFrame, nbFeatures: Seq[String],
+      target: String, foldKey: Column, k: Int): DataFrame = {
     val spark = df.sparkSession
     val nf = nbFeatures.size
     val withFold = df.withColumn("__fold", Learners.foldOf(foldKey, k))
@@ -119,14 +134,6 @@ object Stacking {
     val joinCond = nbFeatures.zipWithIndex
       .map { case (fc, i) => withFold(fc).cast("string") === col(s"__lv_$i") }
       .foldLeft(withFold("__fold") === lookup("__fold"))(_ && _)
-    val stacked = withFold.join(broadcast(lookup), joinCond)
-
-    // meta features: base-prediction indicators for the positive class
-    SGD.logRegGD(
-      stacked,
-      Seq(("nb", when(col("__nb") === posClass, 1.0).otherwise(0.0)),
-          ("maj", when(col("__maj") === posClass, 1.0).otherwise(0.0))),
-      when(col(target) === posClass, 1).otherwise(0),
-      iterations, lr)
+    withFold.join(broadcast(lookup), joinCond)
   }
 }

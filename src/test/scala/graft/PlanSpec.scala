@@ -128,4 +128,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
       "skew demo must exercise a shuffle join, not broadcast")
   }
+
+  test("forest contingency: map-side partial agg, no single-partition exchange") {
+    spark.catalog.clearCache()
+    val li = core.Tables.load(spark, sf, "lineitem")
+    val cont = graft.ml.RandomForest.levelOneContingency(li,
+      Seq(("flag", col("l_returnflag")),
+        ("qty_bin", floor((col("l_quantity") - 1) / 10)),
+        ("disc_bin", floor(col("l_discount") * 20))),
+      col("l_linestatus"),
+      concat_ws("#", col("l_orderkey"), col("l_linenumber")), trees = 3)
+    val p = cont.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "contingency must map-side combine")
+    assert(!p.contains("Exchange SinglePartition"), p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("stacking lookup joins the fact via broadcast (no fact shuffle for the bases)") {
+    spark.catalog.clearCache()
+    val li = core.Tables.load(spark, sf, "lineitem")
+      .withColumn("qty_bin",
+        floor(col("l_quantity") / 10).cast("int").cast("string"))
+      .withColumn("disc_bin",
+        floor(col("l_discount") * 100 / 3).cast("int").cast("string"))
+      .withColumn("cls",
+        when(col("l_quantity") > 25 || col("l_discount") > 0.05, "hi")
+          .otherwise("lo"))
+    val stacked = graft.ml.Stacking.stackedTable(li,
+      Seq("qty_bin", "disc_bin"), "cls", col("l_orderkey"), 4)
+    val p = stacked.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "stacked lookup must broadcast")
+    assert(!p.contains("SortMergeJoin"), p.linesIterator
+      .filter(_.contains("Join")).mkString("\n"))
+  }
 }
