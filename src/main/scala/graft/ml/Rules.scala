@@ -50,6 +50,37 @@ object Rules {
                              predicted: String, nCorrect: Long,
                              covered: Long, laplace: Double)
 
+  // ---- joint-contingency collapse --------------------------------------
+  // Rows with identical (feature-values, class) tuples are
+  // indistinguishable to every covering predicate, so the covering loops
+  // run on the joint contingency instead of the row table: ONE groupBy
+  // scan (map-side partial aggregation, ≤ Π|values|·|classes| groups
+  // leave the cluster) and the whole trajectory — per-round contingency,
+  // argmax, removal/decay, stop — replays in driver arithmetic that is
+  // operation-for-operation identical to the row-level loop (integer
+  // counts sum exactly; a DECIMAL(38,14) sum of n equal row weights
+  // equals the n·w product in exact decimal arithmetic). When the joint
+  // space exceeds JointCap (high-cardinality features), the per-round
+  // distributed scan loop below takes over unchanged.
+  private[ml] val JointCap = 1 << 20
+
+  /** (feature values, class, count) per live joint-contingency cell. */
+  private def jointTuples(df: DataFrame, features: Seq[String],
+      classCol: String): Option[Array[(IndexedSeq[String], String, Long)]] = {
+    val rows = df.groupBy(
+        features.map(f => col(f).cast("string").as(f)) :+
+          col(classCol).cast("string").as("__cls"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .limit(JointCap + 1).collect()
+    if (rows.length > JointCap) None
+    else Some(rows.map { r =>
+      (features.indices.map(i =>
+         if (r.isNullAt(i)) null else r.getString(i)): IndexedSeq[String],
+       if (r.isNullAt(features.size)) null else r.getString(features.size),
+       r.getLong(features.size + 1))
+    })
+  }
+
   /** CN2 ordered decision list via separate-and-conquer
     * (rules.py:896-1007 `find_rules` + `exclusive_cover_and_remove`;
     * CN2Learner appends a default majority rule): loop — evaluate every
@@ -67,7 +98,78 @@ object Rules {
     * deterministic. The default rule mimics the reference: majority
     * over the ORIGINAL data (fit_storage passes the unconsumed X,Y,W). */
   def cn2Ordered(df: DataFrame, features: Seq[String], classCol: String,
-                 maxRules: Int, minCovered: Long = 1L): DataFrame = {
+                 maxRules: Int, minCovered: Long = 1L): DataFrame =
+    jointTuples(df, features, classCol) match {
+      case Some(t) =>
+        cn2OrderedLocal(df.sparkSession, t, features, maxRules, minCovered)
+      case None => cn2OrderedRows(df, features, classCol, maxRules, minCovered)
+    }
+
+  /** Covering replay on the collected joint contingency — identical
+    * trajectory to [[cn2OrderedRows]], one cluster scan total. */
+  private def cn2OrderedLocal(spark: org.apache.spark.sql.SparkSession,
+      tuples: Array[(IndexedSeq[String], String, Long)],
+      features: Seq[String], maxRules: Int, minCovered: Long): DataFrame = {
+    val kCls = tuples.iterator.filter(_._2 != null).map(_._2).toSet.size
+    def majority(rows: Seq[(String, Long)]): (String, Long) =
+      rows.minBy { case (c, n) => (-n, c) }
+    val rules = scala.collection.mutable.ArrayBuffer.empty[CN2Rule]
+    var live = tuples
+    var stop = false
+    while (!stop && rules.size < maxRules) {
+      val byRule = features.zipWithIndex.flatMap { case (f, fi) =>
+        live.iterator.filter(t => t._1(fi) != null && t._2 != null)
+          .map(t => ((t._1(fi), t._2), t._3)).toSeq
+          .groupMapReduce(_._1)(_._2)(_ + _).toSeq
+          .groupBy(_._1._1).toSeq
+          .map { case (v, cells) =>
+            val perCls = cells.map { case ((_, c), n) => (c, n) }
+            val covered = perCls.map(_._2).sum
+            val (cls, nc) = majority(perCls)
+            CN2Rule(rules.size + 1, f, v, cls, nc, covered,
+              (nc + 1.0) / (covered + kCls))
+          }
+      }.filter(_.covered >= minCovered)
+      if (byRule.isEmpty) stop = true
+      else {
+        val best = byRule.minBy(r => (-r.laplace, r.feature, r.value))
+        rules += best
+        val fi = features.indexOf(best.feature)
+        live = live.filter(t => !(t._1(fi) != null && t._1(fi) == best.value))
+      }
+    }
+    // default rule = majority classifier over the original data
+    val clsCounts = tuples.iterator.map(t => (t._2, t._3)).toSeq
+      .groupMapReduce(_._1)(_._2)(_ + _).toSeq
+    val total = clsCounts.map(_._2).sum
+    val (dc, dn) = majority(clsCounts)
+    rules += CN2Rule(rules.size + 1, "_default", "", dc, dn, total,
+      (dn + 1.0) / (total + kCls))
+    cn2RulesDf(spark, rules.toSeq)
+  }
+
+  private def cn2RulesDf(spark: org.apache.spark.sql.SparkSession,
+                         rules: Seq[CN2Rule]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def r6(v: Double) = new java.math.BigDecimal(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val schema = StructType(Seq(
+      StructField("rule_order", IntegerType, nullable = false),
+      StructField("feature", StringType, nullable = false),
+      StructField("value", StringType, nullable = false),
+      StructField("predicted", StringType, nullable = false),
+      StructField("n_correct", LongType, nullable = false),
+      StructField("covered", LongType, nullable = false),
+      StructField("laplace", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rules.map(r => Row(r.order, r.feature,
+        r.value, r.predicted, r.nCorrect, r.covered, r6(r.laplace))): _*),
+      schema)
+  }
+
+  private def cn2OrderedRows(df: DataFrame, features: Seq[String],
+      classCol: String, maxRules: Int, minCovered: Long): DataFrame = {
     val spark = df.sparkSession
     val base = df.select(
       features.map(f => col(f).cast("string").as(f)) :+
@@ -109,22 +211,7 @@ object Rules {
     rules += CN2Rule(rules.size + 1, "_default", "", dc, dn, total,
       (dn + 1.0) / (total + kCls))
     base.unpersist()
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    def r6(v: Double) = new java.math.BigDecimal(v)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    val schema = StructType(Seq(
-      StructField("rule_order", IntegerType, nullable = false),
-      StructField("feature", StringType, nullable = false),
-      StructField("value", StringType, nullable = false),
-      StructField("predicted", StringType, nullable = false),
-      StructField("n_correct", LongType, nullable = false),
-      StructField("covered", LongType, nullable = false),
-      StructField("laplace", DoubleType, nullable = false)))
-    spark.createDataFrame(
-      java.util.Arrays.asList(rules.toSeq.map(r => Row(r.order, r.feature,
-        r.value, r.predicted, r.nCorrect, r.covered, r6(r.laplace))): _*),
-      schema)
+    cn2RulesDf(spark, rules.toSeq)
   }
 
   /** DuckDB twin of [[cn2Ordered]]: the covering loop unrolled as CTE
@@ -203,7 +290,87 @@ object Rules {
     * shape and tie pins as [[cn2Ordered]]; oracle = per-(class, round)
     * CTE unrolling ([[cn2UnorderedSql]]). */
   def cn2Unordered(df: DataFrame, features: Seq[String], classCol: String,
-                   maxPerClass: Int, minCovered: Long = 1L): DataFrame = {
+                   maxPerClass: Int, minCovered: Long = 1L): DataFrame =
+    jointTuples(df, features, classCol) match {
+      case Some(t) =>
+        cn2UnorderedLocal(df.sparkSession, t, features, maxPerClass, minCovered)
+      case None =>
+        cn2UnorderedRows(df, features, classCol, maxPerClass, minCovered)
+    }
+
+  private final case class URule(cls: String, order: Int, feature: String,
+                                 value: String, nCorrect: Long,
+                                 covered: Long, laplace: Double)
+
+  private def cn2URulesDf(spark: org.apache.spark.sql.SparkSession,
+                          rules: Seq[URule]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def r6(v: Double) = new java.math.BigDecimal(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val schema = StructType(Seq(
+      StructField("cls", StringType, nullable = false),
+      StructField("rule_order", IntegerType, nullable = false),
+      StructField("feature", StringType, nullable = false),
+      StructField("value", StringType, nullable = false),
+      StructField("n_correct", LongType, nullable = false),
+      StructField("covered", LongType, nullable = false),
+      StructField("laplace", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rules.map(r => Row(r.cls, r.order,
+        r.feature, r.value, r.nCorrect, r.covered, r6(r.laplace))): _*),
+      schema)
+  }
+
+  /** Per-class covering replay on the joint contingency — identical
+    * trajectory to [[cn2UnorderedRows]], one cluster scan total. */
+  private def cn2UnorderedLocal(spark: org.apache.spark.sql.SparkSession,
+      tuples: Array[(IndexedSeq[String], String, Long)],
+      features: Seq[String], maxPerClass: Int, minCovered: Long): DataFrame = {
+    val kCls = tuples.iterator.filter(_._2 != null).map(_._2).toSet.size
+    val classes = tuples.iterator.map(_._2).toSeq.distinct.sorted
+    val rules = scala.collection.mutable.ArrayBuffer.empty[URule]
+    for (c <- classes) {
+      var live = tuples
+      var stop = false
+      var order = 0
+      while (!stop && order < maxPerClass) {
+        val byRule = features.zipWithIndex.flatMap { case (f, fi) =>
+          live.iterator.filter(t => t._1(fi) != null && t._2 != null)
+            .map(t => ((t._1(fi), t._2), t._3)).toSeq
+            .groupMapReduce(_._1)(_._2)(_ + _).toSeq
+            .groupBy(_._1._1).toSeq
+            .map { case (v, cells) =>
+              val covered = cells.map(_._2).sum
+              val ncc = cells.collectFirst {
+                case ((_, cls), n) if cls == c => n }.getOrElse(0L)
+              URule(c, order + 1, f, v, ncc, covered,
+                (ncc + 1.0) / (covered + kCls))
+            }
+        }.filter(r => r.covered >= minCovered && r.nCorrect >= 1)
+        if (byRule.isEmpty) stop = true
+        else {
+          val best = byRule.minBy(r => (-r.laplace, r.feature, r.value))
+          rules += best
+          order += 1
+          val fi = features.indexOf(best.feature)
+          live = live.filter(t =>
+            !(t._1(fi) != null && t._1(fi) == best.value && t._2 == c))
+        }
+      }
+    }
+    // trailing default rule — global majority (rules.py fit_storage)
+    val clsCounts = tuples.iterator.map(t => (t._2, t._3)).toSeq
+      .groupMapReduce(_._1)(_._2)(_ + _).toSeq
+    val total = clsCounts.map(_._2).sum
+    val (dc, dn) = clsCounts.minBy { case (cc, n) => (-n, cc) }
+    rules += URule("_default", 1, "_default", dc, dn, total,
+      (dn + 1.0) / (total + kCls))
+    cn2URulesDf(spark, rules.toSeq)
+  }
+
+  private def cn2UnorderedRows(df: DataFrame, features: Seq[String],
+      classCol: String, maxPerClass: Int, minCovered: Long): DataFrame = {
     val spark = df.sparkSession
     val base = df.select(
       features.map(f => col(f).cast("string").as(f)) :+
@@ -256,22 +423,9 @@ object Rules {
     rules += UR("_default", 1, "_default", dc, dn, total,
       (dn + 1.0) / (total + kCls))
     base.unpersist()
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    def r6(v: Double) = new java.math.BigDecimal(v)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    val schema = StructType(Seq(
-      StructField("cls", StringType, nullable = false),
-      StructField("rule_order", IntegerType, nullable = false),
-      StructField("feature", StringType, nullable = false),
-      StructField("value", StringType, nullable = false),
-      StructField("n_correct", LongType, nullable = false),
-      StructField("covered", LongType, nullable = false),
-      StructField("laplace", DoubleType, nullable = false)))
-    spark.createDataFrame(
-      java.util.Arrays.asList(rules.toSeq.map(r => Row(r.cls, r.order,
-        r.feature, r.value, r.nCorrect, r.covered, r6(r.laplace))): _*),
-      schema)
+    cn2URulesDf(spark,
+      rules.toSeq.map(r => URule(r.cls, r.order, r.feature, r.value,
+        r.nCorrect, r.covered, r.laplace)))
   }
 
   /** DuckDB twin of [[cn2Unordered]]: the per-class covering loops
@@ -360,7 +514,117 @@ object Rules {
     * trajectory — including the data-dependent stop — replays exactly
     * in the unrolled-CTE oracle [[cn2SDSql]]. */
   def cn2SD(df: DataFrame, features: Seq[String], classCol: String,
-            maxRules: Int, gamma: Double = 0.7): DataFrame = {
+            maxRules: Int, gamma: Double = 0.7): DataFrame =
+    jointTuples(df, features, classCol) match {
+      case Some(t) =>
+        cn2SDLocal(df.sparkSession, t, features, maxRules, gamma)
+      case None => cn2SDRows(df, features, classCol, maxRules, gamma)
+    }
+
+  /** Weighted-covering replay on the joint contingency. All joint cells
+    * of a tuple share one weight (covering predicates only test feature
+    * values), and a DECIMAL(38,14) sum of n equal row weights is exactly
+    * the decimal product n·round14(w) — so every detW the row loop takes
+    * from the cluster is reproduced here in exact decimal arithmetic and
+    * the double-precision WRAcc/γ-decay steps run the identical
+    * operation sequence. One cluster scan total. */
+  private def cn2SDLocal(spark: org.apache.spark.sql.SparkSession,
+      tuples: Array[(IndexedSeq[String], String, Long)],
+      features: Seq[String], maxRules: Int, gamma: Double): DataFrame = {
+    import java.math.{BigDecimal => JBD}
+    // live state: joint cell -> current weight (double, 1e-12 grid)
+    val w = Array.fill(tuples.length)(1.0)
+    // detW twin: Σ_rows cast(w as DECIMAL(38,14)) = n · round14(w)
+    def cellSum(i: Int): JBD =
+      JBD.valueOf(w(i)).setScale(14, java.math.RoundingMode.HALF_UP)
+        .multiply(JBD.valueOf(tuples(i)._3))
+    def groupSum(idx: Iterator[Int]): Double =
+      idx.foldLeft(JBD.ZERO)((a, i) => a.add(cellSum(i))).doubleValue()
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Double, Double, Double)]
+    var stop = false
+    var rnd = 0
+    while (!stop && rnd < maxRules) {
+      rnd += 1
+      val pri = tuples.indices.groupBy(i => tuples(i)._2)
+        .map { case (c, idx) => (c, groupSum(idx.iterator)) }
+      val ps = {
+        var acc = JBD.ZERO
+        pri.toSeq.sortBy(_._1).foreach { case (_, v) =>
+          acc = acc.add(JBD.valueOf(v)) }
+        acc.doubleValue()
+      }
+      val perFeat = features.zipWithIndex.flatMap { case (f, fi) =>
+        tuples.indices.filter(i => tuples(i)._1(fi) != null)
+          .groupBy(i => (tuples(i)._1(fi), tuples(i)._2)).toSeq
+          .map { case ((v, c), idx) => (f, v, c, groupSum(idx.iterator)) }
+      }
+      val cand = perFeat.groupBy(t => (t._1, t._2)).toSeq
+        .map { case ((f, v), rows) =>
+          val dsum = {
+            var acc = JBD.ZERO
+            rows.sortBy(_._3).foreach(t => acc = acc.add(JBD.valueOf(t._4)))
+            acc.doubleValue()
+          }
+          val (modus, s) = rows.map(t => (t._3, t._4))
+            .minBy { case (c, sw) => (-sw, c) }
+          val pcond = dsum / ps
+          val ptp = s / dsum
+          val pcls = pri(modus) / ps
+          val q = if (ptp > pcls) pcond * (ptp - pcls)
+                  else (ptp - pcls) / math.max(pcond, 1e-6)
+          (f, v, modus, s, dsum, q)
+        }
+        .filter(_._6 > 0)
+      if (cand.isEmpty) stop = true
+      else {
+        val b = cand.minBy(t => (-t._6, t._1, t._2))
+        rules += ((rnd, b._1, b._2, b._3,
+          rAway(b._6, 1e6), rAway(b._5, 1e6), rAway(b._4, 1e6)))
+        val fi = features.indexOf(b._1)
+        tuples.indices.foreach { i =>
+          if (tuples(i)._1(fi) != null && tuples(i)._1(fi) == b._2)
+            // Spark round(w*γ, 12): shortest-repr decimal of the double
+            // product, HALF_UP to 12 places, back to double
+            w(i) = JBD.valueOf(w(i) * gamma)
+              .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
+      }
+    }
+    // default rule: weighted majority with the POST-covering weights
+    val pri = tuples.indices.groupBy(i => tuples(i)._2)
+      .map { case (c, idx) => (c, groupSum(idx.iterator)) }.toSeq
+    val psF = {
+      var acc = JBD.ZERO
+      pri.sortBy(_._1).foreach { case (_, v) => acc = acc.add(JBD.valueOf(v)) }
+      acc.doubleValue()
+    }
+    val (dc, dw) = pri.minBy { case (c, wt) => (-wt, c) }
+    rules += ((rules.size + 1, "_default", "", dc, 0.0,
+      rAway(psF, 1e6), rAway(dw, 1e6)))
+    cn2SDRulesDf(spark, rules.toSeq)
+  }
+
+  private def cn2SDRulesDf(spark: org.apache.spark.sql.SparkSession,
+      rules: Seq[(Int, String, String, String, Double, Double, Double)])
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("rule_order", IntegerType, nullable = false),
+      StructField("feature", StringType, nullable = false),
+      StructField("value", StringType, nullable = false),
+      StructField("predicted", StringType, nullable = false),
+      StructField("wracc", DoubleType, nullable = false),
+      StructField("covered_w", DoubleType, nullable = false),
+      StructField("correct_w", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rules.map(r =>
+        Row(r._1, r._2, r._3, r._4, r._5, r._6, r._7)): _*), schema)
+  }
+
+  private def cn2SDRows(df: DataFrame, features: Seq[String],
+      classCol: String, maxRules: Int, gamma: Double): DataFrame = {
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
