@@ -23,6 +23,57 @@ import org.apache.spark.sql.functions._
   */
 object Community {
 
+  /** Driver fast path threshold: graphs whose edge list fits this cap
+    * run their LPA/refinement rounds in driver arrays instead of 8-10
+    * cluster jobs over a few thousand rows each (the same adaptive
+    * device as the CC driver union-find — a 500-node kNN subgraph does
+    * not deserve a shuffle per round). 2M directed edges ≈ 32 MB, well
+    * inside the accepted tiny-collect envelope; bigger graphs take the
+    * distributed loop below unchanged. The local rounds replicate the
+    * distributed arithmetic operation-for-operation (integer counts and
+    * degrees; identical double expressions for gain/Q), so both paths —
+    * and the unrolled-CTE oracle — agree bit-for-bit. */
+  private[ml] val LocalEdgeCap = 2000000L
+
+  /** TEST-ONLY escape hatch: CommunitySpec flips this to force the
+    * distributed rounds on sub-cap fixtures and differential-check them
+    * against the driver replay. Always true in query paths. */
+  private[graft] var useLocal = true
+
+  private def longIds(df: DataFrame, a: String, b: String): Boolean = {
+    import org.apache.spark.sql.types.LongType
+    df.schema(a).dataType == LongType && df.schema(b).dataType == LongType
+  }
+
+  private def labelsDf(spark: org.apache.spark.sql.SparkSession,
+                       lab: Array[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("label", LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(lab.map(p => Row(p._1, p._2)): _*), schema)
+  }
+
+  /** Synchronous LPA rounds on a collected directed edge array —
+    * plurality label among neighbors, ties to the smallest label,
+    * exactly the distributed count-argmax. */
+  private def lpaLocal(sym: Array[(Long, Long)],
+                       rounds: Int): Array[(Long, Long)] = {
+    val nbrs = sym.groupMap(_._1)(_._2)
+    var labels: Map[Long, Long] = nbrs.keysIterator.map(n => n -> n).toMap
+    for (_ <- 0 until rounds) {
+      labels = nbrs.map { case (u, vs) =>
+        val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+        vs.foreach { v =>
+          val l = labels(v); counts.update(l, counts.getOrElse(l, 0L) + 1L) }
+        u -> counts.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }
+    }
+    labels.toArray.sortBy(_._1)
+  }
+
   /** @param edges undirected edge list (src, dst) — will be symmetrized.
     * @return (node, community) after `rounds` synchronous LPA rounds. */
   def labelPropagation(edges: DataFrame, src: String, dst: String,
@@ -31,6 +82,11 @@ object Community {
       .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
       .distinct()
       .cache()
+    if (useLocal && longIds(edges, src, dst) && sym.count() <= LocalEdgeCap) {
+      val e = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      sym.unpersist()
+      return labelsDf(edges.sparkSession, lpaLocal(e, rounds))
+    }
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 0 until rounds) {
@@ -96,6 +152,14 @@ object Community {
     * fixpoint. Each round is joins + aggs hash-partitioned on node id. */
   def louvain(edges: DataFrame, src: String, dst: String,
               lpaRounds: Int, refineRounds: Int): DataFrame = {
+    if (useLocal && longIds(edges, src, dst)) {
+      val eSmall = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
+      val cnt = eSmall.count()
+      if (2 * cnt <= LocalEdgeCap)
+        return louvainLocal(edges.sparkSession,
+          eSmall.collect().map(r => (r.getLong(0), r.getLong(1))),
+          lpaRounds, refineRounds)
+    }
     val e = edges.select(col(src).as("u"), col(dst).as("v")).distinct().cache()
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(eager = true)
@@ -157,6 +221,63 @@ object Community {
     }
     e.unpersist()
     labels
+  }
+
+  /** [[louvain]] on a collected canonical edge array — the identical
+    * trajectory (LPA scaffold, per-round greedy moves, Q-acceptance) in
+    * driver arrays; all counts/degrees are integers and the gain/Q
+    * doubles use the same operation order as the distributed columns,
+    * so local, distributed, and the unrolled-CTE oracle agree. */
+  private def louvainLocal(spark: org.apache.spark.sql.SparkSession,
+      e: Array[(Long, Long)], lpaRounds: Int,
+      refineRounds: Int): DataFrame = {
+    val sym = e ++ e.map(p => (p._2, p._1))
+    val m = sym.length / 2.0
+    var labels: Map[Long, Long] = lpaLocal(sym.distinct, lpaRounds).toMap
+    if (m == 0)
+      return labelsDf(spark, labels.toArray.sortBy(_._1))
+    val deg: Map[Long, Long] =
+      sym.groupBy(_._1).map { case (u, l) => u -> l.length.toLong }
+    def qOf(lab: Map[Long, Long]): Double = {
+      val tot = scala.collection.mutable.HashMap.empty[Long, Long]
+      lab.foreach { case (n, l) => tot.update(l, tot.getOrElse(l, 0L) + deg(n)) }
+      val sumSq = tot.valuesIterator.map(t => t * t).sum.toDouble
+      val intra = e.count(p => lab(p._1) == lab(p._2)).toDouble
+      intra / m - sumSq / (4.0 * m * m)
+    }
+    var q = qOf(labels)
+    var improved = true
+    var round = 0
+    while (improved && round < refineRounds) {
+      round += 1
+      val tot = scala.collection.mutable.HashMap.empty[Long, Long]
+      labels.foreach { case (n, l) =>
+        tot.update(l, tot.getOrElse(l, 0L) + deg(n)) }
+      val toC = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      sym.foreach { case (u, v) =>
+        val k = (u, labels(v)); toC.update(k, toC.getOrElse(k, 0L) + 1L) }
+      val moves = toC.toSeq.groupBy(_._1._1).flatMap { case (node, entries) =>
+        val a = labels(node)
+        val eia = entries.collectFirst {
+          case ((_, c), n) if c == a => n }.getOrElse(0L)
+        val d = deg(node)
+        val cands = entries.iterator
+          .filter { case ((_, c), _) => c != a }
+          .map { case ((_, c), eic) =>
+            (c, (eic - eia) / m - d * (tot(c) - tot(a) + d) / (2.0 * m * m)) }
+          .filter(_._2 > 0).toSeq
+        if (cands.isEmpty) None
+        else Some(node -> cands.minBy { case (c, g) => (-g, c) }._1)
+      }
+      if (moves.isEmpty) improved = false
+      else {
+        val next = labels.map { case (n, l) => n -> moves.getOrElse(n, l) }
+        val qNext = qOf(next)
+        if (qNext > q + 1e-12) { labels = next; q = qNext }
+        else improved = false
+      }
+    }
+    labelsDf(spark, labels.toArray.sortBy(_._1))
   }
 
   /** DuckDB twin of [[louvain]] (LPA scaffold + modularity-greedy

@@ -77,4 +77,24 @@ class CommunitySpec extends SparkSpec {
     assert(ref.orderBy("node").collect().toSeq ==
       ref2.orderBy("node").collect().toSeq)
   }
+
+  test("driver fast path is bit-identical to the distributed rounds") {
+    // long ids engage the local path; flipping useLocal forces the
+    // distributed loop on the same graph — labels must agree exactly
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ clique(Seq(20L, 21L, 22L, 23L)) :+
+      ((4L, 10L)) :+ ((13L, 20L))).toDF("src", "dst")
+    def run() = (
+      Community.labelPropagation(edges, "src", "dst", 3)
+        .orderBy("node").as[(Long, Long)].collect().toSeq,
+      Community.louvain(edges, "src", "dst", 1, 4)
+        .orderBy("node").as[(Long, Long)].collect().toSeq)
+    val (lpaLoc, louLoc) = run()
+    Community.useLocal = false
+    val (lpaDist, louDist) = try run() finally Community.useLocal = true
+    assert(lpaLoc == lpaDist)
+    assert(louLoc == louDist)
+  }
 }
