@@ -344,15 +344,26 @@ object Clustering {
     val byCell = pts.select(col("pid") +:
       features.indices.map(i => col(s"x$i")) ++: cellCols: _*)
 
-    // explode each point to its 3^d neighbor cells
+    // Explode each point to HALF its 3^d neighbor cells — the zero
+    // offset (flagged `z`, same-cell pairs deduped by a_id < b_id) plus
+    // the offsets whose first nonzero component is positive. Every
+    // unordered pair is then generated exactly once (the mirror offset
+    // is in the other half), halving join candidates, distance
+    // evaluations, and the cached pair table; the directed view needed
+    // by the count/border aggregations is a narrow mirror union of the
+    // cache, not a second join.
     val offsets = features.indices.foldLeft(Seq(Seq.empty[Int])) {
       (acc, _) => acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _)) }
+    val halfOffsets = offsets.filter(o =>
+      o.dropWhile(_ == 0).headOption.forall(_ > 0))
     val nbrCellRows = byCell.withColumn("__off",
-        explode(array(offsets.map(o =>
-          struct(o.zipWithIndex.map { case (d, i) =>
-            (col(s"c$i") + d).as(s"n$i") }: _*)): _*)))
+        explode(array(halfOffsets.map(o =>
+          struct((o.zipWithIndex.map { case (d, i) =>
+            (col(s"c$i") + d).as(s"n$i") } :+
+            lit(o.forall(_ == 0)).as("z")): _*)): _*)))
     val probe = nbrCellRows.select(
       col("pid").as("a_id") +:
+        col("__off.z").as("z") +:
         features.indices.map(i => col(s"x$i").as(s"a$i")) ++:
         features.indices.map(i => col(s"__off.n$i").as(s"c$i")): _*)
     val build = byCell.select(
@@ -363,9 +374,12 @@ object Clustering {
     val dist2 = features.indices.map(i =>
       (col(s"a$i") - col(s"b$i")) * (col(s"a$i") - col(s"b$i")))
       .reduce(_ + _)
-    val pairs = probe.join(build, features.indices.map(i => s"c$i"))
-      .filter(col("a_id") =!= col("b_id") && dist2 <= eps * eps)
+    val pairsHalf = probe.join(build, features.indices.map(i => s"c$i"))
+      .filter(when(col("z"), col("a_id") < col("b_id")).otherwise(lit(true)))
+      .filter(dist2 <= eps * eps)
       .select(col("a_id"), col("b_id")).cache()
+    val pairs = pairsHalf.unionByName(
+      pairsHalf.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
 
     val nbrCounts = pairs.groupBy(col("a_id"))
       .agg(count(lit(1)).as("n_other"))
@@ -417,7 +431,7 @@ object Clustering {
       .select(col("pid").as(id), col("is_core"),
         when(col("is_core") === 1, col("lbl"))
           .otherwise(coalesce(col("border_lbl"), lit(-1L))).as("cluster"))
-    pairs.unpersist(); coreEdges.unpersist()
+    pairsHalf.unpersist(); coreEdges.unpersist()
     out
   }
 }
