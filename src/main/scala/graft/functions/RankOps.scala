@@ -59,6 +59,39 @@ object RankOps {
           .as(rankOut))
   }
 
+  /** Distributed EXCLUSIVE prefix sum of `valueCol` (long) ordered by the
+    * unique key `ord`, appended as `out`: out(r) = Σ value over rows
+    * strictly before r. The naive `sum().over(Window.orderBy(ord))` is
+    * the single-partition funnel; this is the [[avgRankTable]] two-pass
+    * shape — range-partition on the key, per-partition totals roll into
+    * broadcast offsets, within-partition prefix windows run keyed by
+    * partition id. Integer sums ⇒ bit-identical to the window form the
+    * oracles use. Basis for sequence-packing plans. */
+  def exclusiveCumsum(df: DataFrame, ord: String, valueCol: String,
+                      out: String, parts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(parts, col(ord).asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    // global offsets: the per-partition totals table is ≤ `parts` rows —
+    // fold it on the driver (exact integer sums) instead of a
+    // single-partition window, and ship the map back as a broadcast join
+    val ptots = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__ptot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offs = ptots.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid, acc + tot) }
+    val offsets = spark.createDataFrame(
+      ptots.map(_._1).zip(offs.map(_._2)).toSeq).toDF("__pid", "__off")
+    val localW = Window.partitionBy(col("__pid")).orderBy(col(ord).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__before", coalesce(sum(col(valueCol)).over(localW), lit(0L)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + col("__before"))
+      .drop("__pid", "__before", "__off")
+  }
+
   /** Distributed row_number within stratum `strat`, ordered by `ord`
     * (unique per row — a key column), appended as `out` (1-based). The
     * naive `Window.partitionBy(strat).orderBy(ord)` funnels each stratum

@@ -613,6 +613,128 @@ object TextQueries {
              |    ROW_NUMBER() OVER (PARTITION BY doc_id
              |      ORDER BY tfidf DESC, term ASC) AS rn
              |  FROM scored)
-             |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin))
+             |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin)),
+
+    Q("doc_chunk_overlap", // fixed token-window chunking with stride
+      // (window=32, stride=24 → 8-token overlap) — the RAG/pretraining
+      // document splitter. Chunk starts are 1 + k·stride for
+      // k = 0 .. max(0, ⌈(n − w)/stride⌉), so generation stops at the
+      // first chunk that reaches the document end (no redundant suffix
+      // chunks). Pure per-row explode + slice — a projection, zero
+      // shuffle at any scale.
+      (s, d) => {
+        val w = 32; val st = 24
+        docs(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .withColumn("n", size(col("ts")))
+          .withColumn("k", explode(sequence(lit(0L),
+            greatest(lit(0L),
+              ceil((col("n") - lit(w)).cast("double") / st)))))
+          .select(col("doc_id"), col("k").as("chunk_id"),
+            array_join(slice(col("ts"), (col("k") * st + 1).cast("int"),
+              lit(w)), " ").as("chunk_text"))
+          .withColumn("n_chunk_tokens",
+            size(split(col("chunk_text"), " ")))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""SELECT doc_id, k AS chunk_id,
+             |  array_to_string(ts[(k*24+1):least(k*24+32, n)], ' ')
+             |    AS chunk_text,
+             |  CAST(least(k*24+32, n) - k*24 AS INT) AS n_chunk_tokens
+             |FROM (
+             |  SELECT doc_id, ts, n,
+             |    unnest(range(0, GREATEST(0,
+             |      CAST(CEIL((n - 32) / 24.0) AS BIGINT)) + 1)) AS k
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ts,
+             |          len(string_split(text, ' ')) AS n FROM documents))
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    Q("pack_sequences", // concat-and-chunk sequence packing plan: the
+      // token stream of all documents in doc_id order fills fixed
+      // 256-token training bins; each doc gets its bin id and intra-bin
+      // offset from an EXCLUSIVE prefix sum of token counts. The prefix
+      // sum is RankOps.exclusiveCumsum — the two-pass range-partitioned
+      // device, NOT a single-partition global window — so the packing
+      // plan for a 100 TB corpus shuffles each row once.
+      (s, d) => {
+        val toks = docs(s, d).select(col("doc_id"),
+          TextOps.nTokens(col("text")).cast("long").as("n_tokens"))
+        graft.functions.RankOps
+          .exclusiveCumsum(toks, "doc_id", "n_tokens", "cum_before")
+          .select(col("doc_id"), col("n_tokens"),
+            floor(col("cum_before") / 256.0).cast("long").as("bin_id"),
+            (col("cum_before") - floor(col("cum_before") / 256.0)
+              .cast("long") * 256).as("bin_offset"))
+          .withColumn("spans_bins",
+            (col("bin_offset") + col("n_tokens") > 256).cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_tokens,
+             |  CAST(FLOOR(cum_before / 256.0) AS BIGINT) AS bin_id,
+             |  cum_before - CAST(FLOOR(cum_before / 256.0) AS BIGINT) * 256
+             |    AS bin_offset,
+             |  CAST(CASE WHEN cum_before
+             |      - CAST(FLOOR(cum_before / 256.0) AS BIGINT) * 256
+             |      + n_tokens > 256 THEN 1 ELSE 0 END AS INT) AS spans_bins
+             |FROM (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cum_before
+             |  FROM (SELECT doc_id,
+             |          CAST(len(string_split(text, ' ')) AS BIGINT)
+             |            AS n_tokens FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("text_bigram_lm_score", // corpus-trained add-1 bigram LM as a
+      // perplexity-proxy quality score (the KenLM-filter shape): corpus
+      // bigram/unigram counts + vocabulary size feed
+      // avg ln((C2(w1,w2)+1)/(C1(w1)+V)) per document. Scale shape: two
+      // count shuffles (map-side combined) to train, one broadcastable
+      // count-table join to score — the LM "model" is the count tables,
+      // never driver state. Log terms go through the round-12 detSum
+      // grid (the engine-portable float device).
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("__ts"))
+          .localCheckpoint(eager = false)
+        val uni = base.select(explode(col("__ts")).as("w1"))
+          .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val bi = base.select(col("doc_id"),
+            explode(TextOps.shinglesFromTokens(col("__ts"), 2)).as("bg"))
+        val c2 = bi.groupBy(col("bg").as("bg2")).agg(count(lit(1)).as("c2"))
+        bi.join(c2, col("bg") === col("bg2"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .join(uni, "w1")
+          .crossJoin(broadcast(vocab))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            round(detSum(log((col("c2") + 1).cast("double") /
+                (col("c1") + col("v")))) / count(lit(1)), 6)
+              .as("avg_logprob"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS MATERIALIZED (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |uni AS MATERIALIZED (
+             |  SELECT w1, COUNT(*) AS c1 FROM (
+             |    SELECT unnest(ts) AS w1 FROM toks) GROUP BY w1),
+             |vocab AS (SELECT COUNT(*) AS v FROM uni),
+             |bi AS MATERIALIZED (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+             |    i -> ts[i] || ' ' || ts[i+1])) AS bg FROM toks),
+             |c2 AS MATERIALIZED (
+             |  SELECT bg AS bg2, COUNT(*) AS c2 FROM bi GROUP BY bg)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  ROUND(${sqlDetSum(
+                  "LN(CAST(c.c2 + 1 AS DOUBLE) / (u.c1 + vocab.v))")}
+             |    / COUNT(*), 6) AS avg_logprob
+             |FROM bi
+             |JOIN c2 c ON c.bg2 = bi.bg
+             |JOIN uni u ON u.w1 = string_split(bi.bg, ' ')[1]
+             |CROSS JOIN vocab
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -78,6 +78,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("pack_sequences prefix sum has no single-partition exchange") {
+    val p = plan("pack_sequences")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("doc_chunk_overlap is a pure projection (no exchange at all)") {
+    val p = plan("doc_chunk_overlap")
+    // explode + slice only — chunking a 100 TB corpus must not shuffle
+    // (the final orderBy is display-only and excluded by the helper when
+    // present; any Exchange besides the sort's range partitioning fails)
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
   test("embedding near-dup candidates come from a band equi-join (no theta join)") {
     val p = plan("dedup_embedding_cosine")
     assert(!p.contains("CartesianProduct") &&
