@@ -34,6 +34,12 @@ object RankOps {
   /** (value → average rank) map for column `c` of `df`; output columns are
     * (`c`, `rankOut`). `parts` bounds the per-task slice of the distinct-value
     * table. */
+  /** Rank maps at or below this many distinct values ship back to the
+    * fact table as a broadcast hash join (zero shuffle of the data);
+    * bigger maps — continuous columns at real scale — keep the shuffle
+    * join. */
+  private val BroadcastRankCap = 1L << 20
+
   def avgRankTable(df: DataFrame, c: String, rankOut: String,
                    parts: Int = 32): DataFrame = {
     val counts = df.select(col(c).as("__v"))
@@ -51,12 +57,14 @@ object RankOps {
       .select(col("__pid"), col("__off"))
     val localW = Window.partitionBy(col("__pid")).orderBy(col("__v").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
+    val table = ranged
       .withColumn("__before", coalesce(sum(col("__cnt")).over(localW), lit(0L)))
       .join(broadcast(offsets), "__pid")
       .select(col("__v").as(c),
         (col("__off") + col("__before") + (col("__cnt") + lit(1L)) / 2.0)
           .as(rankOut))
+    // the checkpoint makes this count free; values are unchanged either way
+    if (ranged.count() <= BroadcastRankCap) broadcast(table) else table
   }
 
   /** Distributed EXCLUSIVE prefix sum of `valueCol` (long) ordered by the
@@ -160,8 +168,17 @@ object RankOps {
   /** Append an average-rank column `r_<c>` per column in `cols` (each joined
     * from its own value→rank map). */
   def withAvgRanks(df: DataFrame, cols: Seq[String],
-                   parts: Int = 32): DataFrame =
-    cols.foldLeft(df) { (acc, c) =>
-      acc.join(avgRankTable(df, c, s"r_$c", parts), Seq(c))
+                   parts: Int = 32): DataFrame = {
+    // the per-column rank-table builds (groupBy + range exchange + eager
+    // checkpoint) are independent — submit them concurrently so their
+    // jobs interleave instead of paying 3× sequential latency
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tables = cols.map(c =>
+      c -> Future(avgRankTable(df, c, s"r_$c", parts)))
+    tables.foldLeft(df) { case (acc, (c, fut)) =>
+      acc.join(Await.result(fut, Duration.Inf), Seq(c))
     }
+  }
 }
