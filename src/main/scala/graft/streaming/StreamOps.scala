@@ -30,6 +30,28 @@ case class UserAgg(user_id: Long, n_events: Long, total_value: Double,
   */
 object StreamOps {
 
+  /** State partitions for the fixture-driven runs. Streaming stateful
+    * operators create one state store per shuffle partition per
+    * operator, and store open/commit latency dominates small
+    * single-trigger drains (the batch default of 32 spends more wall
+    * time on store lifecycle than on rows). Real deployments size state
+    * partitions to load; these drives do the same. Results are
+    * partition-count-invariant. */
+  private[graft] val StatePartitions = 8
+
+  /** Start a streaming query with [[StatePartitions]] state partitions
+    * (the conf is captured by the query's cloned session at start, then
+    * restored), drain it, and stop it. */
+  private def runDrained(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, StatePartitions.toString)
+    val q = try start finally spark.conf.set(key, old)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+
   /** Normalize events.ts to the int64-nanos form all downstream window
     * arithmetic assumes (see Tables.load — the fixture has carried both
     * int64-nanos and µs-timestamp encodings; exact integer division
@@ -56,9 +78,8 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total_value"))
       .select(unix_timestamp(col("window.start")).as("bucket_start"),
               col("event_type"), col("n"), col("total_value"))
-    val q = stream.writeStream
-      .format("memory").queryName(sinkName).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    runDrained(spark)(stream.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start())
     spark.table(sinkName)
   }
 
@@ -95,8 +116,14 @@ object StreamOps {
         unix_timestamp(min(col("ts"))).as("start_s"),
         unix_timestamp(max(col("ts"))).as("end_s"))
       .select(col("user_id"), col("n_events"), col("start_s"), col("end_s"))
-    val q = stream.writeStream
-      .format("memory").queryName(sinkName).outputMode("append").start()
+    val q = {
+      val key = "spark.sql.shuffle.partitions"
+      val oldParts = spark.conf.get(key)
+      spark.conf.set(key, StatePartitions.toString)
+      try stream.writeStream
+        .format("memory").queryName(sinkName).outputMode("append").start()
+      finally spark.conf.set(key, oldParts)
+    }
     try {
       q.processAllAvailable()
       // sentinel micro-batch: 2030-01-01 (typed to match the source
@@ -133,9 +160,8 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total_value"))
       .select(unix_timestamp(col("window.start")).as("bucket_start"),
               col("event_type"), col("n"), col("total_value"))
-    val q = stream.writeStream
-      .format("memory").queryName(sinkName).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    runDrained(spark)(stream.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start())
     spark.table(sinkName)
   }
 
@@ -153,9 +179,8 @@ object StreamOps {
       .dropDuplicates("user_id", "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_users"))
-    val q = stream.writeStream
-      .format("memory").queryName(sinkName).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    runDrained(spark)(stream.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start())
     spark.table(sinkName)
   }
 
@@ -179,9 +204,8 @@ object StreamOps {
       .dropDuplicates("lang", "fp")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_unique_docs"))
-    val q = stream.writeStream
-      .format("memory").queryName(sinkName).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    runDrained(spark)(stream.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start())
     spark.table(sinkName)
   }
 
@@ -237,9 +261,8 @@ object StreamOps {
       .dropDuplicates("band", "sig")
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_buckets"))
-    val q = stream.writeStream
-      .format("memory").queryName(sinkName).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    runDrained(spark)(stream.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start())
     spark.table(sinkName)
   }
 
@@ -285,10 +308,9 @@ object StreamOps {
           UserAgg(uid, n, tot.toDouble, maxGap)
       }
 
-    val q = updated.toDF().writeStream
+    runDrained(spark)(updated.toDF().writeStream
       .format("memory").queryName(sinkName).outputMode(OutputMode.Update())
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      .start())
     spark.table(sinkName)
   }
 
@@ -318,9 +340,8 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total_value"))
       .select(unix_timestamp(col("window.start")).as("bucket_start"),
         col("segment"), col("n"), col("total_value"))
-    val q = agg.writeStream
-      .format("memory").queryName(sinkName).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    runDrained(spark)(agg.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start())
     spark.table(sinkName)
   }
 
@@ -352,9 +373,8 @@ object StreamOps {
       col("v_user") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr(s"INTERVAL $gapSec SECONDS"))
-    val q = joined.writeStream
-      .format("memory").queryName(sinkName).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    runDrained(spark)(joined.writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start())
     spark.table(sinkName)
   }
 }
