@@ -401,6 +401,68 @@ object TextQueries {
               |  CAST(CASE WHEN node = MIN(label) THEN 1 ELSE 0 END AS INT) AS keep
               |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
 
+    Q("dedup_keep_best", // near-dup retention by QUALITY: same clusters
+      // as dedup_canonicalize, but each component keeps its
+      // highest-quality member (ties → smallest doc_id) instead of the
+      // smallest id — the RefinedWeb-style "keep the best duplicate"
+      // policy. The per-cluster argmax is a window over cluster labels
+      // (parallel per component at any scale); quality is rounded to 6
+      // decimals BEFORE ranking on both engines.
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = DedupOps.jaccardPairs(dd, "doc_id", "text", 3, 0.3,
+          maxDocFreq = Some(50))
+        val clusters = DedupOps.canonicalize(dd, pairs, "doc_id")
+        val scored = dd.select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 6).as("quality"))
+        val w = Window.partitionBy(col("canonical_id"))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        clusters.join(scored, "doc_id")
+          .withColumn("keep_best", (row_number().over(w) === 1).cast("int"))
+          .select(col("doc_id"), col("canonical_id"), col("quality"),
+            col("keep_best"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE sh0 AS ($shingleSqlDistinct),
+              |keep0 AS (SELECT shingle FROM sh0 GROUP BY shingle
+              |          HAVING COUNT(*) <= 50),
+              |sh AS (SELECT sh0.* FROM sh0 JOIN keep0 USING (shingle)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id),
+              |pairs AS (
+              |  SELECT id1, id2 FROM inter
+              |  JOIN sizes s1 ON s1.doc_id = id1
+              |  JOIN sizes s2 ON s2.doc_id = id2
+              |  WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.3),
+              |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+              |          UNION SELECT id2, id1 FROM pairs),
+              |reach(node, label) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+              |clusters AS (
+              |  SELECT node AS doc_id, MIN(label) AS canonical_id
+              |  FROM reach GROUP BY node),
+              |scored AS (
+              |  SELECT doc_id,
+              |    ROUND((CAST(len(list_filter(string_split(text, ' '),
+              |        t -> t IN ($enList))) AS DOUBLE)
+              |       / len(string_split(text, ' '))
+              |     + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              |       / len(string_split(text, ' '))
+              |     + CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 500
+              |            THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+              |  FROM documents)
+              |SELECT doc_id, canonical_id, quality,
+              |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY canonical_id
+              |      ORDER BY quality DESC, doc_id ASC) = 1
+              |    THEN 1 ELSE 0 END AS INT) AS keep_best
+              |FROM clusters JOIN scored USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_minhash_lsh_fast", // scale-path MinHash: xxhash64 shingle
       // hashing (codegen-native) instead of oracle-portable md5 — same
       // banding; rows-only (no xxhash64 in DuckDB). BENCH shows the
