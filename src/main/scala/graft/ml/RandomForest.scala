@@ -166,12 +166,12 @@ object RandomForest {
           r.getString(4))
       }
     }
-    val classes = base.select(col("cls")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val globalMajority = base.groupBy(col("cls"))
+    // one collect serves both the class list and the majority fallback
+    val clsCounts = base.groupBy(col("cls"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-      .minBy { case (c, n) => (-n, c) }._1
+    val classes = clsCounts.map(_._1).sorted.toSeq
+    val globalMajority = clsCounts.minBy { case (c, n) => (-n, c) }._1
 
     // tree t's prediction: one CASE chain over its collected leaves
     def predT(t: Int): Column =
