@@ -334,104 +334,137 @@ object Clustering {
         count(lit(1)).as("n"))
   }
 
+  /** Grid-bucketed exact DBSCAN that never materializes the eps-pair
+    * table. With cell side eps/sqrt(d), all points sharing a cell are
+    * mutual eps-neighbors (cell diagonal = eps, closed ball), which
+    * yields three scale properties the pair-based formulation lacks:
+    *
+    *  1. A cell holding >= minPts points is all-core with ZERO counting
+    *     work — the counting join runs only for points in sparse cells,
+    *     so densifying data does not densify the count pass.
+    *  2. Each cell's cores contract to one representative (min core id)
+    *     BEFORE any join; the witness pass streams cross-cell core
+    *     candidates through a partial DISTINCT on (repA, repB), so what
+    *     reaches the shuffle is ~|cell pairs|, never ~|point pairs|.
+    *     (Component labels are preserved: the component-minimum core is
+    *     its own cell rep, and cell cliques keep members connected.)
+    *  3. Border assignment and counting are partial aggregations over
+    *     the candidate stream — the eps-pair table (quadratic in local
+    *     density) is never cached, shuffled, or re-scanned. At the sf1
+    *     density-replica rehearsal this took the query from 145 s
+    *     (20x sf0.1 — superlinear) to pair-volume-independent.
+    *
+    * Results are identical to the brute-force definition (the DuckDB
+    * WITH RECURSIVE oracle): core = |closed eps-ball| >= minPts,
+    * cluster label = min core id of the eps-connected core component,
+    * borders adopt the smallest neighboring core label, noise = -1.
+    */
   def dbscanGrid(df: DataFrame, id: String, features: Seq[String],
                  eps: Double, minPts: Int): DataFrame = {
+    val d = features.size
+    val side = eps / math.sqrt(d.toDouble)
+    val reach = math.ceil(eps / side).toInt // = ceil(sqrt(d))
+    val cellKeys = features.indices.map(i => s"c$i")
+
     val pts = df.select(col(id).as("pid") +:
       features.zipWithIndex.map { case (f, i) => col(f).as(s"x$i") }: _*)
-
-    val cellCols = features.indices.map(i =>
-      floor(col(s"x$i") / eps).cast("long").as(s"c$i"))
     val byCell = pts.select(col("pid") +:
-      features.indices.map(i => col(s"x$i")) ++: cellCols: _*)
+      features.indices.map(i => col(s"x$i")) ++:
+      features.indices.map(i =>
+        floor(col(s"x$i") / side).cast("long").as(s"c$i")): _*)
+      .localCheckpoint(eager = true)
+    val cellCounts = byCell.groupBy(cellKeys.map(col): _*)
+      .agg(count(lit(1)).as("n_cell"))
+    val withCell = byCell.join(cellCounts, cellKeys)
 
-    // Explode each point to HALF its 3^d neighbor cells — the zero
-    // offset (flagged `z`, same-cell pairs deduped by a_id < b_id) plus
-    // the offsets whose first nonzero component is positive. Every
-    // unordered pair is then generated exactly once (the mirror offset
-    // is in the other half), halving join candidates, distance
-    // evaluations, and the cached pair table; the directed view needed
-    // by the count/border aggregations is a narrow mirror union of the
-    // cache, not a second join.
-    val offsets = features.indices.foldLeft(Seq(Seq.empty[Int])) {
-      (acc, _) => acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _)) }
-    val halfOffsets = offsets.filter(o =>
-      o.dropWhile(_ == 0).headOption.forall(_ > 0))
-    val nbrCellRows = byCell.withColumn("__off",
-        explode(array(halfOffsets.map(o =>
-          struct((o.zipWithIndex.map { case (d, i) =>
-            (col(s"c$i") + d).as(s"n$i") } :+
-            lit(o.forall(_ == 0)).as("z")): _*)): _*)))
-    val probe = nbrCellRows.select(
-      col("pid").as("a_id") +:
-        col("__off.z").as("z") +:
-        features.indices.map(i => col(s"x$i").as(s"a$i")) ++:
-        features.indices.map(i => col(s"__off.n$i").as(s"c$i")): _*)
-    val build = byCell.select(
-      col("pid").as("b_id") +:
-        features.indices.map(i => col(s"x$i").as(s"b$i")) ++:
-        features.indices.map(i => col(s"c$i")): _*)
+    // neighbor-cell offsets: any eps-neighbor is within `reach` cells
+    // per axis; offsets whose min inter-cell distance exceeds eps are
+    // pruned (none at d = 2, some corners at d >= 3)
+    val allOffsets = features.indices.foldLeft(Seq(Seq.empty[Int])) {
+      (acc, _) => acc.flatMap(o => (-reach to reach).map(o :+ _)) }
+    def offMin2(o: Seq[Int]): Double =
+      o.map(v => math.max(math.abs(v) - 1, 0)).map(v => v.toDouble * v).sum *
+        side * side
+    val nbrOffsets = allOffsets.filter(o => offMin2(o) <= eps * eps)
+    // cross-cell half: each unordered CELL pair generated exactly once
+    // (the zero offset is excluded — same-cell cores share a rep)
+    val halfCross = nbrOffsets.filter(o =>
+      o.dropWhile(_ == 0).headOption.exists(_ > 0))
+
+    def explodeTo(dfIn: DataFrame, offs: Seq[Seq[Int]],
+                  keep: Seq[Column]): DataFrame =
+      dfIn.withColumn("__off", explode(array(offs.map(o =>
+          struct(o.zipWithIndex.map { case (dd, i) =>
+            (col(s"c$i") + dd).as(s"n$i") }: _*)): _*)))
+        .select(keep ++
+          features.indices.map(i => col(s"__off.n$i").as(s"c$i")): _*)
 
     val dist2 = features.indices.map(i =>
       (col(s"a$i") - col(s"b$i")) * (col(s"a$i") - col(s"b$i")))
       .reduce(_ + _)
-    val pairsHalf = probe.join(build, features.indices.map(i => s"c$i"))
-      .filter(when(col("z"), col("a_id") < col("b_id")).otherwise(lit(true)))
+    val buildAll = byCell.select(
+      col("pid").as("b_id") +:
+        features.indices.map(i => col(s"x$i").as(s"b$i")) ++:
+        features.indices.map(i => col(s"c$i")): _*)
+
+    // 1. neighbor counts — only for points in sparse cells (dense-cell
+    //    points are core by the same-cell-clique property)
+    val sparsePts = withCell.filter(col("n_cell") < minPts)
+    val probeCnt = explodeTo(sparsePts, nbrOffsets,
+      col("pid").as("a_id") +:
+        features.indices.map(i => col(s"x$i").as(s"a$i")))
+    val cnts = probeCnt.join(buildAll, cellKeys)
+      .filter(col("a_id") =!= col("b_id") && dist2 <= eps * eps)
+      .groupBy(col("a_id")).agg(count(lit(1)).as("n_other"))
+      .withColumnRenamed("a_id", "pid")
+    val flags = withCell.join(cnts, Seq("pid"), "left")
+      .select(col("pid") +:
+        features.indices.map(i => col(s"x$i")) ++:
+        features.indices.map(i => col(s"c$i")) :+
+        (col("n_cell") >= minPts ||
+          (coalesce(col("n_other"), lit(0L)) + 1) >= minPts)
+          .cast("int").as("is_core"): _*)
+      .localCheckpoint(eager = true)
+
+    // 2. per-cell core representative + cross-cell witness pass
+    val cores = flags.filter(col("is_core") === 1)
+    val reps = cores.groupBy(cellKeys.map(col): _*)
+      .agg(min(col("pid")).as("rep"))
+    val coreRep = cores.join(reps, cellKeys)
+    val probeW = explodeTo(coreRep, halfCross,
+      col("rep").as("ua") +:
+        features.indices.map(i => col(s"x$i").as(s"a$i")))
+    val buildW = coreRep.select(
+      col("rep").as("ub") +:
+        features.indices.map(i => col(s"x$i").as(s"b$i")) ++:
+        cellKeys.map(col): _*)
+    val contracted = probeW.join(buildW, cellKeys)
       .filter(dist2 <= eps * eps)
-      .select(col("a_id"), col("b_id")).cache()
-    val pairs = pairsHalf.unionByName(
-      pairsHalf.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-
-    val nbrCounts = pairs.groupBy(col("a_id"))
-      .agg(count(lit(1)).as("n_other"))
-    val flags = pts.join(nbrCounts, pts("pid") === nbrCounts("a_id"), "left")
-      .select(col("pid"),
-        ((coalesce(col("n_other"), lit(0L)) + 1) >= minPts).cast("int")
-          .as("is_core")).cache()
-
-    // connected components over core-core edges: min-label propagation
-    val cores = flags.filter(col("is_core") === 1).select(col("pid"))
-    val coreEdges = pairs
-      .join(cores.withColumnRenamed("pid", "a_id"), "a_id")
-      .join(cores.withColumnRenamed("pid", "b_id"), "b_id").cache()
-    // One min-neighbor contraction pass BEFORE the component rounds:
-    // m(u) = min(N(u) ∪ {u}) maps every core to a representative inside
-    // its own component, and projecting edges to (m(u), m(v)) collapses
-    // each dense eps-ball clique (k² edges) to a handful of rep-rep
-    // edges — measured 17 s → ~8 s on the 15k-customer grid, because
-    // the large-star/small-star loop then runs on thousands, not
-    // millions, of edges. Components are preserved: each rep is a
-    // neighbor of its members, every original edge induces a rep edge,
-    // and the component minimum is its own representative.
-    val ePairs = coreEdges.select(col("a_id").as("u"), col("b_id").as("v"))
-    val mRep = ePairs.groupBy("u")
-      .agg(min(least(col("v"), col("u"))).as("m"))
-    val contracted = ePairs
-      .join(mRep.select(col("u"), col("m").as("ma")), "u")
-      .join(mRep.select(col("u").as("v"), col("m").as("mb")), "v")
-      .select(col("ma").as("u"), col("mb").as("v"))
+      .select(col("ua").as("u"), col("ub").as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    // large-star/small-star ([[connectedComponentsLSS]]): O(log n)
-    // rounds regardless of chain diameter. Isolated cores (no core-core
-    // edge) keep their own id as label; reps whose edges all collapsed
-    // to self-loops keep the rep id.
     val repLabels = connectedComponentsLSS(contracted)
-    val labels = cores
-      .join(mRep.withColumnRenamed("u", "pid"), Seq("pid"), "left")
-      .withColumn("rep", coalesce(col("m"), col("pid")))
+    val labels = coreRep.select(col("pid"), col("rep"))
       .join(repLabels.withColumnRenamed("node", "rep"), Seq("rep"), "left")
       .select(col("pid"), coalesce(col("label"), col("rep")).as("lbl"))
 
-    // border points adopt the smallest core cluster within eps
-    val borderLbl = pairs
-      .join(labels.select(col("pid").as("b_id"), col("lbl")), "b_id")
+    // 3. borders: non-core points adopt the min core label within eps
+    val coreLabeled = cores.join(labels, Seq("pid"))
+    val nonCore = flags.filter(col("is_core") === 0)
+    val probeB = explodeTo(nonCore, nbrOffsets,
+      col("pid").as("a_id") +:
+        features.indices.map(i => col(s"x$i").as(s"a$i")))
+    val buildB = coreLabeled.select(
+      features.indices.map(i => col(s"x$i").as(s"b$i")) ++:
+        cellKeys.map(col) :+ col("lbl"): _*)
+    val borderLbl = probeB.join(buildB, cellKeys)
+      .filter(dist2 <= eps * eps)
       .groupBy(col("a_id")).agg(min(col("lbl")).as("border_lbl"))
-    val out = flags
-      .join(labels.select(col("pid"), col("lbl")), Seq("pid"), "left")
+
+    flags.select(col("pid"), col("is_core"))
+      .join(labels, Seq("pid"), "left")
       .join(borderLbl.withColumnRenamed("a_id", "pid"), Seq("pid"), "left")
       .select(col("pid").as(id), col("is_core"),
         when(col("is_core") === 1, col("lbl"))
           .otherwise(coalesce(col("border_lbl"), lit(-1L))).as("cluster"))
-    pairsHalf.unpersist(); coreEdges.unpersist()
-    out
   }
 }
