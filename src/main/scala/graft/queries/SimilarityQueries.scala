@@ -385,6 +385,67 @@ object SimilarityQueries {
            |  JOIN embeddings e1 ON e1.vec_id = c.id_a
            |  JOIN embeddings e2 ON e2.vec_id = c.id_b)
            |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    Q("embedding_quantize_int8", // vector-store export: per-DIMENSION
+      // symmetric int8 quantization of the embedding corpus. Scales
+      // come from ONE 64-max aggregate (s_j = max|v_j|/127, broadcast
+      // back), then a single zero-shuffle projection emits per-vector
+      // integer checksums (sum_q, max_abs_q, n_clipped — exact) and the
+      // reconstruction error (fixed left-to-right 64-term chain, the
+      // embedding_norms float device, round 6). 100 TB shape: tiny agg
+      // + broadcast + projection, no shuffle of the vectors.
+      (s, d) => {
+        val e = col("embedding")
+        val scaleAggs = (1 to Dim).map(i =>
+          (greatest(max(abs(element_at(e, i).cast("double"))),
+            lit(1e-12)) / 127.0).as(s"s$i"))
+        val scales = emb(s, d).agg(scaleAggs.head, scaleAggs.tail: _*)
+        def q(i: Int) =
+          least(greatest(round(element_at(e, i).cast("double") / col(s"s$i")),
+            lit(-127.0)), lit(127.0))
+        val sumQ = (1 to Dim).map(i => q(i)).reduce(_ + _).cast("long")
+        val maxAbsQ = (1 to Dim).map(i => abs(q(i))).reduce(greatest(_, _))
+          .cast("int")
+        val nClipped = (1 to Dim).map(i =>
+          when(abs(round(element_at(e, i).cast("double") / col(s"s$i"))) > 127,
+            1).otherwise(0)).reduce(_ + _).cast("int")
+        def err(i: Int) = {
+          val dlt = element_at(e, i).cast("double") - q(i) * col(s"s$i")
+          dlt * dlt
+        }
+        val recon = (1 to Dim).map(err).reduce(_ + _)
+        emb(s, d).crossJoin(broadcast(scales))
+          .select(col("vec_id"), sumQ.as("sum_q"), maxAbsQ.as("max_abs_q"),
+            nClipped.as("n_clipped"), round(recon, 6).as("recon_err2"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val scaleCols = (1 to Dim).map(i =>
+          s"GREATEST(MAX(ABS(CAST(embedding[$i] AS DOUBLE))), 1e-12) / 127.0 AS s$i")
+          .mkString(",\n    ")
+        def q(i: Int) =
+          s"LEAST(GREATEST(ROUND(CAST(embedding[$i] AS DOUBLE) / s$i), -127.0), 127.0)"
+        val sumQ = (1 to Dim).map(q).mkString("(", " + ", ")")
+        val maxAbsQ = s"GREATEST(${(1 to Dim).map(i => s"ABS(${q(i)})").mkString(", ")})"
+        val nClipped = (1 to Dim).map(i =>
+          s"CASE WHEN ABS(ROUND(CAST(embedding[$i] AS DOUBLE) / s$i)) > 127 THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+        val recon = (1 to Dim).map(i =>
+          s"(CAST(embedding[$i] AS DOUBLE) - ${q(i)} * s$i) * " +
+            s"(CAST(embedding[$i] AS DOUBLE) - ${q(i)} * s$i)")
+          .mkString("(", " + ", ")")
+        s"""WITH scales AS (
+           |  SELECT
+           |    $scaleCols
+           |  FROM embeddings)
+           |SELECT vec_id,
+           |  CAST($sumQ AS BIGINT) AS sum_q,
+           |  CAST($maxAbsQ AS INT) AS max_abs_q,
+           |  CAST($nClipped AS INT) AS n_clipped,
+           |  ROUND($recon, 6) AS recon_err2
+           |FROM embeddings CROSS JOIN scales
+           |ORDER BY vec_id""".stripMargin
       })
   )
 }
