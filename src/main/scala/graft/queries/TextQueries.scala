@@ -463,6 +463,83 @@ object TextQueries {
               |FROM clusters JOIN scored USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("dedup_incremental_batch", // daily-ingest dedup: a NEW batch
+      // (doc_id % 5 = 0 here) screened against the EXISTING corpus by
+      // MinHash band collision — the front-door filter a production
+      // pipeline runs per ingest instead of re-deduping the world. Per
+      // batch doc: how many of its 8 bands collide with the corpus, the
+      // smallest colliding corpus doc, an intra-batch first-wins flag,
+      // and keep = no corpus hit AND first in batch. Scale shape: band
+      // rows equi-join on (band, sig) — the corpus side streams, the
+      // batch side is the small one.
+      (s, d) => {
+        val bandsAll = DedupOps.minhashBandRows(
+          DedupOps.minhashSignatures(docs(s, d), "doc_id", "text", 3),
+          "doc_id", bands = 8, rows = 2).cache()
+        val corpus = bandsAll.filter(col("doc_id") % 5 =!= 0)
+        val batch = bandsAll.filter(col("doc_id") % 5 === 0)
+        val corpusHits = batch
+          .join(corpus.select(col("band"), col("sig"),
+            col("doc_id").as("c_id")), Seq("band", "sig"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("band")).as("n_band_hits"),
+            min(col("c_id")).as("dup_of0"))
+        val earlier = batch.as("x")
+          .join(batch.select(col("band"), col("sig"),
+            col("doc_id").as("e_id")), Seq("band", "sig"))
+          .filter(col("e_id") < col("doc_id"))
+          .groupBy(col("doc_id")).agg(min(col("e_id")).as("first_dup"))
+        batch.select(col("doc_id")).distinct()
+          .join(corpusHits, Seq("doc_id"), "left")
+          .join(earlier, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_band_hits"), lit(0L)).as("n_band_hits"),
+            coalesce(col("dup_of0"), lit(-1L)).as("dup_of"),
+            (col("n_band_hits").isNull && col("first_dup").isNull)
+              .cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val p = DedupOps.MinhashP
+        val h = sqlHash32("shingle")
+        val mins = DedupOps.MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(($h * $a + $b) % $p) AS m$j"
+        }.mkString(",\n    ")
+        val bandRows = (0 until 8).map { band =>
+          val c1 = s"m${band * 2}"; val c2 = s"m${band * 2 + 1}"
+          s"SELECT doc_id, $band AS band, CONCAT($c1, '_', $c2) AS sig FROM sig"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH sh AS ($shingleSqlDistinct),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |$bandRows),
+           |corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+           |batch AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+           |hits AS (
+           |  SELECT b.doc_id, COUNT(DISTINCT b.band) AS n_band_hits,
+           |    MIN(c.doc_id) AS dup_of0
+           |  FROM batch b JOIN corpus c
+           |    ON c.band = b.band AND c.sig = b.sig
+           |  GROUP BY b.doc_id),
+           |earlier AS (
+           |  SELECT b.doc_id, MIN(e.doc_id) AS first_dup
+           |  FROM batch b JOIN batch e
+           |    ON e.band = b.band AND e.sig = b.sig AND e.doc_id < b.doc_id
+           |  GROUP BY b.doc_id)
+           |SELECT d.doc_id,
+           |  COALESCE(h.n_band_hits, 0) AS n_band_hits,
+           |  COALESCE(h.dup_of0, -1) AS dup_of,
+           |  CAST(CASE WHEN h.doc_id IS NULL AND e.doc_id IS NULL
+           |    THEN 1 ELSE 0 END AS INT) AS keep
+           |FROM (SELECT DISTINCT doc_id FROM batch) d
+           |LEFT JOIN hits h ON h.doc_id = d.doc_id
+           |LEFT JOIN earlier e ON e.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     Q("dedup_minhash_lsh_fast", // scale-path MinHash: xxhash64 shingle
       // hashing (codegen-native) instead of oracle-portable md5 — same
       // banding; rows-only (no xxhash64 in DuckDB). BENCH shows the

@@ -144,19 +144,25 @@ object DedupOps {
     * signatures (a union of b selects would recompute the signature
     * aggregation b times), and both join sides share the identical
     * subplan so Spark reuses the shuffle (ReusedExchange). */
+  /** (id, band, sig) rows of the banded signature — one explode pass
+    * over the aggregated signatures. Shared by the self-join candidates
+    * and the incremental batch-vs-corpus filter. */
+  def minhashBandRows(sig: DataFrame, id: String,
+                      bands: Int, rows: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"m${b * rows + r}"))
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("sig"))
+    }
+    sig.select(col(id), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(id), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   def minhashCandidates(sig: DataFrame, id: String,
                         bands: Int = 4, rows: Int = 4): DataFrame = {
     // The signature table is tiny relative to the corpus (n_docs × k
     // longs) but expensive to produce (shingle explode + aggregation);
     // persist it so the self-join's two sides don't recompute it.
-    val sigC = sig.cache()
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"m${b * rows + r}"))
-      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("sig"))
-    }
-    val bandRows = sigC
-      .select(col(id), explode(array(bandStructs: _*)).as("bs"))
-      .select(col(id), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bandRows = minhashBandRows(sig.cache(), id, bands, rows)
     bandRows.as("x").join(bandRows.as("y"), Seq("band", "sig"))
       .filter(col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("id1"), col(s"y.$id").as("id2"))
