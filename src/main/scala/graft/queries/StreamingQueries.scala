@@ -341,6 +341,35 @@ object StreamingQueries {
              |  ON p.user_id = v.user_id
              |  AND v.event_type = 'view' AND p.event_type = 'purchase'
              |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 3600 SECONDS
-             |GROUP BY v.user_id ORDER BY user_id""".stripMargin))
+             |GROUP BY v.user_id ORDER BY user_id""".stripMargin)),
+
+    Q("stream_quality_filter", // streaming ingest quality gate: the
+      // C4/Gopher composed keep decision per arriving document
+      // (stateless projection — zero state at any ingest rate) with a
+      // per-(lang, keep) audit rollup. Oracle = the batch decision
+      // aggregated the same way.
+      (s, d) => graft.streaming.StreamOps
+        .streamingQualityFilter(s, d, "stream_quality_sink")
+        .orderBy(col("lang"), col("keep")),
+      Some {
+        val enList = graft.text.TextOps.StopwordsEn
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH sig AS (
+           |  SELECT lang,
+           |    len(string_split(text, ' ')) AS ntok,
+           |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |      / len(string_split(text, ' ')) AS mtl,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |        t -> t IN ($enList))) AS DOUBLE)
+           |      / len(string_split(text, ' ')) AS stopr,
+           |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           |      / len(string_split(text, ' ')) AS ttr
+           |  FROM documents)
+           |SELECT lang,
+           |  CASE WHEN ntok BETWEEN 20 AND 2000 AND mtl BETWEEN 3.0 AND 12.0
+           |        AND stopr >= 0.05 AND ttr >= 0.2 THEN 1 ELSE 0 END AS keep,
+           |  COUNT(*) AS n
+           |FROM sig GROUP BY 1, 2 ORDER BY lang, keep""".stripMargin
+      })
   )
 }

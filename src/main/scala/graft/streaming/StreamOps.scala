@@ -223,6 +223,27 @@ object StreamOps {
     * bounded by watermark expiry; the per-row signature path trades the
     * batch variant's shuffle for interpreted-lambda CPU, the right trade
     * when the stream is the bottleneck, not the cores. */
+  /** Streaming ingest quality gate: the C4/Gopher composed keep
+    * decision (TextOps.keepDecision — the quality_filter_decision rule
+    * set) evaluated per arriving document as a STATELESS projection,
+    * rolled into per-(lang, keep) counts. The filter itself carries no
+    * state at any rate; the only stateful operator is the few-group
+    * audit rollup. */
+  def streamingQualityFilter(spark: SparkSession, sfDir: String,
+                             sinkName: String): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .select(col("lang"),
+        graft.text.TextOps.keepDecision(col("text")).cast("int").as("keep"))
+      .groupBy(col("lang"), col("keep"))
+      .agg(count(lit(1)).as("n"))
+    runDrained(spark)(stream.writeStream
+      .format("memory").queryName(sinkName).outputMode("complete").start())
+    spark.table(sinkName)
+  }
+
   def streamingMinhashBandDedup(spark: SparkSession, sfDir: String,
                                 sinkName: String, bands: Int = 8,
                                 rows: Int = 2,

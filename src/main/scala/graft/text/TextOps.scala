@@ -57,6 +57,16 @@ object TextOps {
     (stopwordRatio(text, stopwords) + typeTokenRatio(text) + lenOk) / 3.0
   }
 
+  /** C4/Gopher-style composed keep decision (the quality_filter_decision
+    * rule set: token-count bounds, mean token length, stopword ratio,
+    * type-token ratio) — shared by the batch audit projection and the
+    * streaming ingest gate. */
+  def keepDecision(text: Column): Column =
+    nTokens(text).between(20, 2000) &&
+      meanTokenLen(text).between(3.0, 12.0) &&
+      stopwordRatio(text, StopwordsEn) >= 0.05 &&
+      typeTokenRatio(text) >= 0.2
+
   /** Per-language stopword marker lists for n-gram-free language ID.
     * Deterministic argmax (score desc, then language code asc). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
