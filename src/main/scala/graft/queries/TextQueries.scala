@@ -754,6 +754,34 @@ object TextQueries {
              |  FROM scored)
              |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin)),
 
+    Q("bpe_merge_candidates", // tokenizer training, first BPE round:
+      // character-pair frequencies over the corpus word multiset
+      // (pair count = Σ_words n(word) · occurrences-in-word), top-20
+      // merge candidates by (count desc, pair asc). Scale shape: one
+      // word-count shuffle (map-side combined), pair explosion over the
+      // DISTINCT-word table only (≪ corpus), one pair shuffle, top-k.
+      (s, d) => docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .filter(length(col("w")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair").asc)
+        .limit(20),
+      Some("""WITH words AS (
+             |  SELECT w, COUNT(*) AS n FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  GROUP BY w),
+             |prs AS (
+             |  SELECT n, unnest(list_transform(range(1, length(w)),
+             |    i -> substring(w, i, 2))) AS pair
+             |  FROM words WHERE length(w) >= 2)
+             |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occ
+             |FROM prs GROUP BY pair
+             |ORDER BY n_occ DESC, pair ASC LIMIT 20""".stripMargin)),
+
     Q("doc_chunk_overlap", // fixed token-window chunking with stride
       // (window=32, stride=24 → 8-token overlap) — the RAG/pretraining
       // document splitter. Chunk starts are 1 + k·stride for
