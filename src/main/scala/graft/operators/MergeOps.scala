@@ -116,6 +116,63 @@ object MergeOps {
       .withColumnRenamed("__asof", s"asof_$value")
   }
 
+  /** As-of join, pandas `merge_asof(direction='nearest', tolerance=…)`
+    * semantics: each left row takes the right row minimizing |Δtime|
+    * within `tolerance`; distance ties pick the backward (earlier)
+    * side, equal-time ties the largest `tiebreak` (the [[asofJoin]]
+    * convention). Composed from TWO union-window passes — the
+    * backward window and its time-reversed twin — over one key
+    * shuffle; both windows share the hash partitioning, so the plan is
+    * one exchange + two per-key sorts, never a time-range join
+    * explosion. Adds `nearest_<value>` and the signed `nearest_dt`
+    * (right − left), both null when nothing lies within tolerance. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      time: String, value: String, tiebreak: String,
+                      tolerance: Long): DataFrame = {
+    val vType = right.schema(value).dataType
+    val tType = right.schema(time).dataType
+    val rv = struct(col(time).cast(tType).as("t"), col("__v").as("v"))
+    val nullRv = lit(null).cast(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t", tType),
+        org.apache.spark.sql.types.StructField("v", vType))))
+    val leftCols = left.columns
+    val l = left.withColumn("__side", lit(1)).withColumn("__rv", nullRv)
+    val r = right.select(col(key), col(time), col(tiebreak),
+        col(value).as("__v"))
+      .withColumn("__side", lit(0)).withColumn("__rv", rv)
+    val unioned = l
+      .select((leftCols.map(col) :+ col("__side") :+ col("__rv"))
+        .toIndexedSeq: _*)
+      .unionByName(r.select(
+        (leftCols.map(c =>
+          if (c == key || c == time || c == tiebreak) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c))
+          :+ col("__side") :+ col("__rv")).toIndexedSeq: _*))
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__side").asc, col(tiebreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col(time).desc, col("__side").asc, col(tiebreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val db = col(time) - col("__b.t")   // ≥ 0 when backward match exists
+    val df = col("__f.t") - col(time)   // ≥ 0 when forward match exists
+    unioned
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wb))
+      .withColumn("__f", last(col("__rv"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn(s"nearest_$value",
+        when(col("__b").isNotNull && db <= tolerance &&
+            (col("__f").isNull || df > tolerance || db <= df),
+          col("__b.v"))
+        .when(col("__f").isNotNull && df <= tolerance, col("__f.v")))
+      .withColumn("nearest_dt",
+        when(col("__b").isNotNull && db <= tolerance &&
+            (col("__f").isNull || df > tolerance || db <= df), -db)
+        .when(col("__f").isNotNull && df <= tolerance, df))
+      .drop("__side", "__rv", "__b", "__f")
+  }
+
   /** Venn-diagram disjoint-region counts over n keyed inputs
     * (widgets/visualize/owvenndiagram.py get_disjoint: for each of the
     * 2^n − 1 inclusion masks, the number of distinct keys present in

@@ -48,6 +48,53 @@ object StreamingQueries {
               |FROM events GROUP BY 1, 2
               |ORDER BY bucket_start, event_type""".stripMargin)),
 
+    Q("events_asof_nearest", // pandas merge_asof(direction='nearest',
+      // tolerance=1800s): each purchase takes the user's CLOSEST view
+      // value within ±30 min (ties → the earlier view; equal times →
+      // largest event id). MergeOps.asofJoinNearest — one key shuffle,
+      // two per-key window sorts, no range-join explosion; the oracle
+      // IS the range join + argmin (fine at oracle scale).
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000").as("tsec"), col("event_type"),
+          col("value"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("tsec"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("tsec"), col("value"))
+        graft.operators.MergeOps.asofJoinNearest(
+            purchases, views, key = "user_id", time = "tsec",
+            value = "value", tiebreak = "event_id", tolerance = 1800L)
+          .select(col("user_id"), col("event_id"), col("tsec"),
+            coalesce(round(col("nearest_value"), 6), lit(-1.0))
+              .as("nearest_value"),
+            coalesce(col("nearest_dt"), lit(-999999L)).as("nearest_dt"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |         CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec,
+             |         event_type, value
+             |  FROM events),
+             |p AS (SELECT user_id, event_id, tsec FROM e
+             |      WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, event_id, tsec, value FROM e
+             |      WHERE event_type = 'view'),
+             |cand AS (
+             |  SELECT p.user_id, p.event_id, p.tsec,
+             |    v.value AS vv, v.tsec - p.tsec AS dt,
+             |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+             |      ORDER BY ABS(v.tsec - p.tsec) ASC, v.tsec ASC,
+             |               v.event_id DESC) AS rn
+             |  FROM p JOIN v ON v.user_id = p.user_id
+             |    AND ABS(v.tsec - p.tsec) <= 1800)
+             |SELECT p.user_id, p.event_id, p.tsec,
+             |  COALESCE(ROUND(c.vv, 6), -1.0) AS nearest_value,
+             |  COALESCE(c.dt, -999999) AS nearest_dt
+             |FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+             |  ON c.event_id = p.event_id
+             |ORDER BY p.user_id, p.event_id""".stripMargin)),
+
     Q("events_asof_join", // as-of join (operators Spark lacks natively,
       // composed from existing ops — MergeOps.asofJoin): each purchase
       // picks up the value of the user's most recent view at-or-before
