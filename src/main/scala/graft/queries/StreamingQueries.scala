@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Tables._
@@ -47,6 +48,56 @@ object StreamingQueries {
               |  event_type, COUNT(*) AS n, ${sqlSum("value")} AS total_value
               |FROM events GROUP BY 1, 2
               |ORDER BY bucket_start, event_type""".stripMargin)),
+
+    Q("events_anomaly_zscore", // trailing-window anomaly scoring: each
+      // event's value against the mean/σ of its type's previous 50
+      // events (frame −50..−1, ≥ 30 filled) — the monitoring/outlier
+      // shape for event streams. Windows are keyed by event_type (fully
+      // parallel); moment sums go through the per-term-rounded DECIMAL
+      // device so both engines' frame evaluations agree, and z uses one
+      // fixed operation order. Emits |z| ≥ 3 rows.
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-50, -1)
+        val vDec = col("value").cast("decimal(38,6)")
+        val v2Dec = round(col("value") * col("value"), 6).cast("decimal(38,6)")
+        val cnt = count(lit(1)).over(w)
+        val s1 = sum(vDec).over(w).cast("double")
+        val s2 = sum(v2Dec).over(w).cast("double")
+        val mean = s1 / cnt
+        val varS = (s2 - s1 * s1 / cnt) / (cnt - 1)
+        val z = (col("value") - mean) / sqrt(varS)
+        ev(s, d)
+          .select(col("event_type"), col("event_id"),
+            expr("ts div 1000000000").as("tsec"), col("value"), col("ts"))
+          .withColumn("n_win", cnt).withColumn("z", z)
+          .filter(col("n_win") >= 30 && abs(round(col("z"), 6)) >= 3.0)
+          .select(col("event_type"), col("event_id"), col("tsec"),
+            round(col("value"), 6).as("value"), round(col("z"), 6).as("z"))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      Some("""SELECT event_type, event_id, tsec,
+             |  ROUND(value, 6) AS value, ROUND(z, 6) AS z
+             |FROM (
+             |  SELECT event_type, event_id,
+             |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec, value,
+             |    COUNT(*) OVER w AS n_win,
+             |    (value - (CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w
+             |        AS DOUBLE) / COUNT(*) OVER w))
+             |      / SQRT((CAST(SUM(CAST(ROUND(value * value, 6)
+             |            AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |          - CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w
+             |              AS DOUBLE)
+             |            * CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w
+             |              AS DOUBLE) / COUNT(*) OVER w)
+             |        / (COUNT(*) OVER w - 1)) AS z
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type
+             |    ORDER BY epoch_ns(ts), event_id
+             |    ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+             |WHERE n_win >= 30 AND ABS(ROUND(z, 6)) >= 3.0
+             |ORDER BY event_type, event_id""".stripMargin)),
 
     Q("events_asof_nearest", // pandas merge_asof(direction='nearest',
       // tolerance=1800s): each purchase takes the user's CLOSEST view
