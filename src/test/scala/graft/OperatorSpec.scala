@@ -120,4 +120,45 @@ class OperatorSpec extends SparkSpec {
     val b = batch.orderBy("bucket_start", "event_type").collect().toSeq
     assert(s == b)
   }
+
+  test("asofJoinNearest: tolerance, backward tie, equal-time tiebreak") {
+    import spark.implicits._
+    // left at t=100 (ties 90 vs 110 → backward), t=200 (only forward
+    // within tol), t=300 (nothing within tol), t=400 (two rights at the
+    // same time → largest tiebreak id wins)
+    // tiebreak must be a column of BOTH sides (the asofJoin contract)
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (1L, 300L, 12L),
+      (1L, 400L, 13L)).toDF("k", "t", "eid")
+    val right = Seq(
+      (1L, 90L, 901L, 9.0), (1L, 110L, 902L, 11.0),
+      (1L, 230L, 903L, 23.0),
+      (1L, 400L, 904L, 40.0), (1L, 400L, 905L, 41.0)
+    ).toDF("k", "t", "eid", "v")
+    val out = graft.operators.MergeOps.asofJoinNearest(
+        left, right, "k", "t", "v", "eid", tolerance = 50L)
+      .select(col("eid"), col("nearest_v"), col("nearest_dt"))
+      .orderBy(col("eid"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    assert(out == Seq(
+      (10L, Some(9.0), Some(-10L)),   // distance tie → backward
+      (11L, Some(23.0), Some(30L)),   // forward only
+      (12L, None, None),              // out of tolerance
+      (13L, Some(41.0), Some(0L))))   // equal time → max tiebreak
+  }
+
+  test("exclusiveCumsum equals the single-partition window form") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("id", "v")
+    val got = graft.functions.RankOps
+      .exclusiveCumsum(df, "id", "v", "cum", parts = 8)
+      .orderBy("id").select("id", "cum").as[(Long, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val exp = df.withColumn("cum", coalesce(sum(col("v")).over(w), lit(0L)))
+      .orderBy("id").select("id", "cum").as[(Long, Long)].collect().toSeq
+    assert(got == exp)
+  }
 }
