@@ -378,6 +378,106 @@ object Community {
        |$select""".stripMargin
   }
 
+  /** PageRank over an undirected (symmetrized-distinct) edge list —
+    * the corpus-authority score used for link-graph quality weighting.
+    * r₀ = 1/n; r_{t+1}(u) = (1−d)/n + d·Σ_{v∈N(u)} round12(r_t(v)/deg(v)),
+    * with the per-neighbor contributions rounded to the 1e-12 grid and
+    * summed through DECIMAL — the detSum device — so the trajectory is
+    * order-independent and replays exactly in the unrolled-CTE oracle
+    * ([[pagerankSql]]) and in the sub-cap driver replay. The symmetric
+    * graph has no dangling nodes, so no residual redistribution term.
+    * Distributed round = one edge join + one keyed aggregation; the
+    * driver fast path takes over below [[LocalEdgeCap]] like the other
+    * community rounds. */
+  def pagerank(edges: DataFrame, src: String, dst: String,
+               rounds: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    if (useLocal && longIds(edges, src, dst)) {
+      val cnt = e.count()
+      if (2 * cnt <= LocalEdgeCap) {
+        val arr = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+        return pagerankLocalDf(edges.sparkSession, arr, rounds, damping)
+      }
+    }
+    val symC = sym.localCheckpoint(eager = true)
+    val deg = symC.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    val n = deg.count().toDouble
+    var ranks = deg.select(col("u").as("node"), (lit(1.0) / n).as("r"))
+      .localCheckpoint(eager = true)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 14)
+    for (_ <- 0 until rounds) {
+      val contrib = ranks
+        .join(deg.withColumnRenamed("u", "node"), "node")
+        .join(symC.withColumnRenamed("u", "node"), "node")
+        .select(col("v").as("node"),
+          round(col("r") / col("deg"), 12).cast(dec).as("c"))
+      ranks = contrib.groupBy(col("node"))
+        .agg(((lit(1.0) - lit(damping)) / lit(n) +
+          lit(damping) * sum(col("c")).cast("double")).as("r"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
+  /** Driver replay of [[pagerank]] — identical decimal-grid arithmetic
+    * (round-12 contributions, exact decimal sums, same double ops). */
+  private def pagerankLocalDf(spark: org.apache.spark.sql.SparkSession,
+      sym: Array[(Long, Long)], rounds: Int, damping: Double): DataFrame = {
+    import java.math.{BigDecimal => JBD}
+    val nbrs = sym.groupMap(_._1)(_._2)
+    val deg = nbrs.map { case (u, vs) => u -> vs.length }
+    val n = nbrs.size.toDouble
+    var r: Map[Long, Double] = nbrs.keysIterator.map(_ -> 1.0 / n).toMap
+    def round12(x: Double): Double =
+      JBD.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    for (_ <- 0 until rounds) {
+      val acc = scala.collection.mutable.HashMap.empty[Long, JBD]
+      nbrs.foreach { case (v, outs) =>
+        val c = JBD.valueOf(round12(r(v) / deg(v)))
+          .setScale(14, java.math.RoundingMode.HALF_UP)
+        outs.foreach { u =>
+          acc.update(u, acc.getOrElse(u, JBD.ZERO).add(c)) }
+      }
+      r = acc.iterator.map { case (u, s) =>
+        u -> ((1.0 - damping) / n + damping * s.doubleValue()) }.toMap
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("r", DoubleType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      r.toSeq.sortBy(_._1).map(p => Row(p._1, p._2)): _*), schema)
+  }
+
+  /** DuckDB twin of [[pagerank]] for a caller-supplied prefix defining
+    * `sym(u, v)`: per-round CTEs computing the identical decimal-grid
+    * contribution sums. */
+  def pagerankSql(prefix: String, rounds: Int, damping: Double,
+                  select: String): String = {
+    val body = (1 to rounds).map { t =>
+      s"""pr$t AS MATERIALIZED (
+         |  SELECT s.v AS node,
+         |    (1.0 - $damping) / nv.n + $damping *
+         |      CAST(SUM(CAST(ROUND(p.r / d.deg, 12) AS DECIMAL(38,14)))
+         |        AS DOUBLE) AS r
+         |  FROM sym s
+         |  JOIN pr${t - 1} p ON p.node = s.u
+         |  JOIN deg d ON d.u = s.u
+         |  CROSS JOIN nv
+         |  GROUP BY s.v, nv.n)""".stripMargin
+    }
+    s"""WITH $prefix,
+       |deg AS MATERIALIZED (
+       |  SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+       |nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+       |pr0 AS (SELECT u AS node, 1.0 / nv.n AS r FROM deg CROSS JOIN nv),
+       |${body.mkString(",\n")}
+       |$select""".stripMargin
+  }
+
   /** TEST-ONLY exact twin of [[knnGraphLSH]]: kNN graph by brute-force
     * O(n²) pair scan. Never in a query path — the engine's graph build is
     * knnGraphLSH (bucketed candidates); this exists solely as the

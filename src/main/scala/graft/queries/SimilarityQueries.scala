@@ -387,6 +387,27 @@ object SimilarityQueries {
            |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
       }),
 
+    Q("graph_pagerank", // link-graph authority scoring (the corpus
+      // quality-weighting shape): 10 PageRank rounds over the same
+      // LSH-bucketed kNN similarity graph as the community queries.
+      // Per-neighbor contributions are rounded to the 1e-12 grid and
+      // summed through DECIMAL (the detSum device), so the trajectory
+      // replays exactly in the unrolled-CTE oracle; sub-cap graphs take
+      // the bit-identical driver replay.
+      (s, d) => {
+        val e = emb(s, d).filter(col("vec_id") < 500)
+        val graph = graft.ml.Community.knnGraphLSH(
+          e, "vec_id", "embedding", Dim, 5, nPlanes = 4)
+        graft.ml.Community.pagerank(graph, "src", "dst", rounds = 10)
+          .select(col("node"), round(col("r"), 6).as("rank"))
+          .orderBy(col("node"))
+      },
+      Some(graft.ml.Community.pagerankSql(
+        lshSymGraphPrefix(500, 5, nPlanes = 4),
+        rounds = 10, damping = 0.85,
+        select = """SELECT node, ROUND(r, 6) AS rank
+                   |FROM pr10 ORDER BY node""".stripMargin))),
+
     Q("embedding_quantize_int8", // vector-store export: per-DIMENSION
       // symmetric int8 quantization of the embedding corpus. Scales
       // come from ONE 64-max aggregate (s_j = max|v_j|/127, broadcast

@@ -90,11 +90,15 @@ class CommunitySpec extends SparkSpec {
       Community.labelPropagation(edges, "src", "dst", 3)
         .orderBy("node").as[(Long, Long)].collect().toSeq,
       Community.louvain(edges, "src", "dst", 1, 4)
-        .orderBy("node").as[(Long, Long)].collect().toSeq)
-    val (lpaLoc, louLoc) = run()
+        .orderBy("node").as[(Long, Long)].collect().toSeq,
+      Community.pagerank(edges, "src", "dst", 5)
+        .orderBy("node").as[(Long, Double)].collect().toSeq)
+    val (lpaLoc, louLoc, prLoc) = run()
     Community.useLocal = false
-    val (lpaDist, louDist) = try run() finally Community.useLocal = true
+    val (lpaDist, louDist, prDist) =
+      try run() finally Community.useLocal = true
     assert(lpaLoc == lpaDist)
     assert(louLoc == louDist)
+    assert(prLoc == prDist) // decimal-grid sums ⇒ bit-equal ranks
   }
 }
