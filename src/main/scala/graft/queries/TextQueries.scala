@@ -463,6 +463,60 @@ object TextQueries {
               |FROM clusters JOIN scored USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("dedup_edit_distance", // fuzzy-match finisher: MinHash band
+      // candidates re-scored with EXACT Levenshtein distance and kept
+      // under a relative threshold (dist ≤ 20% of the longer text) —
+      // the high-precision pass after the probabilistic screen. Both
+      // engines ship integer levenshtein, so the score is exact; the
+      // expensive O(len²) metric runs only on the candidate pairs,
+      // never the corpus cross product.
+      (s, d) => {
+        val dd = docs(s, d)
+        val cand = DedupOps.minhashCandidates(
+          DedupOps.minhashSignatures(dd, "doc_id", "text", 3),
+          "doc_id", bands = 8, rows = 2)
+        cand
+          .join(dd.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+          .join(dd.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+          .select(col("id1"), col("id2"),
+            levenshtein(col("t1"), col("t2")).as("edit_dist"),
+            greatest(length(col("t1")), length(col("t2"))).as("max_len"))
+          .filter(col("edit_dist") * 5 <= col("max_len"))
+          .orderBy(col("id1"), col("id2"))
+      },
+      Some {
+        val p = DedupOps.MinhashP
+        val h = sqlHash32("shingle")
+        val mins = DedupOps.MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+          s"MIN(($h * $a + $b) % $p) AS m$j"
+        }.mkString(",\n    ")
+        val bandRows = (0 until 8).map { band =>
+          val c1 = s"m${band * 2}"; val c2 = s"m${band * 2 + 1}"
+          s"SELECT doc_id, $band AS band, CONCAT($c1, '_', $c2) AS sig FROM sig"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH sh AS ($shingleSqlDistinct),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |$bandRows),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+           |SELECT id1, id2,
+           |  CAST(levenshtein(d1.text, d2.text) AS INT) AS edit_dist,
+           |  CAST(GREATEST(LENGTH(d1.text), LENGTH(d2.text)) AS INT)
+           |    AS max_len
+           |FROM cand
+           |JOIN documents d1 ON d1.doc_id = id1
+           |JOIN documents d2 ON d2.doc_id = id2
+           |WHERE levenshtein(d1.text, d2.text) * 5
+           |  <= GREATEST(LENGTH(d1.text), LENGTH(d2.text))
+           |ORDER BY id1, id2""".stripMargin
+      }),
+
     Q("dedup_incremental_batch", // daily-ingest dedup: a NEW batch
       // (doc_id % 5 = 0 here) screened against the EXISTING corpus by
       // MinHash band collision — the front-door filter a production
