@@ -63,6 +63,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("grid DBSCAN never materializes a pair table") {
+    // the cell-clique rewrite streams every pass through partial
+    // aggregation: no cached relation (the old pair cache) and no
+    // single-partition exchange may appear
+    val p = plan("ml_dbscan_grid_2d")
+    assert(!p.contains("InMemoryTableScan"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("equal-freq grid scale path: no single-partition exchange, no global sort") {
     val p = plan("discretize_equalfreq_approx")
     assert(!p.contains("Exchange SinglePartition"))
