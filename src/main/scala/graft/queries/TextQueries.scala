@@ -463,6 +463,123 @@ object TextQueries {
               |FROM clusters JOIN scored USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    Q("pipeline_corpus_curation", // the END-TO-END curation pipeline as
+      // one declarative plan: per language, documents flow through the
+      // C4/Gopher quality gate → exact text dedup (min doc id per
+      // distinct text) → near-dup canonicalization (the Jaccard + CC
+      // finisher over the surviving docs) → the 256-token packing plan;
+      // the audit row per language carries every stage's count, the
+      // surviving token mass, and the training bins it fills. Each
+      // stage is the already-gated operator; what this query verifies
+      // is the COMPOSITION (counts thread through the same rows both
+      // engines end to end).
+      (s, d) => {
+        val dd = docs(s, d)
+        val quality = dd.filter(TextOps.keepDecision(col("text")))
+        // exact dedup: keep the smallest doc_id per distinct text
+        val exactKeep = quality
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+          .filter(col("__rk") === 1).drop("__rk")
+        // near-dup canonicalization over the exact-kept survivors
+        val pairs = DedupOps.jaccardPairs(exactKeep, "doc_id", "text", 3,
+          0.3, maxDocFreq = Some(50))
+        val canon = DedupOps.canonicalize(exactKeep, pairs, "doc_id")
+          .filter(col("keep") === 1).select(col("doc_id"))
+        val kept = exactKeep.join(canon, "doc_id")
+          .select(col("lang"), col("doc_id"),
+            TextOps.nTokens(col("text")).cast("long").as("n_tok"))
+        val stages = dd.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_raw"))
+          .join(quality.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_quality")), Seq("lang"), "left")
+          .join(exactKeep.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_exact")), Seq("lang"), "left")
+          .join(kept.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_final"),
+              sum(col("n_tok")).as("total_tokens")), Seq("lang"), "left")
+        stages.select(col("lang"), col("n_raw"),
+            coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            coalesce(col("n_final"), lit(0L)).as("n_final"),
+            coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+            when(coalesce(col("total_tokens"), lit(0L)) > 0,
+              floor((col("total_tokens") - 1) / 256) + 1)
+              .otherwise(0L).as("n_bins"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val keepSql =
+          s"""len(string_split(text, ' ')) BETWEEN 20 AND 2000
+             |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |      / len(string_split(text, ' ')) BETWEEN 3.0 AND 12.0
+             |    AND CAST(len(list_filter(string_split(text, ' '),
+             |        t -> t IN ($enList))) AS DOUBLE)
+             |      / len(string_split(text, ' ')) >= 0.05
+             |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / len(string_split(text, ' ')) >= 0.2""".stripMargin
+        s"""WITH RECURSIVE quality AS MATERIALIZED (
+           |  SELECT doc_id, lang, text FROM documents
+           |  WHERE $keepSql),
+           |exact AS MATERIALIZED (
+           |  SELECT doc_id, lang, text FROM (
+           |    SELECT doc_id, lang, text, ROW_NUMBER() OVER (
+           |      PARTITION BY text ORDER BY doc_id) AS rk
+           |    FROM quality) WHERE rk = 1),
+           |sh0 AS (
+           |  SELECT DISTINCT doc_id, shingle FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, len(ts) - 1),
+           |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS ts
+           |          FROM exact))),
+           |keep0 AS (SELECT shingle FROM sh0 GROUP BY shingle
+           |          HAVING COUNT(*) <= 50),
+           |sh AS (SELECT sh0.* FROM sh0 JOIN keep0 USING (shingle)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id),
+           |prs AS (
+           |  SELECT id1, id2 FROM inter
+           |  JOIN sizes s1 ON s1.doc_id = id1
+           |  JOIN sizes s2 ON s2.doc_id = id2
+           |  WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) >= 0.3),
+           |edges AS (SELECT id1 AS u, id2 AS v FROM prs
+           |          UNION SELECT id2, id1 FROM prs),
+           |reach(node, label) AS (
+           |  SELECT doc_id, doc_id FROM exact
+           |  UNION
+           |  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+           |canon AS MATERIALIZED (
+           |  SELECT node AS doc_id FROM reach GROUP BY node
+           |  HAVING node = MIN(label)),
+           |kept AS MATERIALIZED (
+           |  SELECT e.lang, e.doc_id,
+           |    CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tok
+           |  FROM exact e JOIN canon c ON c.doc_id = e.doc_id)
+           |SELECT d.lang, COUNT(*) AS n_raw,
+           |  COALESCE(q.n, 0) AS n_quality,
+           |  COALESCE(x.n, 0) AS n_exact,
+           |  COALESCE(k.n, 0) AS n_final,
+           |  COALESCE(k.tok, 0) AS total_tokens,
+           |  CASE WHEN COALESCE(k.tok, 0) > 0
+           |    THEN CAST(FLOOR((k.tok - 1) / 256) AS BIGINT) + 1
+           |    ELSE 0 END AS n_bins
+           |FROM documents d
+           |LEFT JOIN (SELECT lang, COUNT(*) AS n FROM quality GROUP BY lang) q
+           |  ON q.lang = d.lang
+           |LEFT JOIN (SELECT lang, COUNT(*) AS n FROM exact GROUP BY lang) x
+           |  ON x.lang = d.lang
+           |LEFT JOIN (SELECT lang, COUNT(*) AS n,
+           |             CAST(SUM(n_tok) AS BIGINT) AS tok
+           |           FROM kept GROUP BY lang) k
+           |  ON k.lang = d.lang
+           |GROUP BY d.lang, q.n, x.n, k.n, k.tok
+           |ORDER BY d.lang""".stripMargin
+      }),
+
     Q("dedup_edit_distance", // fuzzy-match finisher: MinHash band
       // candidates re-scored with EXACT Levenshtein distance and kept
       // under a relative threshold (dist ≤ 20% of the longer text) —
