@@ -84,8 +84,11 @@ object RankOps {
     // global offsets: the per-partition totals table is ≤ `parts` rows —
     // fold it on the driver (exact integer sums) instead of a
     // single-partition window, and ship the map back as a broadcast join
+    // coalesce: a range partition whose values are all NULL sums to NULL,
+    // which must contribute 0 to the offsets (matching the window pass,
+    // whose per-row prefix is coalesced below)
     val ptots = ranged.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("__ptot"))
+      .agg(coalesce(sum(col(valueCol)), lit(0L)).as("__ptot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offs = ptots.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
       (pid, acc + tot) }

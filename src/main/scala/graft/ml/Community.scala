@@ -35,10 +35,19 @@ object Community {
     * and the unrolled-CTE oracle — agree bit-for-bit. */
   private[ml] val LocalEdgeCap = 2000000L
 
-  /** TEST-ONLY escape hatch: CommunitySpec flips this to force the
-    * distributed rounds on sub-cap fixtures and differential-check them
-    * against the driver replay. Always true in query paths. */
-  private[graft] var useLocal = true
+  /** TEST-ONLY escape hatch: CommunitySpec forces the distributed rounds
+    * on sub-cap fixtures through [[withDistributed]] and
+    * differential-checks them against the driver replay. Always true in
+    * query paths; mutation is confined to the synchronized helper so a
+    * concurrent session in the same JVM can't observe a mid-run flip. */
+  @volatile private var useLocal = true
+
+  /** Run `body` with the driver fast path disabled, serialized against
+    * other callers and always restoring the flag (test-only). */
+  private[graft] def withDistributed[T](body: => T): T = synchronized {
+    useLocal = false
+    try body finally useLocal = true
+  }
 
   private def longIds(df: DataFrame, a: String, b: String): Boolean = {
     import org.apache.spark.sql.types.LongType
@@ -391,8 +400,12 @@ object Community {
     * community rounds. */
   def pagerank(edges: DataFrame, src: String, dst: String,
                rounds: Int, damping: Double = 0.85): DataFrame = {
+    // distinct AFTER symmetrization too (matching labelPropagation): an
+    // input carrying both orientations of an edge, or self-loops, would
+    // otherwise double-count degrees and contributions
     val e = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
     if (useLocal && longIds(edges, src, dst)) {
       val cnt = e.count()
       if (2 * cnt <= LocalEdgeCap) {

@@ -2,7 +2,6 @@ package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import scala.util.Random
 
 /** Isolation forest (reference Orange/classification/outlier_detection.py
   * IsolationForestLearner, sklearn-backed; original: Liu, Ting, Zhou,
@@ -16,8 +15,17 @@ import scala.util.Random
   * narrow map — no shuffle at any data size. The per-row scorer is a
   * Scala UDF (flagged: a 100-tree traversal doesn't unroll into a
   * codegen-friendly when-chain); it stays off the oracle path.
+  *
+  * Every random draw is HASH-DRIVEN (md5-derived `PortableHash.hash32`
+  * keyed by tree index + node path, the same portable-hash device the
+  * other RNG-bound ops use) instead of a sequential `java.util.Random`
+  * stream. That makes the induction a pure function of (sample, tag) and
+  * therefore replayable level-by-level in the DuckDB oracle: the
+  * `outliers_isolation_forest` oracle SQL rebuilds the identical forest
+  * with md5 expressions and walks it in unrolled per-depth CTE rounds.
   */
 object IsolationForest {
+  import graft.core.PortableHash.hash32
 
   /** Flat node encoding: split feature, split value, children indices
     * (-1 ⇒ leaf), node sample size. */
@@ -100,55 +108,76 @@ object IsolationForest {
   }
 
   /** Fit on a pre-collected sample (deterministic order expected from the
-    * caller). Each tree draws ψ rows with a per-tree seeded RNG. */
+    * caller). Hash-driven induction, a pure function of (sample, tag):
+    *  - tree t's ψ-subsample draws row `hash32("<tag>_sub_<t>_<i>") % n`;
+    *  - the split feature at node `path` (the "0"/"1" left-right string
+    *    from the root) is `candidates[hash32("<tag>_att_<t>_<path>") % k]`
+    *    over the spread features in index order;
+    *  - the split point is `lo + u·(hi−lo)` with
+    *    `u = hash32("<tag>_split_<t>_<path>") / 2^32`.
+    * Leaves: singleton, depth ≥ ⌈log2 ψ⌉, all-constant rows, or an empty
+    * left child (split ≤ lo, possible when u ≈ 0; an empty right child
+    * cannot occur since split < hi by construction). */
   def fit(sample: Array[Array[Double]], nTrees: Int = 100,
-          sampleSize: Int = 256, seed: Long = 42L): Model = {
+          sampleSize: Int = 256, tag: String = "ifs"): Model = {
     val nAtts = sample.head.length
+    val n = sample.length
     val trees = (0 until nTrees).toArray.map { t =>
-      val rnd = new Random(seed + t)
-      val psi = math.min(sampleSize, sample.length)
-      val sub = Array.fill(psi)(sample(rnd.nextInt(sample.length)))
+      val psi = math.min(sampleSize, n)
+      val sub = (0 until psi).toArray.map { i =>
+        sample((hash32(s"${tag}_sub_${t}_$i") % n).toInt)
+      }
       val maxDepth = math.ceil(math.log(psi.toDouble) / math.log(2.0)).toInt
       val nodes = scala.collection.mutable.ArrayBuffer.empty[Node]
-      def build(rows: Array[Array[Double]], depth: Int): Int = {
+      def build(rows: Array[Array[Double]], path: String, depth: Int): Int = {
         val idx = nodes.length
         nodes += Node(-1, 0.0, -1, -1, rows.length) // placeholder
-        val constant = (0 until nAtts).forall { a =>
-          rows.forall(_(a) == rows.head(a)) }
-        if (rows.length <= 1 || depth >= maxDepth || constant) return idx
-        // random feature with spread, random split in its range
         val candidates = (0 until nAtts).filter { a =>
           rows.exists(_(a) != rows.head(a)) }
-        val att = candidates(rnd.nextInt(candidates.length))
+        if (rows.length <= 1 || depth >= maxDepth || candidates.isEmpty)
+          return idx
+        val att = candidates(
+          (hash32(s"${tag}_att_${t}_$path") % candidates.length).toInt)
         val lo = rows.map(_(att)).min; val hi = rows.map(_(att)).max
-        val split = lo + rnd.nextDouble() * (hi - lo)
+        val u = hash32(s"${tag}_split_${t}_$path").toDouble / 4294967296.0
+        val split = lo + u * (hi - lo)
         val (l, r) = rows.partition(_(att) < split)
         if (l.isEmpty || r.isEmpty) return idx
-        val li = build(l, depth + 1)
-        val ri = build(r, depth + 1)
+        val li = build(l, path + "0", depth + 1)
+        val ri = build(r, path + "1", depth + 1)
         nodes(idx) = Node(att, split, li, ri, rows.length)
         idx
       }
-      build(sub, 0)
+      build(sub, "", 0)
       nodes.toArray
     }
     Model(trees, sampleSize)
   }
 
   /** Fit on a deterministic sample of `df`, then score every row
-    * distributed; adds `out` = anomaly score. */
-  def scoreColumn(df: DataFrame, features: Seq[String], orderKey: String,
+    * distributed; adds `out` = anomaly score. `keys` must uniquely
+    * identify rows — the fit sample is the first `fitRows` rows ordered
+    * by (seeded key hash, keys), a total order both engines reproduce. */
+  def scoreColumn(df: DataFrame, features: Seq[String], keys: Seq[String],
                   out: String, nTrees: Int = 100, fitRows: Int = 512,
-                  seed: Long = 42L): DataFrame = {
+                  tag: String = "ifs"): DataFrame = {
     // deterministic pseudo-random sample: order by a seeded hash of the
-    // key, not the key itself (which could correlate with features)
+    // key tuple, not the keys themselves (which could correlate with
+    // features); key columns break the (unlikely) 32-bit hash ties
+    val keyConcat = concat(
+      lit(tag + "_") +: keys.zipWithIndex.flatMap { case (k, i) =>
+        (if (i == 0) Nil else Seq(lit("_"))) :+ col(k).cast("string")
+      }: _*)
+    // keys need not be unique in the input (synthetic lineitem repeats
+    // (orderkey, linenumber)) — extend the sort to the feature values so
+    // the 512-row cut is a total order on everything that matters
     val sample = df
-      .select(graft.core.Tables.hashVal32(
-          concat(lit("ifs_"), col(orderKey))).as("__h") +:
-        features.map(f => col(f).cast("double")): _*)
-      .orderBy(col("__h")).limit(fitRows).drop("__h")
+      .select(graft.core.Tables.hashVal32(keyConcat).as("__h") +:
+        (keys.map(col) ++ features.map(f => col(f).cast("double"))): _*)
+      .orderBy(col("__h") +: (keys ++ features).map(col): _*).limit(fitRows)
+      .drop("__h").drop(keys: _*)
       .collect().map(r => features.indices.map(r.getDouble).toArray)
-    val model = fit(sample, nTrees, 256, seed).compiled
+    val model = fit(sample, nTrees, 256, tag).compiled
     val k = features.length
     val scoreUdf = udf((xs: Seq[Double]) => {
       // one reusable primitive copy; the compiled walk never boxes

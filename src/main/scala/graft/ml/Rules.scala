@@ -64,15 +64,20 @@ object Rules {
   // distributed scan loop below takes over unchanged.
   private[ml] val JointCap = 1 << 20
 
-  /** (feature values, class, count) per live joint-contingency cell. */
+  /** (feature values, class, count) per live joint-contingency cell.
+    * The collect cap scales inversely with feature count — each cell
+    * carries one boxed string per feature, so bounding cells·features
+    * (not cells alone) keeps the driver copy inside the tiny-collect
+    * envelope for wide feature sets too. */
   private def jointTuples(df: DataFrame, features: Seq[String],
       classCol: String): Option[Array[(IndexedSeq[String], String, Long)]] = {
+    val cap = JointCap / math.max(1, features.length)
     val rows = df.groupBy(
         features.map(f => col(f).cast("string").as(f)) :+
           col(classCol).cast("string").as("__cls"): _*)
       .agg(count(lit(1)).as("__n"))
-      .limit(JointCap + 1).collect()
-    if (rows.length > JointCap) None
+      .limit(cap + 1).collect()
+    if (rows.length > cap) None
     else Some(rows.map { r =>
       (features.indices.map(i =>
          if (r.isNullAt(i)) null else r.getString(i)): IndexedSeq[String],
@@ -97,13 +102,22 @@ object Rules {
     * trajectory — and the unrolled-CTE oracle [[cn2OrderedSql]] — are
     * deterministic. The default rule mimics the reference: majority
     * over the ORIGINAL data (fit_storage passes the unconsumed X,Y,W). */
-  def cn2Ordered(df: DataFrame, features: Seq[String], classCol: String,
-                 maxRules: Int, minCovered: Long = 1L): DataFrame =
+  def cn2Ordered(df0: DataFrame, features: Seq[String], classCol: String,
+                 maxRules: Int, minCovered: Long = 1L): DataFrame = {
+    val df = dropNullClass(df0, classCol)
     jointTuples(df, features, classCol) match {
       case Some(t) =>
         cn2OrderedLocal(df.sparkSession, t, features, maxRules, minCovered)
       case None => cn2OrderedRows(df, features, classCol, maxRules, minCovered)
     }
+  }
+
+  /** Class labels must be non-null for every cn2* variant: the covering
+    * loops sort and tie-break on the class string (a null would NPE) and
+    * the reference discretizes away missing targets before rule
+    * induction. Enforced once here for all three entry points. */
+  private def dropNullClass(df: DataFrame, classCol: String): DataFrame =
+    df.filter(col(classCol).isNotNull)
 
   /** Covering replay on the collected joint contingency — identical
     * trajectory to [[cn2OrderedRows]], one cluster scan total. */
@@ -289,14 +303,16 @@ object Rules {
     * ([[cn2PredictUnordered]]). Same contingency-scan + driver-argmax
     * shape and tie pins as [[cn2Ordered]]; oracle = per-(class, round)
     * CTE unrolling ([[cn2UnorderedSql]]). */
-  def cn2Unordered(df: DataFrame, features: Seq[String], classCol: String,
-                   maxPerClass: Int, minCovered: Long = 1L): DataFrame =
+  def cn2Unordered(df0: DataFrame, features: Seq[String], classCol: String,
+                   maxPerClass: Int, minCovered: Long = 1L): DataFrame = {
+    val df = dropNullClass(df0, classCol)
     jointTuples(df, features, classCol) match {
       case Some(t) =>
         cn2UnorderedLocal(df.sparkSession, t, features, maxPerClass, minCovered)
       case None =>
         cn2UnorderedRows(df, features, classCol, maxPerClass, minCovered)
     }
+  }
 
   private final case class URule(cls: String, order: Int, feature: String,
                                  value: String, nCorrect: Long,
@@ -513,13 +529,15 @@ object Rules {
     * weight reductions go through DECIMAL(38,14) sums, so the whole
     * trajectory — including the data-dependent stop — replays exactly
     * in the unrolled-CTE oracle [[cn2SDSql]]. */
-  def cn2SD(df: DataFrame, features: Seq[String], classCol: String,
-            maxRules: Int, gamma: Double = 0.7): DataFrame =
+  def cn2SD(df0: DataFrame, features: Seq[String], classCol: String,
+            maxRules: Int, gamma: Double = 0.7): DataFrame = {
+    val df = dropNullClass(df0, classCol)
     jointTuples(df, features, classCol) match {
       case Some(t) =>
         cn2SDLocal(df.sparkSession, t, features, maxRules, gamma)
       case None => cn2SDRows(df, features, classCol, maxRules, gamma)
     }
+  }
 
   /** Weighted-covering replay on the joint contingency. All joint cells
     * of a tuple share one weight (covering predicates only test feature

@@ -318,15 +318,19 @@ object ExtraQueries {
 
     Q("outliers_isolation_forest", // outlier_detection.py IsolationForest:
       // driver fit on ψ-subsamples (the algorithm's own design),
-      // broadcast ensemble, distributed scoring. RNG-dependent → rows-only;
-      // semantics pinned in ScoringSpec.
+      // broadcast ensemble, distributed scoring. Hash-driven induction
+      // (PortableHash keyed by tree + node path) makes the forest a pure
+      // function of the deterministic 512-row sample, so the oracle
+      // rebuilds the identical model with md5 expressions: level-wise
+      // node CTEs (stats → att/split decisions → child assignment) for
+      // depths 0..8, then an unrolled per-depth walk of all rows.
       (s, d) => graft.ml.IsolationForest.scoreColumn(
-          li(s, d), Seq("l_quantity", "l_extendedprice"), "l_orderkey",
-          "if_score", nTrees = 50)
+          li(s, d), Seq("l_quantity", "l_extendedprice"),
+          Seq("l_orderkey", "l_linenumber"), "if_score", nTrees = 50)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("if_score"), 6).as("if_score"))
         .orderBy(col("if_score").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(20),
-      None)
+      Some(IsolationForestSql.oracle(nTrees = 50, fitRows = 512)))
   )
 }

@@ -713,13 +713,40 @@ object TextQueries {
 
     Q("dedup_minhash_lsh_fast", // scale-path MinHash: xxhash64 shingle
       // hashing (codegen-native) instead of oracle-portable md5 — same
-      // banding; rows-only (no xxhash64 in DuckDB). BENCH shows the
+      // banding. Oracle replays Spark's xxhash64 in pure DuckDB SQL via
+      // the Xxh64Sql macro prelude (HUGEINT mod-2^64 arithmetic), so the
+      // scale path is hash-gated, not rows-only. BENCH shows the
       // md5-vs-xxhash64 delta directly.
       (s, d) => DedupOps.minhashCandidates(
           DedupOps.minhashSignaturesFast(docs(s, d), "doc_id", "text", 3),
           "doc_id", bands = 8, rows = 2)
         .orderBy(col("id1"), col("id2")),
-      None),
+      Some {
+        val p = DedupOps.MinhashP
+        // hash each shingle ONCE in its own CTE (the 16 min-aggregates then
+        // reuse the value — mirrors the Spark plan's single __h projection;
+        // inlining xg_h32 16x would cost 16x the macro evaluation)
+        val mins = DedupOps.MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+          s"MIN((h * $a + $b) % $p) AS m$j"
+        }.mkString(",\n    ")
+        val bandRows = (0 until 8).map { band =>
+          val c1 = s"m${band * 2}"; val c2 = s"m${band * 2 + 1}"
+          s"SELECT doc_id, $band AS band, CONCAT($c1, '_', $c2) AS sig FROM sig"
+        }.mkString("\nUNION ALL\n")
+        s"""${Xxh64Sql.prelude}
+           |WITH sh AS ($shingleSqlDistinct),
+           |shh AS (SELECT doc_id, ${Xxh64Sql.h32("shingle")} AS h FROM sh),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM shh GROUP BY doc_id),
+           |bands AS (
+           |$bandRows)
+           |SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+           |FROM bands x JOIN bands y
+           |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+           |ORDER BY id1, id2""".stripMargin
+      }),
 
     Q("dedup_minhash_lsh", // MinHash signatures + LSH band candidates
       (s, d) => DedupOps.minhashCandidates(
@@ -780,13 +807,32 @@ object TextQueries {
       // streaming band dedup: xxhash64 folded to 32 bits replaces the
       // interpreted per-shingle md5 (whole-stage-codegen native, the
       // same hasher as the batch scale twin dedup_minhash_lsh_fast).
-      // Not SQL-portable (DuckDB lacks xxhash64) → rows-only; DedupSpec
-      // pins stream ≡ batch signature aggregation differentially.
+      // Oracle = batch signature aggregation with the Xxh64Sql pure-SQL
+      // xxhash64 replay; DedupSpec additionally pins stream ≡ batch.
       (s, d) => graft.streaming.StreamOps
         .streamingMinhashBandDedup(s, d, "stream_mh_band_fast_sink",
           hasher = c => pmod(xxhash64(c), lit(4294967296L)))
         .orderBy(col("band")),
-      None),
+      Some {
+        val p = DedupOps.MinhashP
+        // single-evaluation hash CTE — see dedup_minhash_lsh_fast
+        val mins = DedupOps.MinhashParams.zipWithIndex.map { case ((a, b), j) =>
+          s"MIN((h * $a + $b) % $p) AS m$j"
+        }.mkString(",\n    ")
+        val bandSelects = (0 until 8).map { band =>
+          s"SELECT $band AS band, COUNT(DISTINCT CONCAT(m${band * 2}, '_', m${band * 2 + 1})) AS n_buckets FROM sig"
+        }.mkString("\nUNION ALL\n")
+        s"""${Xxh64Sql.prelude}
+           |WITH sh AS ($shingleSqlDistinct),
+           |shh AS (SELECT doc_id, ${Xxh64Sql.h32("shingle")} AS h FROM sh),
+           |sig AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM shh GROUP BY doc_id),
+           |b AS (
+           |$bandSelects)
+           |SELECT band, n_buckets FROM b ORDER BY band""".stripMargin
+      }),
 
     Q("dedup_simhash", // 32-bit SimHash signatures per doc
       (s, d) => DedupOps.simhash(docs(s, d), "doc_id", "text")

@@ -79,7 +79,7 @@ class CommunitySpec extends SparkSpec {
   }
 
   test("driver fast path is bit-identical to the distributed rounds") {
-    // long ids engage the local path; flipping useLocal forces the
+    // long ids engage the local path; withDistributed forces the
     // distributed loop on the same graph — labels must agree exactly
     def clique(ids: Seq[Long]) =
       for (a <- ids; b <- ids if a < b) yield (a, b)
@@ -94,9 +94,7 @@ class CommunitySpec extends SparkSpec {
       Community.pagerank(edges, "src", "dst", 5)
         .orderBy("node").as[(Long, Double)].collect().toSeq)
     val (lpaLoc, louLoc, prLoc) = run()
-    Community.useLocal = false
-    val (lpaDist, louDist, prDist) =
-      try run() finally Community.useLocal = true
+    val (lpaDist, louDist, prDist) = Community.withDistributed(run())
     assert(lpaLoc == lpaDist)
     assert(louLoc == louDist)
     assert(prLoc == prDist) // decimal-grid sums ⇒ bit-equal ranks

@@ -93,7 +93,7 @@ class ScoringSpec extends SparkSpec {
     val df = ((1 to 200).map(i => (i, (i % 10) * 0.1, (i % 7) * 0.1)) :+
       ((201, 50.0, 50.0))).toDF("id", "x", "y")
     val scored = graft.ml.IsolationForest
-      .scoreColumn(df, Seq("x", "y"), "id", "s", nTrees = 50)
+      .scoreColumn(df, Seq("x", "y"), Seq("id"), "s", nTrees = 50)
       .orderBy(desc("s")).select("id", "s").as[(Int, Double)].collect()
     assert(scored.head._1 == 201) // the far point isolates first
     assert(scored.head._2 > 0.6)  // canonical outlier threshold

@@ -1,64 +1,18 @@
-package graft.queries
-
-import org.apache.spark.sql.{DataFrame, SparkSession}
-
-/** One verified operator query: a Spark builder + (optionally) the
-  * equivalent ANSI SQL for the DuckDB oracle. Column aliases MUST match
-  * between the two — the driver sorts columns by name before hashing. */
-final case class Q(
-    name: String,
-    build: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
-
-/** SQL-text twins of graft.core.Tables' deterministic aggregates, used to
-  * generate oracle SQL that is bit-identical to the Spark plan's output. */
-object SqlGen {
-  def sqlSum(x: String): String =
-    s"CAST(SUM(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
-  def sqlMean(x: String): String = s"${sqlSum(x)} / COUNT($x)"
-  /** (Σx² − (Σx)²/n) / (n−1) — matches Tables.exactVarSamp. */
-  def sqlVarSamp(x: String): String =
-    s"(${sqlSum(s"($x)*($x)")} - ${sqlSum(x)} * ${sqlSum(x)} / COUNT($x)) / (COUNT($x) - 1)"
-  def sqlStdSamp(x: String): String = s"SQRT(${sqlVarSamp(x)})"
-  def sqlCorr(x: String, y: String): String = {
-    val n = s"CAST(COUNT(${x}) AS DOUBLE)"
-    val sx = sqlSum(x); val sy = sqlSum(y)
-    val sxx = sqlSum(s"($x)*($x)"); val syy = sqlSum(s"($y)*($y)")
-    val sxy = sqlSum(s"($x)*($y)")
-    s"($n * $sxy - $sx * $sy) / (SQRT($n * $sxx - $sx * $sx) * SQRT($n * $syy - $sy * $sy))"
-  }
-  def sqlCovarSamp(x: String, y: String): String = {
-    val n = s"CAST(COUNT(${x}) AS DOUBLE)"
-    s"(${sqlSum(s"($x)*($y)")} - ${sqlSum(x)} * ${sqlSum(y)} / $n) / ($n - 1)"
-  }
-  /** SQL twin of Tables.detSum: order-independent sum of derived doubles. */
-  def sqlDetSum(term: String): String =
-    s"CAST(SUM(CAST(ROUND($term, 12) AS DECIMAL(38,14))) AS DOUBLE)"
-  /** Twin of Tables.detSum(term, scale) — coarse grid for big terms. */
-  def sqlDetSum(term: String, scale: Int): String =
-    s"CAST(SUM(CAST(ROUND($term, $scale) AS DECIMAL(38,${scale + 2}))) AS DOUBLE)"
-  /** 32-bit int from first 8 hex chars of md5 — twin of Tables.hashVal32. */
-  def sqlHash32(s: String): String =
-    (1 to 8).map { i =>
-      s"(instr('0123456789abcdef', substring(md5($s), $i, 1)) - 1) * ${math.pow(16, 8 - i).toLong}"
-    }.mkString("(", " + ", ")")
-}
-
-/** Pure-SQL XXH64 (seed 42) prelude for the DuckDB oracle, bit-equal to
-  * Spark's catalyst XXH64 over UTF-8 string bytes (differentially pinned
-  * against graft.XxProbe ground truth by tools/test_xxh64_macro.py).
-  * Prepending this to an oracle query lets DuckDB replay
-  * `pmod(xxhash64(col), 2^32)` via `xg_h32(col)` with no UDF registration:
-  * HUGEINT (int128) arithmetic mod 2^64, 64x64 multiplies split into 32-bit
-  * halves, stripe/word/byte phases staged through derived-table bindings to
-  * stay under DuckDB's macro-recursion cap. */
-object Xxh64Sql {
-  val prelude: String = """CREATE OR REPLACE MACRO xg_m64(a, b) AS
+-- Pure-SQL XXH64 (seed 42) for DuckDB, bit-equal to Spark's
+-- org.apache.spark.sql.catalyst.expressions.XXH64 over UTF-8 string bytes.
+-- Prepended to the oracle SQL of the xxhash64-based _fast dedup queries so
+-- the oracle runs in ANY DuckDB with no Python UDF registration.
+-- All arithmetic is HUGEINT (int128) mod 2^64; the 64x64 multiply is split
+-- into 32-bit halves so intermediates stay under 2^127. DuckDB 1.0 binds
+-- macros at creation with untyped params, so every param/list element use
+-- carries an explicit ::HUGEINT cast.
+CREATE OR REPLACE MACRO xg_m64(a, b) AS
   ((a::HUGEINT % 4294967296) * (b::HUGEINT % 4294967296)
    + ((((a::HUGEINT % 4294967296) * (b::HUGEINT // 4294967296)
         + (a::HUGEINT // 4294967296) * (b::HUGEINT % 4294967296)) % 4294967296)
       * 4294967296))
   % 18446744073709551616;
+-- rotl(x, r) with p = 2^r, q = 2^(64-r): shifted halves occupy disjoint bits
 CREATE OR REPLACE MACRO xg_rot(x, p, q) AS
   (x::HUGEINT * p::HUGEINT) % 18446744073709551616 + x::HUGEINT // q::HUGEINT;
 CREATE OR REPLACE MACRO xg_rnd(acc, x) AS
@@ -85,6 +39,12 @@ CREATE OR REPLACE MACRO xg_lane4(b, o) AS
   + 16777216*b[o+4]::HUGEINT;
 CREATE OR REPLACE MACRO xg_sb(n) AS
   CASE WHEN n::BIGINT >= 32 THEN (n::BIGINT // 32) * 32 ELSE 0 END;
+-- DuckDB's binder caps nested macro-call depth at ~40 along one expression
+-- path, but column bindings in a derived-table FROM chain reset the counter
+-- (and list_reduce lambdas apply without accumulating). The hash is
+-- therefore staged: each phase macro takes the previous phase's value as a
+-- plain column argument, and xg_xxh64u chains them through nested FROMs.
+-- stripe phase (n>=32: 4-lane rounds then merge) + length add
 CREATE OR REPLACE MACRO xg_h1(b, n, seed) AS
   (CASE WHEN n::BIGINT >= 32 THEN
     (SELECT xg_mrg(xg_mrg(xg_mrg(xg_mrg(
@@ -110,6 +70,7 @@ CREATE OR REPLACE MACRO xg_h1(b, n, seed) AS
    ELSE (seed::HUGEINT + 2870177450012600261) % 18446744073709551616
    END + n::HUGEINT)
   % 18446744073709551616;
+-- remaining 8-byte words, folded from the stripe-phase value h1v
 CREATE OR REPLACE MACRO xg_h2(b, n, h1v) AS
   list_reduce(
     list_prepend(h1v::HUGEINT,
@@ -119,6 +80,7 @@ CREATE OR REPLACE MACRO xg_h2(b, n, h1v) AS
                                134217728, 137438953472),
                         11400714785074694791) + 9650029242287828579)
                 % 18446744073709551616);
+-- optional 4-byte word
 CREATE OR REPLACE MACRO xg_h3(b, n, h2v) AS
   list_reduce(
     list_prepend(h2v::HUGEINT,
@@ -129,6 +91,7 @@ CREATE OR REPLACE MACRO xg_h3(b, n, h2v) AS
                                8388608, 2199023255552),
                         14029467366897019727) + 1609587929392839161)
                 % 18446744073709551616);
+-- trailing bytes
 CREATE OR REPLACE MACRO xg_h4(b, n, h3v) AS
   list_reduce(
     list_prepend(h3v::HUGEINT,
@@ -143,6 +106,7 @@ CREATE OR REPLACE MACRO xg_av(hh) AS
                        1609587929392839161) AS h4
          FROM (SELECT xg_m64(xor(hh::HUGEINT, hh::HUGEINT // 8589934592),
                              14029467366897019727) AS h2)));
+-- unsigned xxh64(utf8(s), seed=42) as HUGEINT in [0, 2^64)
 CREATE OR REPLACE MACRO xg_xxh64u(s) AS
   (SELECT xg_av(h4v)
    FROM (SELECT xg_h4(b, n, h3v) AS h4v
@@ -151,8 +115,5 @@ CREATE OR REPLACE MACRO xg_xxh64u(s) AS
                      FROM (SELECT b, n, xg_h1(b, n, 42) AS h1v
                            FROM (SELECT xg_bytes(s) AS b,
                                         octet_length(encode(s::VARCHAR)) AS n))))));
-CREATE OR REPLACE MACRO xg_h32(s) AS xg_xxh64u(s) % 4294967296;"""
-  /** DuckDB twin of Spark `pmod(xxhash64(c), 4294967296)` (the 32-bit-folded
-    * shingle hasher of DedupOps.minhashSignaturesFast). */
-  def h32(c: String): String = s"xg_h32($c)"
-}
+-- Spark pmod(xxhash64(s), 2^32): the low 32 bits, non-negative
+CREATE OR REPLACE MACRO xg_h32(s) AS xg_xxh64u(s) % 4294967296;
