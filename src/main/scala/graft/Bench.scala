@@ -18,7 +18,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // absolute default: the driver's working directory is not guaranteed
+    // to be the repo root, and a relative BENCH.json landing elsewhere is
+    // indistinguishable from "no full map written"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH.json")
+    // FIRST line of output = where the full per-query map will be —
+    // survives even if the tail capture is flooded by shutdown warnings
+    println(s"""{"bench_out":"$outPath"}""")
+    Console.out.flush()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -76,7 +84,11 @@ object Bench {
     val slowest = results.sortBy(-_._3).take(25).map(r => (r._1, r._3))
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(slowest)},"n_queries":${results.size},"total_cold":$totalCold,"sf":"$sfDir","full":"$outPath"}"""
-    println(compact)
+    // stop BEFORE the final print: executor/cleaner shutdown warnings then
+    // cannot land after the JSON, so the compact line is the literal last
+    // line of output for tail-capture parsers
     spark.stop()
+    println(compact)
+    Console.out.flush()
   }
 }

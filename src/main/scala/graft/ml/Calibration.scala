@@ -27,7 +27,16 @@ object Calibration {
   /** Returns one row (threshold, ca, n): the CA-optimal threshold over
     * the distinct predicted probabilities. Predicting positive iff
     * p ≥ θ gives TP(θ) = Σ_{p≥θ} npos and TN(θ) = Σ_{p<θ} nneg. */
-  def optimizeThresholdCA(df: DataFrame, isPos: Column, prob: Column): DataFrame = {
+  def optimizeThresholdCA(df: DataFrame, isPos: Column, prob0: Column): DataFrame = {
+    // same 1e-6 score grid as Scoring.onGrid: a floating-point
+    // probability is snapped before it keys the threshold window, so the
+    // window input is bounded by construction (probabilities ∈ [0,1] ⇒
+    // ≤ 10⁶+1 grid rows)
+    val prob = df.select(prob0.as("__g")).schema.head.dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => round(prob0, 6)
+      case _ => prob0
+    }
     val byP = df.groupBy(prob.as("__p")).agg(
       sum(when(isPos, 1L).otherwise(0L)).as("__np"),
       sum(when(isPos, 0L).otherwise(1L)).as("__nn"))

@@ -188,7 +188,21 @@ object Learners {
       * then orders only that grouped table — bounded by score cardinality
       * (round scores to ≤6 decimals upstream), never a per-row global
       * rank. Integer counts throughout, one final division. */
-    def auc(df: DataFrame, isPos: Column, score: Column): DataFrame = {
+    /** Snap a floating-point score onto the 1e-6 grid BEFORE it becomes
+      * the threshold-window ordering key: the per-score window input is
+      * then bounded by score-range × 10⁶ by construction, not by a
+      * caller contract. Integer/decimal scores already live on their
+      * type's own grid and pass through unchanged (so their emitted
+      * threshold keeps its exact type). */
+    private def onGrid(df: DataFrame, score: Column): Column =
+      df.select(score.as("__g")).schema.head.dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => round(score, 6)
+        case _ => score
+      }
+
+    def auc(df: DataFrame, isPos: Column, score0: Column): DataFrame = {
+      val score = onGrid(df, score0)
       val byScore = df.groupBy(score.as("__s")).agg(
         sum(when(isPos, 1L).otherwise(0L)).as("__np"),
         sum(when(isPos, 0L).otherwise(1L)).as("__nn"))
@@ -223,7 +237,8 @@ object Learners {
       * map-side-combined groupBy; the windows run over the tiny grouped
       * table only — the 100 TB shape all three curves inherit. */
     private def thresholdCounts(df: DataFrame, isPos: Column,
-                                score: Column): DataFrame = {
+                                score0: Column): DataFrame = {
+      val score = onGrid(df, score0)
       val byScore = df.groupBy(score.as("threshold")).agg(
         sum(when(isPos, 1L).otherwise(0L)).as("__np"),
         sum(when(isPos, 0L).otherwise(1L)).as("__nn"))

@@ -460,6 +460,51 @@ object PreprocessQueries {
              |  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS epoch_s
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    Q("time_parse_formats", // TimeVariable._ISO_FORMATS probe chain
+      // (variable.py:937-972) under oracle: each row renders its
+      // timestamp in one of 8 reference formats (date+time, T-separator,
+      // date-only, compact 14/8-digit, ordinal %Y-%j, time-only,
+      // fractional+%z) and TabReader.timeProbe must recover the exact
+      // epoch. The oracle computes the ground-truth epoch ARITHMETICALLY
+      // (no string round-trip), so a probe picking the wrong format —
+      // e.g. %Y-%j leaking into %Y-%m — breaks the hash match.
+      (s, d) => {
+        val secs = (col("o_orderkey") % 86400).cast("long")
+        val micros = (col("o_orderkey") % 1000000).cast("long")
+        val base = ord(s, d).select(
+          col("o_orderkey"), secs.as("secs"), micros.as("us"),
+          expr("timestampadd(SECOND, o_orderkey % 86400, CAST(o_orderdate AS TIMESTAMP))").as("ts"))
+        val rendered = base.withColumn("s",
+          when(col("o_orderkey") % 8 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .when(col("o_orderkey") % 8 === 1, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .when(col("o_orderkey") % 8 === 2, date_format(col("ts"), "yyyy-MM-dd"))
+          .when(col("o_orderkey") % 8 === 3, date_format(col("ts"), "yyyyMMddHHmmss"))
+          .when(col("o_orderkey") % 8 === 4, date_format(col("ts"), "yyyyMMdd"))
+          .when(col("o_orderkey") % 8 === 5, date_format(col("ts"), "yyyy-DDD"))
+          .when(col("o_orderkey") % 8 === 6, date_format(col("ts"), "HH:mm:ss"))
+          .otherwise(concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("."), lpad(col("us").cast("string"), 6, "0"), lit("+0100"))))
+        rendered.select(col("o_orderkey"),
+            round(graft.sources.TabReader.timeProbe(col("s")).cast("double"), 6)
+              .as("t_epoch"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderkey,
+             |    o_orderkey % 86400 AS secs,
+             |    o_orderkey % 1000000 AS us,
+             |    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS de,
+             |    o_orderkey % 8 AS c
+             |  FROM orders)
+             |SELECT o_orderkey,
+             |  ROUND(CASE
+             |    WHEN c IN (0, 1, 3) THEN CAST(de + secs AS DOUBLE)
+             |    WHEN c IN (2, 4, 5) THEN CAST(de AS DOUBLE)
+             |    WHEN c = 6 THEN CAST(secs AS DOUBLE)
+             |    ELSE ((de + secs - 3600) * 1000000 + us) / 1000000.0
+             |  END, 6) AS t_epoch
+             |FROM b ORDER BY o_orderkey""".stripMargin)),
+
     Q("random_variates", // §2.7 seeded random variates — portable hash →
       // uniform → Box-Muller normal / inverse-CDF exponential.
       (s, d) => {

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Schema
@@ -27,6 +27,53 @@ import graft.core.Schema._
   * the read parallelizes like any CSV at 100 TB.
   */
 object TabReader {
+
+  /** The reference TimeVariable's full ISO probe list
+    * (variable.py:937-972 `_ISO_FORMATS`) as Spark datetime patterns, in
+    * the reference's priority order. Notes on the translation:
+    *  - `%z` → `Z` (±HHMM offset); a value without an offset fails the
+    *    offset patterns and falls through, same as strptime;
+    *  - `%f` → `SSSSSS`: Spark parses 1..6 fraction digits leniently
+    *    against a 6-S pattern, matching `%f`;
+    *  - `%j` → `DDD`; `%Y-%m` stays ahead of `%Y-%j` (the reference pins
+    *    this order because unpadded `%j` would also eat "11");
+    *  - bare `yyyy` parses exactly 4 digits in Spark, so the compact
+    *    date/time numbers (`yyyyMMdd`, …) probed just before it cannot
+    *    leak into it;
+    *  - time-only values anchor to the Unix epoch date, and values with
+    *    no offset read in the session timezone (the engine pins UTC,
+    *    where the reference uses localtime). */
+  val TimeFormats: Seq[String] = Seq(
+    "yyyy-MM-dd HH:mm:ssZ",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd HH:mm",
+    "yyyy-MM-dd'T'HH:mm:ssZ",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd",
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss.SSSSSSZ",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSZ",
+    "yyyyMMdd'T'HHmmssZ",
+    "yyyyMMddHHmmssZ",
+    "HH:mm:ss.SSSSSS",
+    "HH:mm:ss",
+    "HH:mm",
+    "yyyyMMdd'T'HHmmss",
+    "yyyyMMddHHmmss",
+    "yyyyMMdd",
+    "yyyyDDD",
+    "yyyy",
+    "HHmmss.SSSSSS",
+    "yyyy-MM",
+    "yyyy-DDD")
+
+  /** First-match parse of a time string through [[TimeFormats]] — one
+    * codegen'd coalesce over try_to_timestamp probes, NULL only when no
+    * format fits (the reference raises; a NULL row surfaces the same
+    * rows through IsDefined filters). */
+  def timeProbe(c: Column): Column =
+    coalesce(TimeFormats.map(f => try_to_timestamp(c, lit(f))): _*)
 
   private case class HVar(name: String, kind: VarKind, role: Role,
                           values: Seq[String])
@@ -151,11 +198,7 @@ object TabReader {
       val cleaned = when(rawCol.isin(missing: _*), null).otherwise(rawCol)
       val typed = h.kind match {
         case VarKind.Continuous => cleaned.cast(DoubleType)
-        case VarKind.Time       => coalesce(
-          try_to_timestamp(cleaned, lit("yyyy-MM-dd HH:mm:ss")),
-          try_to_timestamp(cleaned, lit("yyyy-MM-dd'T'HH:mm:ss")),
-          try_to_timestamp(cleaned, lit("yyyy-MM-dd")),
-          try_to_timestamp(cleaned, lit("HH:mm:ss")))
+        case VarKind.Time       => timeProbe(cleaned)
         case _                  => cleaned
       }
       val meta = OVar(h.name, h.kind, h.role, h.values).toField.metadata

@@ -44,7 +44,25 @@ object GenScale {
           keys.foldLeft(base) { (df, c) =>
             df.withColumn(c, col(c) + lit(i * OFF)) }
         }.reduce(_.unionByName(_))
-      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      if (t == "events" || t == "documents") {
+        // StreamOps sources readStream from the sf DIR with
+        // pathGlobFilter "<table>.parquet" — a FILE name, matching the
+        // driver's single-file layout. A directory-style write here made
+        // every stream_* query see zero files at the replica, so emit
+        // the streamed tables as one literal file like the fixture.
+        val tmp = s"$dst/_${t}_tmp"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import org.apache.hadoop.fs.Path
+        val fs = new Path(dst).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))(0).getPath
+        val target = new Path(s"$dst/$t.parquet")
+        fs.delete(target, true)
+        fs.rename(part, target)
+        fs.delete(new Path(tmp), true)
+      } else {
+        out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
       println(s"[genscale] $t: ${out.count()} rows")
     }
     spark.stop()

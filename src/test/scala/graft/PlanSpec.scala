@@ -184,4 +184,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.linesIterator
       .filter(_.contains("Join")).mkString("\n"))
   }
+
+  test("curve windows run over a ≤10⁶-grid: fp scores snap to round(·,6) before the threshold window") {
+    spark.catalog.clearCache()
+    // a raw double score (NOT pre-rounded by the caller) must be gridded
+    // inside the op: the aggregate feeding the single-partition window
+    // groups by round(score, 6), bounding the window input by
+    // score-range × 10⁶ by construction
+    val li = core.Tables.load(spark, sf, "lineitem")
+    val rawDouble = col("l_extendedprice").cast("double") * 1.0000001
+    for (curve <- Seq(
+        graft.ml.Learners.Scoring.auc(li, col("l_returnflag") === "R", rawDouble),
+        graft.ml.Learners.Scoring.rocCurve(li, col("l_returnflag") === "R", rawDouble),
+        graft.ml.Calibration.optimizeThresholdCA(
+          li, col("l_returnflag") === "R", rawDouble))) {
+      val p = curve.queryExecution.optimizedPlan.toString
+      // the optimizer hoists the grouping key into a Project as
+      // _groupingexpression — the round must appear there (or directly
+      // in the Aggregate when not hoisted)
+      val gridded = p.linesIterator.exists(l => l.contains("round(") &&
+        (l.contains("AS _groupingexpression") || l.contains("Aggregate")))
+      assert(gridded, s"threshold grouping must round the fp score:\n$p")
+    }
+  }
 }

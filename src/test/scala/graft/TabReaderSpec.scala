@@ -42,6 +42,64 @@ class TabReaderSpec extends SparkSpec {
     assert(dom("age").kind == VarKind.Continuous)
   }
 
+  test("TimeVariable probe chain parses every reference _ISO_FORMAT") {
+    // one case per variable.py:937-972 entry (both %z placements, both
+    // separators, fractional + compact + ordinal-date forms); expected
+    // epochs precomputed in UTC
+    import spark.implicits._
+    val cases = Seq(
+      ("2021-11-25 13:35:20+0100", 1637843720.0),
+      ("2021-11-25 13:35:20", 1637847320.0),
+      ("2021-11-25 13:35", 1637847300.0),
+      ("2021-11-25T13:35:20+0100", 1637843720.0),
+      ("2021-11-25T13:35:20", 1637847320.0),
+      ("2021-11-25", 1637798400.0),
+      ("2021-11-25 13:35:20.5", 1637847320.5),
+      ("2021-11-25T13:35:20.123456", 1637847320.123456),
+      ("2021-11-25 13:35:20.123+0100", 1637843720.123),
+      ("2021-11-25T13:35:20.25-0500", 1637865320.25),
+      ("20211125T133520+0100", 1637843720.0),
+      ("20211125133520+0100", 1637843720.0),
+      ("13:35:20.123456", 48920.123456),
+      ("13:35:20", 48920.0),
+      ("13:35", 48900.0),
+      ("20211125T133520", 1637847320.0),
+      ("20211125133520", 1637847320.0),
+      ("20211125", 1637798400.0),
+      ("2021329", 1637798400.0),
+      ("2021", 1609459200.0),
+      ("133520.123456", 48920.123456),
+      ("2021-11", 1635724800.0),
+      ("2021-329", 1637798400.0))
+    val got = cases.toDF("s", "want")
+      .select(col("s"), col("want"),
+        TabReader.timeProbe(col("s")).cast("double").as("got"))
+      .collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(2), s"no format matched '${r.getString(0)}'")
+      assert(r.getDouble(2) == r.getDouble(1),
+        s"'${r.getString(0)}' parsed to ${r.getDouble(2)}, want ${r.getDouble(1)}")
+    }
+    // priority pins: the compact date must not leak into bare yyyy, and
+    // yyyy-MM outranks yyyy-DDD exactly like the reference's format order
+    val amb = Seq(("2021-11", 0)).toDF("s", "z")
+      .select(TabReader.timeProbe(col("s")).cast("double")).head.getDouble(0)
+    assert(amb == 1635724800.0) // November 1st, NOT day-of-year 11
+  }
+
+  test("mixed-format time column reads through the .tab header") {
+    val tab = "/tmp/graft_test_times.tab"
+    val body = Seq("when", "t", "",
+      "2021-11-25 13:35:20", "20211125", "13:35", "2021-329", "?")
+      .mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tab), body)
+    val df = TabReader.read(spark, tab)
+    assert(Schema.domainOf(df)("when").kind == VarKind.Time)
+    val vals = df.select(col("when").cast("double")).collect()
+      .map(r => if (r.isNullAt(0)) -1.0 else r.getDouble(0)).toSeq
+    assert(vals == Seq(1637847320.0, 1637798400.0, 48900.0, 1637798400.0, -1.0))
+  }
+
   test("round-trip write/read preserves schema and rows") {
     val df = TabReader.read(spark, s"$datasets/iris.tab")
     val out = "/tmp/graft_test_iris.tab"
