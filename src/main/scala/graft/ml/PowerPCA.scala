@@ -146,6 +146,45 @@ object PowerPCA {
       df.sparkSession.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** ProjectPCA's transform half (reference preprocess.py:442-449 —
+    * fit PCA, then replace the feature block with component scores).
+    * Fit = ONE distributed moments scan + driver scalar algebra (the
+    * [[eigs]] core); transform = one narrow map with the fitted
+    * components and feature means inlined as literals — no shuffle, no
+    * second pass, broadcast-free (the model is a handful of doubles in
+    * the plan itself). Scores land on the 1e-6 grid for the oracle. */
+  def project(df: DataFrame, feats: Seq[(String, Column)],
+              keyCols: Seq[String], nComp: Int, iters: Int): DataFrame = {
+    val d = feats.size
+    val (n, s, ss) = moments(df, feats)
+    val (_, comps) = scalarCore(n, s, ss, d, nComp, iters)
+    val pcs = comps.zipWithIndex.map { case ((_, v), c) =>
+      val terms = feats.zipWithIndex.map { case ((_, f), j) =>
+        lit(v(j)) * (f.cast("double") - lit(s(j) / n)) }
+      (round(terms.reduce(_ + _), 6) + lit(0.0)).as(s"pc${c + 1}")
+    }
+    df.select(keyCols.map(col) ++ pcs: _*)
+  }
+
+  /** ProjectCUR's transform half (reference preprocess.py:451-463 —
+    * `compute_U=False`, so the transform IS the top-`rank`-leverage
+    * column subset). Emitted LONG (key, dim, x): the column choice is
+    * data-dependent, and a join against the tiny leverage table keeps
+    * the schema static and the plan a broadcast join over one scan. */
+  def projectCUR(df: DataFrame, feats: Seq[(String, Column)],
+                 keyCols: Seq[String], rank: Int, nComp: Int,
+                 iters: Int): DataFrame = {
+    val lev = leverage(df, feats, nComp, iters)
+      .filter(col("rank") <= rank).select(col("dim"))
+    // ONE scan: posexplode the feature vector instead of d per-column
+    // passes over the fact table
+    val long = df.select(keyCols.map(col) :+
+      posexplode(array(feats.map(_._2.cast("double")): _*))
+        .as(Seq("dim", "x")): _*)
+    long.join(broadcast(lev), "dim")
+      .select(keyCols.map(col) :+ col("dim") :+ col("x"): _*)
+  }
+
   // ---- SQL twins ----------------------------------------------------
 
   /** Shared CTE chain: moments → cov0 → unrolled power steps with
@@ -247,6 +286,54 @@ object PowerPCA {
          |FROM comp$comp""".stripMargin
     }
     s"WITH $prefix\n${rows.mkString("\nUNION ALL\n")}\nORDER BY component"
+  }
+
+  /** DuckDB twin of [[project]]. `prelude` lets a caller chain earlier
+    * pipeline stages (e.g. AdaptiveNormalize) as CTEs that define
+    * `table`. */
+  def projectSql(table: String, featsSql: Seq[(String, String)],
+                 keySqls: Seq[String], nComp: Int, iters: Int,
+                 prelude: String = ""): String = {
+    val (prefix, _) = sqlCore(table, featsSql, nComp, iters)
+    val pcs = (1 to nComp).map { c =>
+      val terms = featsSql.zipWithIndex.map { case ((nm, e), j) =>
+        s"comp$c.v_$j * (CAST($e AS DOUBLE) - mom.s_$nm / mom.n)"
+      }.mkString(" + ")
+      s"ROUND($terms, 6) + 0.0 AS pc$c"
+    }
+    val pre = if (prelude.isEmpty) "" else s"$prelude,\n"
+    s"""WITH $pre$prefix
+       |SELECT ${keySqls.mkString(", ")},
+       |  ${pcs.mkString(",\n  ")}
+       |FROM $table CROSS JOIN mom ${(1 to nComp)
+         .map(c => s"CROSS JOIN comp$c").mkString(" ")}
+       |ORDER BY ${keySqls.mkString(", ")}""".stripMargin
+  }
+
+  /** DuckDB twin of [[projectCUR]]. */
+  def projectCURSql(table: String, featsSql: Seq[(String, String)],
+                    keySqls: Seq[String], rank: Int, nComp: Int,
+                    iters: Int): String = {
+    val (prefix, d) = sqlCore(table, featsSql, nComp, iters)
+    val levExpr = (1 to nComp).map(c => s"comp$c.v_DIM * comp$c.v_DIM")
+      .mkString(" + ")
+    val levRows = (0 until d).map { j =>
+      s"SELECT $j AS dim, ROUND(${levExpr.replace("DIM", j.toString)}, 8)" +
+        s" AS leverage FROM ${(1 to nComp).map(c => s"comp$c").mkString(" CROSS JOIN ")}"
+    }
+    val longRows = featsSql.zipWithIndex.map { case ((_, e), j) =>
+      s"SELECT ${keySqls.mkString(", ")}, $j AS dim, CAST($e AS DOUBLE) AS x FROM $table"
+    }
+    s"""WITH $prefix,
+       |lev AS (${levRows.mkString("\nUNION ALL\n")}),
+       |sel AS (
+       |  SELECT dim FROM (
+       |    SELECT dim, ROW_NUMBER() OVER (ORDER BY leverage DESC, dim) AS rnk
+       |    FROM lev) WHERE rnk <= $rank),
+       |long AS (${longRows.mkString("\nUNION ALL\n")})
+       |SELECT l.${keySqls.mkString(", l.")}, l.dim, l.x
+       |FROM long l JOIN sel s ON s.dim = l.dim
+       |ORDER BY l.${keySqls.mkString(", l.")}, l.dim""".stripMargin
   }
 
   /** DuckDB twin of [[leverage]]. */

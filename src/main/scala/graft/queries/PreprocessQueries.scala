@@ -460,6 +460,74 @@ object PreprocessQueries {
              |  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS epoch_s
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    Q("preprocess_pipeline_project", // ProjectPCA + AdaptiveNormalize
+      // (preprocess.py:442-449, 614-659) composed as ONE declarative
+      // plan: AdaptiveNormalize dispatches per column on the zero
+      // fraction (sparse → span scale, dense → z-score — the engine's
+      // columnar analog of the reference's representation test), then
+      // ProjectPCA replaces the feature block with top-2 component
+      // scores. Stats = one scan; fit = one moments scan; transform =
+      // one narrow map with the model inlined as literals.
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings")
+        val dims = 0 until 8
+        val base = e.select(col("vec_id") +: dims.map(i =>
+          element_at(col("embedding"), i + 1).cast("double").as(s"x$i")): _*)
+        val aggs = dims.flatMap(i => Seq(
+          exactMean(col(s"x$i")).as(s"m$i"),
+          exactStdSamp(col(s"x$i")).as(s"sd$i"),
+          (sum(when(col(s"x$i") === 0.0, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as(s"zf$i"),
+          min(col(s"x$i")).as(s"mn$i"), max(col(s"x$i")).as(s"mx$i")))
+        val st = base.agg(aggs.head, aggs.tail: _*)
+        val nz = base.crossJoin(broadcast(st)).select(col("vec_id") +:
+          dims.map(i =>
+            (round(when(col(s"zf$i") >= 0.5,
+                col(s"x$i") / (col(s"mx$i") - col(s"mn$i")))
+              .otherwise((col(s"x$i") - col(s"m$i")) / col(s"sd$i")), 6)
+              + 0.0).as(s"z$i")): _*)
+        graft.ml.PowerPCA.project(nz,
+          dims.map(i => (s"z$i", col(s"z$i"))), Seq("vec_id"),
+          nComp = 2, iters = 25)
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val dims = 0 until 8
+        val eb = s"""eb AS MATERIALIZED (
+           |  SELECT vec_id, ${dims.map(i =>
+               s"CAST(embedding[${i + 1}] AS DOUBLE) AS x$i").mkString(", ")}
+           |  FROM embeddings)""".stripMargin
+        val ebst = s"""ebst AS (
+           |  SELECT ${dims.map(i =>
+               s"${sqlMean(s"x$i")} AS m$i, ${sqlStdSamp(s"x$i")} AS sd$i, " +
+               s"CAST(SUM(CASE WHEN x$i = 0 THEN 1 ELSE 0 END) AS DOUBLE)" +
+               s" / COUNT(*) AS zf$i, MIN(x$i) AS mn$i, MAX(x$i) AS mx$i")
+               .mkString(",\n    ")}
+           |  FROM eb)""".stripMargin
+        val nrm = s"""nrm AS MATERIALIZED (
+           |  SELECT vec_id, ${dims.map(i =>
+               s"ROUND(CASE WHEN zf$i >= 0.5 THEN x$i / (mx$i - mn$i) " +
+               s"ELSE (x$i - m$i) / sd$i END, 6) + 0.0 AS z$i")
+               .mkString(",\n    ")}
+           |  FROM eb CROSS JOIN ebst)""".stripMargin
+        graft.ml.PowerPCA.projectSql("nrm",
+          dims.map(i => (s"z$i", s"z$i")), Seq("vec_id"),
+          nComp = 2, iters = 25, prelude = s"$eb,\n$ebst,\n$nrm")
+      }),
+
+    Q("preprocess_project_cur", // ProjectCUR (preprocess.py:451-463,
+      // compute_U=False): the transform IS the top-rank-leverage column
+      // subset, emitted long (vec_id, dim, x) so the data-dependent
+      // column choice is a broadcast join, not a dynamic schema.
+      (s, d) => graft.ml.PowerPCA.projectCUR(
+          Tables.load(s, d, "embeddings"),
+          (0 until 8).map(i => (s"e$i", element_at(col("embedding"), i + 1))),
+          Seq("vec_id"), rank = 3, nComp = 3, iters = 25)
+        .orderBy(col("vec_id"), col("dim")),
+      Some(graft.ml.PowerPCA.projectCURSql("embeddings",
+        (0 until 8).map(i => (s"e$i", s"embedding[${i + 1}]")),
+        Seq("vec_id"), rank = 3, nComp = 3, iters = 25))),
+
     Q("time_parse_formats", // TimeVariable._ISO_FORMATS probe chain
       // (variable.py:937-972) under oracle: each row renders its
       // timestamp in one of 8 reference formats (date+time, T-separator,
