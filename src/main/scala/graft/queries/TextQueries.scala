@@ -811,7 +811,7 @@ object TextQueries {
       // xxhash64 replay; DedupSpec additionally pins stream ≡ batch.
       (s, d) => graft.streaming.StreamOps
         .streamingMinhashBandDedup(s, d, "stream_mh_band_fast_sink",
-          hasher = c => pmod(xxhash64(c), lit(4294967296L)))
+          fastHash = true)
         .orderBy(col("band")),
       Some {
         val p = DedupOps.MinhashP

@@ -247,8 +247,7 @@ object StreamOps {
   def streamingMinhashBandDedup(spark: SparkSession, sfDir: String,
                                 sinkName: String, bands: Int = 8,
                                 rows: Int = 2,
-                                hasher: Column => Column =
-                                  graft.core.Tables.hashVal32): DataFrame = {
+                                fastHash: Boolean = false): DataFrame = {
     import graft.text.{DedupOps, TextOps}
     require(bands * rows <= DedupOps.MinhashParams.length,
       s"bands*rows = ${bands * rows} exceeds the " +
@@ -261,18 +260,17 @@ object StreamOps {
       // shinglesFromTokens O(tokens²) pitfall), then hash once per
       // shingle; each permutation re-scans only the small hash array
       .withColumn("__ts", TextOps.tokens(col("text")))
-      .withColumn("__sh", TextOps.shinglesFromTokens(col("__ts"), 3))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__hs", transform(col("__sh"), s => hasher(s)))
-    // 16 separate transform+array_min passes over the SMALL hash array;
-    // a measured alternative (one aggregate() pass updating all 16 mins
-    // per element via sequence+transform) ran ~15-25% SLOWER — the
-    // per-element array allocations cost more than the extra traversals
+      .filter(size(col("__ts")) >= 3)
+      // shingle assembly + hashing + all band·row permutation minima in
+      // ONE per-row kernel (MinhashSigs) — replaces the interpreted
+      // shingle/hash/array_min lambda passes, which profiled as the
+      // dominant per-document ingest cost at the sf1 replica
+      .withColumn("__mins", graft.functions.MinhashExpr.minhashSigs(
+        col("__ts"), 3, DedupOps.MinhashParams.take(bands * rows),
+        DedupOps.MinhashP, xx = fastHash))
     val bandStructs = (0 until bands).map { b =>
       val mins = (0 until rows).map { r =>
-        val (a, off) = DedupOps.MinhashParams(b * rows + r)
-        array_min(transform(col("__hs"),
-          h => pmod(h * a + off, lit(DedupOps.MinhashP))))
+        element_at(col("__mins"), b * rows + r + 1)
       }
       struct(lit(b).as("band"), concat_ws("_", mins: _*).as("sig"))
     }

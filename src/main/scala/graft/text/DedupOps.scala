@@ -112,30 +112,42 @@ object DedupOps {
     (623845921L, 217645177L),(744892193L, 236887691L),
     (866421487L, 256203161L),(987514139L, 275604541L))
 
-  /** Per-doc MinHash signature: k min-hash columns m0..m{k-1} in ONE
-    * aggregation over the exploded shingle table. `hasher` maps the
-    * shingle string to a 32-bit-range integer. */
+  /** Per-doc MinHash signature: k min-hash columns m0..m{k-1} as a PURE
+    * NARROW MAP — tokens → shingle array → hashing + all k permutation
+    * minima fused into one codegen'd pass (MinhashSigs). `xx` picks the
+    * codegen-native xxhash64 scale hash vs the oracle-portable md5.
+    *
+    * No explode, no groupBy: the previous exploded-shingle aggregation
+    * shuffled |docs|·|shingles| rows into the cluster before reducing
+    * them right back to one row per doc; signatures have no cross-row
+    * dependency, so at 100 TB this shape keeps the entire signature
+    * stage shuffle-free (the only exchange left in LSH dedup is the
+    * banded candidate self-join). Values are bit-identical: MIN over
+    * the shingle multiset equals MIN over the distinct set the oracle
+    * aggregates. (The hash must live INSIDE the fused expression — a
+    * `transform(sh, hasher)` lambda evaluates interpreted per element
+    * and measured 3× slower than the exploded form it replaced.) */
   def minhashSignaturesWith(df: DataFrame, id: String, text: String, n: Int,
-                            hasher: Column => Column): DataFrame = {
-    val sh = shingleTable(df, id, text, n)
-      .withColumn("__h", hasher(col("shingle")))
-    val aggs = MinhashParams.zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(col("__h") * a + b, lit(MinhashP))).as(s"m$j")
-    }
-    sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+                            xx: Boolean): DataFrame = {
+    val sigs = df
+      .select(col(id), TextOps.tokens(col(text)).as("__ts"))
+      .filter(size(col("__ts")) >= n) // shingle set empty below n tokens
+      .withColumn("__mins", graft.functions.MinhashExpr.minhashSigs(
+        col("__ts"), n, MinhashParams, MinhashP, xx))
+    sigs.select(col(id) +: MinhashParams.indices.map(j =>
+      element_at(col("__mins"), j + 1).as(s"m$j")): _*)
   }
 
   /** Oracle-portable variant: md5-derived 32-bit hash (matches the DuckDB
     * twin bit-for-bit, but pays md5's per-shingle cost). */
   def minhashSignatures(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    minhashSignaturesWith(df, id, text, n, hashVal32)
+    minhashSignaturesWith(df, id, text, n, xx = false)
 
-  /** Scale-path variant: xxhash64 (whole-stage-codegen native, no string
-    * md5) folded into the 32-bit range. Same banding downstream; not
-    * SQL-oracle-portable (DuckDB has no xxhash64) → rows-only check. */
+  /** Scale-path variant: xxhash64 (codegen-native, no string md5) folded
+    * into the 32-bit range. Same banding downstream; the DuckDB twin
+    * replays the hash via the pure-SQL Xxh64Sql macros. */
   def minhashSignaturesFast(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    minhashSignaturesWith(df, id, text, n,
-      c => pmod(xxhash64(c), lit(4294967296L)))
+    minhashSignaturesWith(df, id, text, n, xx = true)
 
   /** LSH banding: b bands × r rows (b·r = 16). Docs sharing any band
     * signature become candidate pairs. Returns distinct (id1 < id2).

@@ -26,10 +26,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("fast (xxhash64) streaming band dedup equals fast batch aggregation") {
-    import org.apache.spark.sql.functions.{col, concat_ws, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{col, concat_ws}
     val stream = graft.streaming.StreamOps
       .streamingMinhashBandDedup(spark, sf, "mh_band_fast_spec_sink",
-        hasher = c => pmod(xxhash64(c), lit(4294967296L)))
+        fastHash = true)
       .orderBy(col("band")).collect().map(_.getLong(1)).toSeq
     val sig = graft.text.DedupOps.minhashSignaturesFast(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 3)

@@ -185,6 +185,18 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("minhash signature stage is a pure narrow map (no exchange, fused kernel)") {
+    spark.catalog.clearCache()
+    val docs = core.Tables.load(spark, sf, "documents")
+    val sig = graft.text.DedupOps
+      .minhashSignaturesFast(docs, "doc_id", "text", 3)
+    val p = sig.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"signatures must not shuffle:\n$p")
+    assert(p.contains("graft_minhash_sigs"),
+      "signature must run through the fused MinhashSigs kernel")
+  }
+
   test("curve windows run over a ≤10⁶-grid: fp scores snap to round(·,6) before the threshold window") {
     spark.catalog.clearCache()
     // a raw double score (NOT pre-rounded by the caller) must be gridded
