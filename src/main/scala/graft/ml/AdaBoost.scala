@@ -117,13 +117,31 @@ object AdaBoost {
       r
     }
     var hArrUsed = false
+    // Exact scaled-long accumulation with NO row-count envelope: the
+    // per-partition long accumulators spill into BigIntegers whenever
+    // they approach the long range, so Σ round12(term)·10¹² is exact at
+    // ANY n (integer addition is order-independent). The final value is
+    // bigTotal→double (correctly rounded, like DuckDB's HUGEINT→DOUBLE
+    // cast of its overflow-free SUM(BIGINT)) divided by 1e12 — the same
+    // two-step rounding both the previous long path and the oracle's
+    // fast branch perform, so previously-in-envelope trajectories are
+    // bit-unchanged. (The old n·B ≤ 8·10⁶ guard silently excluded the
+    // sf1 replica and pushed every round onto 7 DECIMAL(38) sums over
+    // 6M rows — a 47× cliff for an algorithm that is one scan per
+    // round.)
     def jvmRoundSums(ks: Array[Int], as: Array[Double]): Array[Double] = {
       hArrUsed = true
       val kk = kCand; val rr = rounds
       val bc = spark.sparkContext.broadcast((ks, as))
+      val SpillAt = Long.MaxValue >> 1
       val acc = hArr.mapPartitions { it =>
         val (bks, bas) = bc.value
         val a = new Array[Long](kk + 1)
+        val big = Array.fill(kk + 1)(java.math.BigInteger.ZERO)
+        def spill(i: Int): Unit = {
+          big(i) = big(i).add(java.math.BigInteger.valueOf(a(i)))
+          a(i) = 0L
+        }
         while (it.hasNext) {
           val x = it.next()
           val yv = x(kk)
@@ -135,18 +153,22 @@ object AdaBoost {
           }
           val w = Math.exp(-yv * f)
           a(0) += roundScaled(w)
+          if (a(0) > SpillAt || a(0) < -SpillAt) spill(0)
           var k = 0
           while (k < kk) {
             a(k + 1) += roundScaled((w * (1.0 - yv * x(k))) / 2.0)
+            if (a(k + 1) > SpillAt || a(k + 1) < -SpillAt) spill(k + 1)
             k += 1
           }
         }
-        Iterator.single(a)
+        var i = 0
+        while (i <= kk) { spill(i); i += 1 }
+        Iterator.single(big)
       }.treeReduce { (p, q) =>
-        var i = 0; while (i <= kk) { p(i) += q(i); i += 1 }; p
+        var i = 0; while (i <= kk) { p(i) = p(i).add(q(i)); i += 1 }; p
       }
       bc.destroy()
-      acc.map(_ / 1e12)
+      acc.map(_.doubleValue() / 1e12)
     }
     def paddedKA: (Array[Int], Array[Double]) = {
       val ks = Array.fill(rounds)(-1); val as = Array.fill(rounds)(0.0)
@@ -166,20 +188,20 @@ object AdaBoost {
       // envelope, fall back to the order-independent DECIMAL sum.
       val sumAbs = picked.foldLeft(0.0)((s, p) => s + math.abs(p._2))
       val bnd = math.rint(math.exp(sumAbs) * 1e6) / 1e6
-      val scaledSafe = nRows >= 1 && nRows * bnd <= 8e6 && bnd <= 8000
-      def gSum(c: Column): Column =
-        if (scaledSafe)
-          (sum(round(c * 1e12, 0).cast("long")) / lit(1e12)).cast("double")
-        else detSum(c)
+      // per-TERM envelope only: |t|·10¹² must stay an exact double
+      // (bnd ≤ 8000 ⇒ t·10¹² < 2⁵³); the accumulators are exact at any
+      // row count (BigInteger spill / the oracle's HUGEINT SUM), so n
+      // no longer gates the fast path
+      val scaledSafe = nRows >= 1 && bnd <= 8000
       val sums: Int => Double =
         if (scaledSafe && yNullFree) {
           val (ks, as) = paddedKA
           val a = jvmRoundSums(ks, as); a(_)
         } else {
           val w = exp(-col("y") * fExpr)
-          val aggs = gSum(w).as("wsum") +: cands.zipWithIndex.map {
+          val aggs = detSum(w).as("wsum") +: cands.zipWithIndex.map {
             case (c, k) =>
-              gSum(w * (lit(1.0) - col("y") * h(c)) / 2.0).as(s"e_$k")
+              detSum(w * (lit(1.0) - col("y") * h(c)) / 2.0).as(s"e_$k")
           }
           val row = staged.agg(aggs.head, aggs.tail: _*).head()
           row.getDouble(_)
@@ -261,20 +283,22 @@ object AdaBoost {
 
     // twin of the Spark side's per-round envelope: same weight bound
     // B = ROUND(EXP(Σ|alpha|), 6) (6-decimal rounding makes both
-    // engines' libm exp() agree on the branch), same n·B ≤ 8e6 test —
-    // scaled-long sums inside, DECIMAL(38,14) outside
+    // engines' libm exp() agree on the branch). Per-TERM bound only —
+    // DuckDB's SUM(BIGINT) accumulates in HUGEINT, so like the Spark
+    // side's BigInteger spill the sum is exact at any row count; the
+    // fast value is CAST(sum AS DOUBLE)/1e12, the same int→double→÷
+    // rounding sequence as BigInteger.doubleValue()/1e12
     def envSql(r: Int): String = {
       // sel_j are 1-row CTEs; MIN() keeps the aggregate context valid
       val sumAbs = if (r <= 1) "0.0"
         else (1 until r).map(j => s"ABS(MIN(sel_$j.alpha))").mkString(" + ")
       s"env_$r AS MATERIALIZED (SELECT COUNT(*) >= 1 AND " +
-        s"COUNT(*) * ROUND(EXP($sumAbs), 6) <= 8000000 AND " +
         s"ROUND(EXP($sumAbs), 6) <= 8000 AS safe " +
         s"FROM $table${selJoins(r - 1)})"
     }
     def gSumSql(t: String, r: Int): String = {
       val fast =
-        s"(CAST(SUM(CAST(ROUND(($t) * 1e12, 0) AS BIGINT)) AS BIGINT) / 1e12)"
+        s"(CAST(SUM(CAST(ROUND(($t) * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12)"
       s"(CASE WHEN (SELECT safe FROM env_$r) THEN $fast ELSE ${sqlDetSum(t)} END)"
     }
     val roundCtes = (1 to rounds).map { r =>

@@ -592,13 +592,27 @@ object TextQueries {
         val cand = DedupOps.minhashCandidates(
           DedupOps.minhashSignatures(dd, "doc_id", "text", 3),
           "doc_id", bands = 8, rows = 2)
+        // two per-pair cost cuts with UNCHANGED kept rows/values:
+        //  - equal texts (the dominant candidate class in any corpus
+        //    with exact dups) short-circuit to 0 via an O(len) compare
+        //    instead of the O(len²) DP;
+        //  - the DP itself runs BANDED with threshold = ⌊max_len/5⌋
+        //    (catalyst Levenshtein's 3-arg form): dist ≤ ⌊L/5⌋ ⟺
+        //    dist·5 ≤ L for integers, and above-threshold pairs return
+        //    −1 — exactly the rows the old filter dropped.
+        import org.apache.spark.sql.graftbridge.SqlBridge
+        val maxLen = greatest(length(col("t1")), length(col("t2")))
+        val banded = SqlBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Levenshtein(
+            SqlBridge.expression(col("t1")), SqlBridge.expression(col("t2")),
+            Some(SqlBridge.expression((maxLen / 5).cast("int")))))
         cand
           .join(dd.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
           .join(dd.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
           .select(col("id1"), col("id2"),
-            levenshtein(col("t1"), col("t2")).as("edit_dist"),
-            greatest(length(col("t1")), length(col("t2"))).as("max_len"))
-          .filter(col("edit_dist") * 5 <= col("max_len"))
+            when(col("t1") === col("t2"), 0).otherwise(banded).as("edit_dist"),
+            maxLen.as("max_len"))
+          .filter(col("edit_dist") >= 0 && col("edit_dist") * 5 <= col("max_len"))
           .orderBy(col("id1"), col("id2"))
       },
       Some {
