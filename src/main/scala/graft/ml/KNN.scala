@@ -31,20 +31,28 @@ object KNN {
     fs.map(f => (col(s"__t_$f") - col(s"__r_$f")) * (col(s"__t_$f") - col(s"__r_$f")))
       .reduce(_ + _)
 
-  /** (test id, train id, rank) candidate table: the k nearest train rows
-    * per test row. `test` is broadcast — keep it the small side. */
+  /** (test id, train id) candidate table: the k nearest train rows per
+    * test row. `test` is broadcast — keep it the small side. The top-k
+    * cut runs through the bounded TopKPairs aggregate (map-side k-entry
+    * heaps per test id), NOT a row_number window: the window form
+    * shuffled and sorted the whole |test|·|train| candidate table, which
+    * is the quadratic term the sf1 rehearsal exposed (ml_knn_class 50 s
+    * at the 10× replica; the aggregate form ships ≤ k·partitions rows
+    * per test id). Selection is identical — k smallest by (d2, rid)
+    * lexicographic, boundary ties by train id. */
   private def neighbors(test: DataFrame, train: DataFrame, id: String,
                         features: Seq[String], k: Int): DataFrame = {
     val t = test.select(col(id).as("__tid") +:
       features.map(f => col(f).cast("double").as(s"__t_$f")): _*)
     val r = train.select(col(id).as("__rid") +:
       features.map(f => col(f).cast("double").as(s"__r_$f")): _*)
-    val w = Window.partitionBy(col("__tid"))
-      .orderBy(col("__d2").asc, col("__rid").asc)
     broadcast(t).join(r, col("__tid") =!= col("__rid"))
       .withColumn("__d2", dist2(features))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
+      .groupBy(col("__tid"))
+      .agg(graft.functions.TopKAgg.topKPairs(
+        col("__d2"), col("__rid").cast("long"), k).as("__nn"))
+      .select(col("__tid"), explode(col("__nn")).as("__e"))
+      .select(col("__tid"), col("__e.id").as("__rid"))
   }
 
   /** kNN classification: majority vote of the k nearest train rows,
