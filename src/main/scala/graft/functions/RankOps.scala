@@ -114,8 +114,15 @@ object RankOps {
     * stratum skew. Basis for stratified k-fold assignment
     * (reference Orange/evaluation/testing.py CrossValidation stratified). */
   def rowNumberWithin(df: DataFrame, strat: String, ord: String,
-                      out: String, parts: Int = 32): DataFrame = {
-    val ranged = df.repartitionByRange(parts, col(strat).asc, col(ord).asc)
+                      out: String, parts: Int = 32): DataFrame =
+    rowNumberWithin(df, strat, Seq(ord), out, parts)
+
+  /** Composite-order variant: `ords` together must uniquely order rows
+    * within a stratum (e.g. (ts, event_id)). */
+  def rowNumberWithin(df: DataFrame, strat: String, ords: Seq[String],
+                      out: String, parts: Int): DataFrame = {
+    val ranged = df.repartitionByRange(parts,
+        col(strat).asc +: ords.map(col(_).asc): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = true)
     val offW = Window.partitionBy(col("__ostrat")).orderBy(col("__opid"))
@@ -126,7 +133,7 @@ object RankOps {
       .withColumn("__off", coalesce(sum(col("__pn")).over(offW), lit(0L)))
       .select(col("__opid"), col("__ostrat"), col("__off"))
     val localW = Window.partitionBy(col("__pid"), col(strat))
-      .orderBy(col(ord).asc)
+      .orderBy(ords.map(col(_).asc): _*)
     ranged
       .withColumn("__lrn", row_number().over(localW))
       .join(broadcast(offsets),

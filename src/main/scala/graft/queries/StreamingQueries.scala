@@ -52,31 +52,15 @@ object StreamingQueries {
     Q("events_anomaly_zscore", // trailing-window anomaly scoring: each
       // event's value against the mean/σ of its type's previous 50
       // events (frame −50..−1, ≥ 30 filled) — the monitoring/outlier
-      // shape for event streams. Windows are keyed by event_type (fully
-      // parallel); moment sums go through the per-term-rounded DECIMAL
-      // device so both engines' frame evaluations agree, and z uses one
-      // fixed operation order. Emits |z| ≥ 3 rows.
-      (s, d) => {
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("ts"), col("event_id"))
-          .rowsBetween(-50, -1)
-        val vDec = col("value").cast("decimal(38,6)")
-        val v2Dec = round(col("value") * col("value"), 6).cast("decimal(38,6)")
-        val cnt = count(lit(1)).over(w)
-        val s1 = sum(vDec).over(w).cast("double")
-        val s2 = sum(v2Dec).over(w).cast("double")
-        val mean = s1 / cnt
-        val varS = (s2 - s1 * s1 / cnt) / (cnt - 1)
-        val z = (col("value") - mean) / sqrt(varS)
-        ev(s, d)
-          .select(col("event_type"), col("event_id"),
-            expr("ts div 1000000000").as("tsec"), col("value"), col("ts"))
-          .withColumn("n_win", cnt).withColumn("z", z)
-          .filter(col("n_win") >= 30 && abs(round(col("z"), 6)) >= 3.0)
-          .select(col("event_type"), col("event_id"), col("tsec"),
-            round(col("value"), 6).as("value"), round(col("z"), 6).as("z"))
-          .orderBy(col("event_type"), col("event_id"))
-      },
+      // shape for event streams (StreamOps.trailingZScore). A window
+      // keyed by event_type alone caps parallelism at the #types, so
+      // above the cutover the timeline chunks with copied 50-row tails
+      // (bit-identical frames, parallelism ∝ volume); below it the
+      // plain keyed window wins. Emits |z| ≥ 3 rows.
+      (s, d) => graft.streaming.StreamOps.trailingZScore(
+          ev(s, d).select(col("event_type"), col("event_id"),
+            expr("ts div 1000000000").as("tsec"), col("value"), col("ts")))
+        .orderBy(col("event_type"), col("event_id")),
       Some("""SELECT event_type, event_id, tsec,
              |  ROUND(value, 6) AS value, ROUND(z, 6) AS z
              |FROM (

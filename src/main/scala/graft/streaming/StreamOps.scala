@@ -396,4 +396,64 @@ object StreamOps {
       .format("memory").queryName(sinkName).outputMode("append").start())
     spark.table(sinkName)
   }
+
+  /** Above this row count the trailing-zscore window chunks the
+    * timeline; below it the plain per-type window is cheaper (the rank
+    * pass + tail copies cost ~1.5× the small-input window, measured
+    * 3.0 → 4.3 s at sf0.1). The cutover is a plan choice only — both
+    * shapes produce bit-identical rows (OperatorSpec pins it). */
+  private[graft] val ZScoreChunkCutover = 50000000L
+
+  /** Trailing-window z-score anomalies over `(event_type, event_id,
+    * tsec, value, ts)` rows: each event's value against the mean/σ of
+    * its type's previous 50 events (frame −50..−1, ≥ 30 filled), |z| ≥ 3
+    * emitted with 6-decimal rounding.
+    *
+    * Scale shape: a window keyed by event_type alone caps parallelism
+    * at the number of types — 4 tasks at ANY data size. Above
+    * [[ZScoreChunkCutover]] (or when `forceChunked`), the skew-safe
+    * two-pass rank assigns within-type sequence numbers, rows chunk by
+    * ⌈seq/8192⌉, and every chunk imports a COPY of its predecessor's
+    * last 50 rows, so each trailing frame evaluates over exactly the
+    * ordered multiset the global window would — values bit-identical,
+    * parallelism ∝ rows/8192. Moment sums run through the per-term-
+    * rounded DECIMAL device so both engines' frame evaluations agree,
+    * and z uses one fixed operation order. */
+  def trailingZScore(base: DataFrame, forceChunked: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunked = forceChunked || base.count() > ZScoreChunkCutover
+    val staged =
+      if (!chunked) {
+        base.withColumn("__chunk", lit(0L)).withColumn("__copy", lit(0))
+      } else {
+        val C = 8192L
+        val seqd = graft.functions.RankOps.rowNumberWithin(
+          base, "event_type", Seq("ts", "event_id"), "__seq", 32)
+        val real = seqd
+          .withColumn("__chunk", ((col("__seq") - 1) / C).cast("long"))
+          .withColumn("__copy", lit(0))
+        val tail = real
+          .filter(((col("__seq") - 1) % C) >= C - 50)
+          .withColumn("__chunk", col("__chunk") + 1)
+          .withColumn("__copy", lit(1))
+        real.unionByName(tail).drop("__seq")
+      }
+    val w = Window.partitionBy(col("event_type"), col("__chunk"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-50, -1)
+    val vDec = col("value").cast("decimal(38,6)")
+    val v2Dec = round(col("value") * col("value"), 6).cast("decimal(38,6)")
+    val cnt = count(lit(1)).over(w)
+    val s1 = sum(vDec).over(w).cast("double")
+    val s2 = sum(v2Dec).over(w).cast("double")
+    val mean = s1 / cnt
+    val varS = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    val z = (col("value") - mean) / sqrt(varS)
+    staged
+      .withColumn("n_win", cnt).withColumn("z", z)
+      .filter(col("__copy") === 0 &&
+        col("n_win") >= 30 && abs(round(col("z"), 6)) >= 3.0)
+      .select(col("event_type"), col("event_id"), col("tsec"),
+        round(col("value"), 6).as("value"), round(col("z"), 6).as("z"))
+  }
 }

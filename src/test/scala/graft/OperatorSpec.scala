@@ -161,4 +161,20 @@ class OperatorSpec extends SparkSpec {
       .orderBy("id").select("id", "cum").as[(Long, Long)].collect().toSeq
     assert(got == exp)
   }
+
+  test("chunked trailing z-score is bit-identical to the plain keyed window") {
+    // the 100 TB shape (timeline chunks + copied 50-row tails) must
+    // produce exactly the rows of the small-input per-type window — the
+    // cutover in StreamOps.trailingZScore is a plan choice only
+    val base = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("ts div 1000000000").as("tsec"), col("value"), col("ts"))
+    val plain = graft.streaming.StreamOps.trailingZScore(base)
+      .orderBy(col("event_type"), col("event_id")).collect().toSeq
+    val chunked = graft.streaming.StreamOps
+      .trailingZScore(base, forceChunked = true)
+      .orderBy(col("event_type"), col("event_id")).collect().toSeq
+    assert(plain.nonEmpty)
+    assert(plain == chunked)
+  }
 }
