@@ -77,18 +77,27 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmQs,"queries_cold":$coldQs,"total_cold":$totalCold,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // The driver captures only the LAST ~2000 chars of sbt output; the full
-    // 210-query map (~12 KB) can never parse from that window. Print a
-    // compact line that fits — headline total + the slowest warm queries —
-    // and point at the file holding the complete cold+warm maps.
-    val slowest = results.sortBy(-_._3).take(25).map(r => (r._1, r._3))
+    // The driver captures only the LAST ~2000 chars of sbt output, and the
+    // r8 artifact showed the final line can be truncated at the RIGHT end:
+    // a println racing JVM exit is not guaranteed to drain through sbt's
+    // log-forwarding thread. Defenses: (a) keep the compact line short
+    // (top-8 slowest, ~600 chars, fits the window with room for stray
+    // warnings); (b) print it BEFORE spark.stop() as well as after; (c)
+    // flush and sleep before returning so the forwarder drains.
+    val slowest = results.sortBy(-_._3).take(8).map(r => (r._1, r._3))
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(slowest)},"n_queries":${results.size},"total_cold":$totalCold,"sf":"$sfDir","full":"$outPath"}"""
-    // stop BEFORE the final print: executor/cleaner shutdown warnings then
-    // cannot land after the JSON, so the compact line is the literal last
-    // line of output for tail-capture parsers
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath.stripSuffix(".json") + "_compact.json"),
+      compact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(compact)
+    Console.out.flush()
+    // stop, then print AGAIN: shutdown warnings cannot land after this
+    // copy, so when the forwarder does drain fully the compact line is the
+    // literal last line of output for tail-capture parsers
     spark.stop()
     println(compact)
     Console.out.flush()
+    Thread.sleep(2000) // let sbt's output-forwarding thread drain
   }
 }

@@ -43,7 +43,12 @@ object MinhashHash {
       var t = 0
       var b = buf.get()
       while (t < n) {
-        val s = ts.getUTF8String(w + t)
+        // null token → empty string: the declared input type is
+        // ArrayType(StringType) with containsNull = true, so a caller-built
+        // array may carry nulls even though split() never produces them;
+        // without this guard getUTF8String NPEs inside whole-stage codegen
+        val raw = ts.getUTF8String(w + t)
+        val s = if (raw == null) UTF8String.EMPTY_UTF8 else raw
         val sb = s.numBytes
         val need = len + sb + 1
         if (need > b.length) {

@@ -33,6 +33,10 @@ case class TopKPairs(key: Expression, id: Expression, k: Int,
     extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
   require(k > 0, "k must be positive")
 
+  // hoisted once: materializing Ordering.Tuple2 per update()/merge() call
+  // was a per-input-row allocation on this kernel's hot path
+  private val ord = Ordering.Tuple2[Double, Long]
+
   override def children: Seq[Expression] = Seq(key, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -43,7 +47,7 @@ case class TopKPairs(key: Expression, id: Expression, k: Int,
   // max-first on (key, id): head is the current worst of the kept k
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty[(Double, Long)](
-      Ordering.Tuple2[Double, Long])
+      ord)
 
   override def update(buf: mutable.PriorityQueue[(Double, Long)],
                       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
@@ -52,7 +56,7 @@ case class TopKPairs(key: Expression, id: Expression, k: Int,
     if (kv != null && iv != null) {
       val e = (kv.asInstanceOf[Double], iv.asInstanceOf[Long])
       if (buf.size < k) buf.enqueue(e)
-      else if (Ordering.Tuple2[Double, Long].lt(e, buf.head)) {
+      else if (ord.lt(e, buf.head)) {
         buf.dequeue(); buf.enqueue(e)
       }
     }
@@ -63,7 +67,7 @@ case class TopKPairs(key: Expression, id: Expression, k: Int,
                      b2: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
     b2.foreach { e =>
       if (b1.size < k) b1.enqueue(e)
-      else if (Ordering.Tuple2[Double, Long].lt(e, b1.head)) {
+      else if (ord.lt(e, b1.head)) {
         b1.dequeue(); b1.enqueue(e)
       }
     }
@@ -71,7 +75,7 @@ case class TopKPairs(key: Expression, id: Expression, k: Int,
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sorted(Ordering.Tuple2[Double, Long])
+    val sorted = buf.toArray.sorted(ord)
     new GenericArrayData(sorted.map { case (d, i) =>
       InternalRow(d, i)
     }.asInstanceOf[Array[Any]])

@@ -297,8 +297,15 @@ object AdaBoost {
         s"FROM $table${selJoins(r - 1)})"
     }
     def gSumSql(t: String, r: Int): String = {
+      // HUGEINT→VARCHAR→DOUBLE, not HUGEINT→DOUBLE: DuckDB's direct cast
+      // composes double(lower) + double(upper)·2⁶⁴ (double-rounded, can
+      // differ from Java's correctly-rounded BigInteger.doubleValue() by
+      // 1 ulp once the exact sum exceeds 2⁶³). The decimal-string parse
+      // is correctly rounded, so both engines produce the identical
+      // double at ANY magnitude; for sums < 2⁶³ it equals the old direct
+      // cast bit-for-bit.
       val fast =
-        s"(CAST(SUM(CAST(ROUND(($t) * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12)"
+        s"(CAST(CAST(SUM(CAST(ROUND(($t) * 1e12, 0) AS BIGINT)) AS VARCHAR) AS DOUBLE) / 1e12)"
       s"(CASE WHEN (SELECT safe FROM env_$r) THEN $fast ELSE ${sqlDetSum(t)} END)"
     }
     val roundCtes = (1 to rounds).map { r =>

@@ -42,6 +42,13 @@ object KNN {
     * lexicographic, boundary ties by train id. */
   private def neighbors(test: DataFrame, train: DataFrame, id: String,
                         features: Seq[String], k: Int): DataFrame = {
+    // TopKPairs carries the train id as a long through the aggregate; a
+    // non-integral id column (e.g. string keys) would cast to null and
+    // silently drop every neighbor where the old row_number window kept
+    // any id type — fail loudly instead
+    val idType = train.schema(id).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"kNN requires an integral id column; '$id' is ${idType.typeName}")
     val t = test.select(col(id).as("__tid") +:
       features.map(f => col(f).cast("double").as(s"__t_$f")): _*)
     val r = train.select(col(id).as("__rid") +:

@@ -28,11 +28,21 @@ object IsolationForestSql {
   private def cOf(n: String): String =
     s"(CASE WHEN $n <= 1 THEN 0.0 ELSE 2.0*(ln($n - 1.0) + 0.5772156649) - 2.0*($n - 1.0)/$n END)"
 
-  def oracle(nTrees: Int, fitRows: Int, maxDepth: Int = 8): String = {
-    val levels = (0 to maxDepth).map { l =>
-      val depthCap = if (l >= maxDepth) "TRUE" else "FALSE"
+  /** @param maxDepth -1 (default) derives the depth cap the Scala fit uses:
+    *   ⌈log₂ ψ⌉ with ψ = min(256, fitRows) (IsolationForest.fit). A
+    *   hardcoded 8 was only correct for fitRows ≥ 256; the derived form
+    *   keeps the two forests in lockstep for small fit tables too. The
+    *   caller must still ensure the fit table actually HAS ≥ fitRows rows
+    *   (otherwise the Scala side's n shrinks below fitRows and ψ with it). */
+  def oracle(nTrees: Int, fitRows: Int, maxDepth: Int = -1): String = {
+    val psi = math.min(256, fitRows)
+    val depth =
+      if (maxDepth >= 0) maxDepth
+      else math.ceil(math.log(psi.toDouble) / math.log(2.0)).toInt
+    val levels = (0 to depth).map { l =>
+      val depthCap = if (l >= depth) "TRUE" else "FALSE"
       val next =
-        if (l < maxDepth)
+        if (l < depth)
           s""",
              |a${l + 1} AS MATERIALIZED (
              |  SELECT a.t, a.i, a.f0, a.f1,
@@ -61,9 +71,9 @@ object IsolationForestSql {
          |  FROM s$l)$next""".stripMargin
     }.mkString(",\n")
 
-    val walks = (0 to maxDepth).map { l =>
+    val walks = (0 to depth).map { l =>
       val next =
-        if (l < maxDepth)
+        if (l < depth)
           s""",
              |w${l + 1} AS MATERIALIZED (
              |  SELECT w.rid, w.l_orderkey, w.l_linenumber, w.f0, w.f1, w.t,
@@ -78,7 +88,7 @@ object IsolationForestSql {
          |  WHERE n.split IS NULL)$next""".stripMargin
     }.mkString(",\n")
 
-    val hitUnion = (0 to maxDepth).map(l => s"SELECT * FROM hit$l")
+    val hitUnion = (0 to depth).map(l => s"SELECT * FROM hit$l")
       .mkString("\nUNION ALL\n")
 
     s"""WITH samp0 AS (

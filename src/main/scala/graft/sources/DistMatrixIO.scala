@@ -102,7 +102,18 @@ object DistMatrixIO {
   def writeDst(df: DataFrame, n: Int, path: String,
                symmetric: Boolean = true): Unit = {
     val cols = df.columns.toSet
-    val rows = df.collect()
+    // .dst is a single-file interchange format materialized on the driver
+    // (an n×n dense text matrix); bound n so a user pointing this at a
+    // fact-table-sized distance set fails loudly instead of OOMing the
+    // driver. 20000² doubles ≈ 3.2 GB — already generous for a format the
+    // reference uses for widget-sized matrices (distmatrix.py).
+    require(n <= 20000,
+      s"DistMatrixIO.writeDst: n=$n exceeds the 20000-row cap for " +
+        "driver-materialized .dst export; persist large distance sets as " +
+        "long-format parquet instead")
+    val rows = df.limit(n * n + 1).collect()
+    require(rows.length <= n * n,
+      s"writeDst: input has more rows than the ${n}x$n matrix has cells")
     val m = Array.ofDim[Double](n, n)
     val rowLabels = Array.fill[String](n)(null)
     val colLabels = Array.fill[String](n)(null)

@@ -35,7 +35,16 @@ object ExcelWriter {
            ByteType | _: DecimalType => true
       case _ => false
     })
-    val rows = df.collect()
+    // Single-file .xlsx export is inherently driver-materialized; bound it
+    // so pointing this at a fact table fails loudly instead of OOMing the
+    // driver. 1,048,575 data rows (+1 header) is the xlsx format's own
+    // per-sheet row limit, so anything larger could not round-trip anyway.
+    val maxRows = 1048575
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"ExcelWriter.write: input exceeds $maxRows rows (the xlsx per-sheet " +
+        "limit and this writer's driver-memory cap); aggregate or sample " +
+        "before exporting, or use a distributed sink (parquet/csv)")
 
     val sheet = new StringBuilder
     sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")

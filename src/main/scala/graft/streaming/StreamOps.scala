@@ -421,7 +421,18 @@ object StreamOps {
     * and z uses one fixed operation order. */
   def trailingZScore(base: DataFrame, forceChunked: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val chunked = forceChunked || base.count() > ZScoreChunkCutover
+    // plan-statistics cutover, NOT an eager count(): a counting action here
+    // was a full extra scan of the input before the real job — at 100 TB a
+    // non-trivial pre-pass for a monitoring query. Catalyst's estimate is
+    // free (parquet footers / catalog stats); when only sizeInBytes is
+    // known, ~40 B covers the 5 narrow columns of this input shape. Both
+    // plan shapes are bit-identical (OperatorSpec pins it), so a wrong
+    // estimate is a parallelism choice, never a correctness one.
+    val chunked = forceChunked || {
+      val st = base.queryExecution.optimizedPlan.stats
+      st.rowCount.map(_ > BigInt(ZScoreChunkCutover))
+        .getOrElse(st.sizeInBytes > BigInt(ZScoreChunkCutover) * 40)
+    }
     val staged =
       if (!chunked) {
         base.withColumn("__chunk", lit(0L)).withColumn("__copy", lit(0))
