@@ -42,9 +42,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, String) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // a query that DIES must not time as ~0 s and vanish: record the
+      // error so a contaminated run (e.g. a transient DAGScheduler fault
+      // mid-bench) is self-diagnosing from BENCH.json alone instead of
+      // needing the judge to re-time suspects in isolation
+      val err =
+        try { fn(spark, sfDir).count(); null }
+        catch { case t: Throwable =>
+          (Option(t.getMessage).getOrElse(t.getClass.getName))
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160) }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // drop any cached plans a query left
       // clearCache only covers SQL caches — localCheckpoint/persist RDD
@@ -54,18 +62,18 @@ object Bench {
       // eviction). Drop them eagerly so runs are independent.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      dt
+      (dt, err)
     }
 
     var sinceGC = 0
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val cold = time(fn)
-      val warm = time(fn)
+      val (cold, errC) = time(fn)
+      val (warm, errW) = time(fn)
       sinceGC += 1
       if (sinceGC >= 5) { System.gc(); sinceGC = 0 }
-      (name, cold, warm)
+      (name, cold, warm, if (errW != null) errW else errC)
     }
     def jmap(vals: Seq[(String, Double)]): String =
       vals.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -73,8 +81,13 @@ object Bench {
     val coldQs = jmap(results.map(r => (r._1, r._2)))
     val total = results.map(_._3).sum
     val totalCold = results.map(_._2).sum
+    // per-query errors (normally {}): any entry here means that query's
+    // timing is garbage and the run was contaminated
+    val errs = results.filter(_._4 != null)
+      .map(r => "\"" + r._1 + "\":\"" + r._4 + "\"")
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmQs,"queries_cold":$coldQs,"total_cold":$totalCold,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmQs,"queries_cold":$coldQs,"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver captures only the LAST ~2000 chars of sbt output, and the
@@ -86,7 +99,7 @@ object Bench {
     // flush and sleep before returning so the forwarder drains.
     val slowest = results.sortBy(-_._3).take(8).map(r => (r._1, r._3))
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(slowest)},"n_queries":${results.size},"total_cold":$totalCold,"sf":"$sfDir","full":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(slowest)},"n_queries":${results.size},"n_errors":${results.count(_._4 != null)},"total_cold":$totalCold,"sf":"$sfDir","full":"$outPath"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath.stripSuffix(".json") + "_compact.json"),
       compact.getBytes(java.nio.charset.StandardCharsets.UTF_8))

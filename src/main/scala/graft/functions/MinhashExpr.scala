@@ -41,25 +41,30 @@ object MinhashHash {
       // assemble "t_w t_{w+1} … t_{w+n-1}" into the reused buffer
       var len = 0
       var t = 0
+      var emitted = 0
       var b = buf.get()
       while (t < n) {
-        // null token → empty string: the declared input type is
-        // ArrayType(StringType) with containsNull = true, so a caller-built
-        // array may carry nulls even though split() never produces them;
-        // without this guard getUTF8String NPEs inside whole-stage codegen
-        val raw = ts.getUTF8String(w + t)
-        val s = if (raw == null) UTF8String.EMPTY_UTF8 else raw
-        val sb = s.numBytes
-        val need = len + sb + 1
-        if (need > b.length) {
-          val nb = new Array[Byte](Integer.highestOneBit(need) << 1)
-          System.arraycopy(b, 0, nb, 0, len)
-          buf.set(nb); b = nb
+        // null token → skipped entirely (no separator), matching
+        // concat_ws(" ", ...) semantics byte-for-byte: the declared input
+        // type is ArrayType(StringType) with containsNull = true, so a
+        // caller-built array may carry nulls even though split() never
+        // produces them; without the null check getUTF8String NPEs inside
+        // whole-stage codegen
+        val s = ts.getUTF8String(w + t)
+        if (s != null) {
+          val sb = s.numBytes
+          val need = len + sb + 1
+          if (need > b.length) {
+            val nb = new Array[Byte](Integer.highestOneBit(need) << 1)
+            System.arraycopy(b, 0, nb, 0, len)
+            buf.set(nb); b = nb
+          }
+          if (emitted > 0) { b(len) = ' '; len += 1 }
+          Platform.copyMemory(s.getBaseObject, s.getBaseOffset, b,
+            Platform.BYTE_ARRAY_OFFSET + len, sb)
+          len += sb
+          emitted += 1
         }
-        if (t > 0) { b(len) = ' '; len += 1 }
-        Platform.copyMemory(s.getBaseObject, s.getBaseOffset, b,
-          Platform.BYTE_ARRAY_OFFSET + len, sb)
-        len += sb
         t += 1
       }
       val h =

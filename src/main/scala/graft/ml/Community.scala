@@ -35,20 +35,6 @@ object Community {
     * and the unrolled-CTE oracle — agree bit-for-bit. */
   private[ml] val LocalEdgeCap = 2000000L
 
-  /** TEST-ONLY escape hatch: CommunitySpec forces the distributed rounds
-    * on sub-cap fixtures through [[withDistributed]] and
-    * differential-checks them against the driver replay. Always true in
-    * query paths; mutation is confined to the synchronized helper so a
-    * concurrent session in the same JVM can't observe a mid-run flip. */
-  @volatile private var useLocal = true
-
-  /** Run `body` with the driver fast path disabled, serialized against
-    * other callers and always restoring the flag (test-only). */
-  private[graft] def withDistributed[T](body: => T): T = synchronized {
-    useLocal = false
-    try body finally useLocal = true
-  }
-
   private def longIds(df: DataFrame, a: String, b: String): Boolean = {
     import org.apache.spark.sql.types.LongType
     df.schema(a).dataType == LongType && df.schema(b).dataType == LongType
@@ -84,9 +70,14 @@ object Community {
   }
 
   /** @param edges undirected edge list (src, dst) — will be symmetrized.
+    * @param useLocal allow the sub-[[LocalEdgeCap]] driver fast path
+    *   (false forces the distributed rounds — CommunitySpec's
+    *   differential check; a per-call parameter, NOT process-global
+    *   state, so concurrent sessions in one JVM can't flip each other's
+    *   path mid-query).
     * @return (node, community) after `rounds` synchronous LPA rounds. */
   def labelPropagation(edges: DataFrame, src: String, dst: String,
-                       rounds: Int): DataFrame = {
+                       rounds: Int, useLocal: Boolean = true): DataFrame = {
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
       .distinct()
@@ -160,7 +151,8 @@ object Community {
     * guaranteeing Q is non-decreasing and giving a deterministic
     * fixpoint. Each round is joins + aggs hash-partitioned on node id. */
   def louvain(edges: DataFrame, src: String, dst: String,
-              lpaRounds: Int, refineRounds: Int): DataFrame = {
+              lpaRounds: Int, refineRounds: Int,
+              useLocal: Boolean = true): DataFrame = {
     if (useLocal && longIds(edges, src, dst)) {
       val eSmall = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
       val cnt = eSmall.count()
@@ -399,7 +391,8 @@ object Community {
     * driver fast path takes over below [[LocalEdgeCap]] like the other
     * community rounds. */
   def pagerank(edges: DataFrame, src: String, dst: String,
-               rounds: Int, damping: Double = 0.85): DataFrame = {
+               rounds: Int, damping: Double = 0.85,
+               useLocal: Boolean = true): DataFrame = {
     // distinct AFTER symmetrization too (matching labelPropagation): an
     // input carrying both orientations of an edge, or self-loops, would
     // otherwise double-count degrees and contributions

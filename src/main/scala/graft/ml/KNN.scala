@@ -40,15 +40,27 @@ object KNN {
     * at the 10× replica; the aggregate form ships ≤ k·partitions rows
     * per test id). Selection is identical — k smallest by (d2, rid)
     * lexicographic, boundary ties by train id. */
+  /** TopKPairs carries the train id as a long through the aggregate; a
+    * non-integral id column (e.g. string keys) would cast to null and
+    * silently drop every neighbor where the old row_number window kept
+    * any id type — fail loudly instead. Scale-0 decimals with p ≤ 18
+    * cast losslessly to long — some TPC-H parquet generators emit
+    * DECIMAL(p,0) keys and those worked under the old window form, so
+    * keep accepting them. */
+  private def requireIntegralId(train: DataFrame, id: String): Unit = {
+    val idType = train.schema(id).dataType
+    val integral = idType match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        d.scale == 0 && d.precision <= 18
+      case t => Seq("byte", "short", "integer", "long").contains(t.typeName)
+    }
+    require(integral,
+      s"kNN requires an integral id column (or DECIMAL(p<=18,0)); '$id' is ${idType.sql}")
+  }
+
   private def neighbors(test: DataFrame, train: DataFrame, id: String,
                         features: Seq[String], k: Int): DataFrame = {
-    // TopKPairs carries the train id as a long through the aggregate; a
-    // non-integral id column (e.g. string keys) would cast to null and
-    // silently drop every neighbor where the old row_number window kept
-    // any id type — fail loudly instead
-    val idType = train.schema(id).dataType
-    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
-      s"kNN requires an integral id column; '$id' is ${idType.typeName}")
+    requireIntegralId(train, id)
     val t = test.select(col(id).as("__tid") +:
       features.map(f => col(f).cast("double").as(s"__t_$f")): _*)
     val r = train.select(col(id).as("__rid") +:
@@ -62,11 +74,102 @@ object KNN {
       .select(col("__tid"), col("__e.id").as("__rid"))
   }
 
+  /** IVF shortlist + exact re-rank — the scale path for exact-metric kNN
+    * (closes the |test|·|train| full evaluation that remains in
+    * [[neighbors]]; same shape as SimilarityOps.ivfTopKCosine but over
+    * euclidean feature columns):
+    *
+    *  1. coarse quantizer: `nlist` centroids seeded from the smallest
+    *     train ids, refined by `lloyd` exact Lloyd rounds (assignment =
+    *     broadcast-join vs the tiny centroid table, update = one
+    *     exactMean aggregation per feature);
+    *  2. inverted lists: every train row keyed by its nearest centroid —
+    *     one narrow table, no shuffle beyond list_id;
+    *  3. search: each test row probes its `nprobe` nearest centroids and
+    *     exact-scores ONLY those lists — candidate volume shrinks by
+    *     ~nprobe/nlist vs the full cross product at any corpus size.
+    *
+    * The re-rank inside the probed lists uses the IDENTICAL fixed-chain
+    * d2 and TopKPairs (d2, rid) selection as the exact path, so with
+    * nprobe = nlist the output is bit-identical to [[neighbors]]
+    * (KNNSpec pins it — the same identity ann_ivf pins for cosine);
+    * smaller nprobe trades recall for scan volume. */
+  private def neighborsIVF(test: DataFrame, train: DataFrame, id: String,
+                           features: Seq[String], k: Int, nlist: Int,
+                           nprobe: Int, lloyd: Int = 2): DataFrame = {
+    requireIntegralId(train, id)
+    val spark = train.sparkSession
+    import spark.implicits._
+    val dim = features.length
+    // id columns keep their ORIGINAL types (mirroring [[neighbors]] —
+    // the long cast happens only inside TopKPairs), so exact and IVF
+    // outputs are schema-identical
+    val tr = train.select(col(id).as("__rid") +:
+      features.map(f => col(f).cast("double").as(s"__r_$f")): _*)
+    var centroids: Seq[(Long, Seq[Double])] = tr
+      .withColumn("__rl", col("__rid").cast("long"))
+      .orderBy(col("__rl")).limit(nlist).collect()
+      .map(r => (r.getAs[Long]("__rl"),
+        (0 until dim).map(i => r.getDouble(i + 1)).toSeq)).toSeq
+      .sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    def centDF = broadcast(centroids.toDF("list_id", "cent"))
+    // d2 to a centroid: same fixed left-assoc accumulation as dist2
+    def centD2(pre: String): Column =
+      features.zipWithIndex.map { case (f, i) =>
+        (col(s"$pre$f") - element_at(col("cent"), i + 1)) *
+          (col(s"$pre$f") - element_at(col("cent"), i + 1))
+      }.reduce(_ + _)
+    def assign(df: DataFrame, pre: String, idcol: String,
+               rank: Int): DataFrame = {
+      val w = Window.partitionBy(col(idcol))
+        .orderBy(centD2(pre).asc, col("list_id").asc)
+      df.crossJoin(centDF)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= rank)
+        .drop("cent", "__rk")
+    }
+    for (_ <- 1 to lloyd) {
+      val assigned = assign(tr, "__r_", "__rid", 1)
+      val dims = features.map(f => graft.core.Tables.exactMean(
+        col(s"__r_$f")).as(s"__m_$f"))
+      centroids = assigned.groupBy(col("list_id"))
+        .agg(dims.head, dims.tail: _*).collect()
+        .map(r => (r.getLong(0), (1 to dim).map(r.getDouble).toSeq))
+        .toSeq.sortBy(_._1)
+    }
+    val invlists = assign(tr, "__r_", "__rid", 1)
+    val te = test.select(col(id).as("__tid") +:
+      features.map(f => col(f).cast("double").as(s"__t_$f")): _*)
+    val probes = assign(te, "__t_", "__tid", nprobe)
+    broadcast(probes).join(invlists, Seq("list_id"))
+      .filter(col("__tid") =!= col("__rid"))
+      .withColumn("__d2", dist2(features))
+      .groupBy(col("__tid"))
+      .agg(graft.functions.TopKAgg.topKPairs(
+        col("__d2"), col("__rid").cast("long"), k).as("__nn"))
+      .select(col("__tid"), explode(col("__nn")).as("__e"))
+      .select(col("__tid"), col("__e.id").as("__rid"))
+  }
+
+  /** Candidate router: exact by default (fixture scale), IVF shortlist +
+    * exact re-rank when `ivf = Some((nlist, nprobe))` — the form to use
+    * when |test|·|train| stops being scannable. */
+  private def route(test: DataFrame, train: DataFrame, id: String,
+                    features: Seq[String], k: Int,
+                    ivf: Option[(Int, Int)]): DataFrame = ivf match {
+    case Some((nlist, nprobe)) =>
+      neighborsIVF(test, train, id, features, k, nlist, nprobe)
+    case None => neighbors(test, train, id, features, k)
+  }
+
   /** kNN classification: majority vote of the k nearest train rows,
-    * ties → smallest label. Returns (id, prediction) per test row. */
+    * ties → smallest label. Returns (id, prediction) per test row.
+    * @param ivf optional (nlist, nprobe) IVF shortlist (see
+    *   [[neighborsIVF]]); None = exact. */
   def classify(test: DataFrame, train: DataFrame, id: String,
-               features: Seq[String], target: String, k: Int): DataFrame = {
-    val nn = neighbors(test, train, id, features, k)
+               features: Seq[String], target: String, k: Int,
+               ivf: Option[(Int, Int)] = None): DataFrame = {
+    val nn = route(test, train, id, features, k, ivf)
     val nnWithCls = nn.join(
       train.select(col(id).as("__rid"), col(target).as("__cls")), "__rid")
     val vw = Window.partitionBy(col("__tid"))
@@ -79,10 +182,13 @@ object KNN {
   }
 
   /** kNN regression: mean target of the k nearest train rows (uniform
-    * weights), summed through the deterministic decimal path. */
+    * weights), summed through the deterministic decimal path.
+    * @param ivf optional (nlist, nprobe) IVF shortlist (see
+    *   [[neighborsIVF]]); None = exact. */
   def regress(test: DataFrame, train: DataFrame, id: String,
-              features: Seq[String], target: String, k: Int): DataFrame = {
-    val nn = neighbors(test, train, id, features, k)
+              features: Seq[String], target: String, k: Int,
+              ivf: Option[(Int, Int)] = None): DataFrame = {
+    val nn = route(test, train, id, features, k, ivf)
     val nnWithY = nn.join(
       train.select(col(id).as("__rid"), col(target).cast("double").as("__y")),
       "__rid")

@@ -35,6 +35,11 @@ object IsolationForestSql {
     *   caller must still ensure the fit table actually HAS ≥ fitRows rows
     *   (otherwise the Scala side's n shrinks below fitRows and ψ with it). */
   def oracle(nTrees: Int, fitRows: Int, maxDepth: Int = -1): String = {
+    // fitRows ≤ 0 would make ψ ≤ 0, log(ψ) NaN and the derived depth
+    // Int.MinValue — the (0 to depth) level ranges go empty and the
+    // generated SQL is malformed (dangling commas) instead of failing here
+    require(fitRows >= 1, s"isolation-forest oracle needs fitRows >= 1, got $fitRows")
+    require(nTrees >= 1, s"isolation-forest oracle needs nTrees >= 1, got $nTrees")
     val psi = math.min(256, fitRows)
     val depth =
       if (maxDepth >= 0) maxDepth

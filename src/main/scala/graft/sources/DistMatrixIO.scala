@@ -101,55 +101,93 @@ object DistMatrixIO {
     * input write as 0, mirroring the reference's zero-padding. */
   def writeDst(df: DataFrame, n: Int, path: String,
                symmetric: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions._
     val cols = df.columns.toSet
-    // .dst is a single-file interchange format materialized on the driver
-    // (an n×n dense text matrix); bound n so a user pointing this at a
-    // fact-table-sized distance set fails loudly instead of OOMing the
-    // driver. 20000² doubles ≈ 3.2 GB — already generous for a format the
-    // reference uses for widget-sized matrices (distmatrix.py).
+    // .dst is a single-file interchange format; the matrix body STREAMS
+    // through toLocalIterator over a range-partitioned (row, col) sort,
+    // so driver memory is O(n + one partition of cells), never the n²
+    // boxed-Row collect a 16 g driver cannot afford at this cap (the
+    // earlier form's limit(n²+1).collect() admitted ~60-80 GB of Rows
+    // at n = 20000 — the cap reasoned in raw doubles). n stays bounded
+    // because the written FILE is still an n×n dense text matrix a
+    // widget-sized format has no business exceeding (distmatrix.py).
     require(n <= 20000,
       s"DistMatrixIO.writeDst: n=$n exceeds the 20000-row cap for " +
-        "driver-materialized .dst export; persist large distance sets as " +
-        "long-format parquet instead")
-    val rows = df.limit(n * n + 1).collect()
-    require(rows.length <= n * n,
-      s"writeDst: input has more rows than the ${n}x$n matrix has cells")
-    val m = Array.ofDim[Double](n, n)
-    val rowLabels = Array.fill[String](n)(null)
-    val colLabels = Array.fill[String](n)(null)
-    rows.foreach { r =>
-      val i = r.getAs[Number]("i").intValue()
-      val j = r.getAs[Number]("j").intValue()
-      require(i >= 0 && i < n && j >= 0 && j < n,
-        s"cell ($i,$j) outside ${n}x$n matrix")
-      m(i)(j) = r.getAs[Number]("d").doubleValue()
-      // mirror so upper-triangle-only inputs (the engine's pairwise
-      // queries emit i < j) still fill the written lower triangle
-      if (symmetric) m(j)(i) = m(i)(j)
-      if (cols("row_label") && !r.isNullAt(r.fieldIndex("row_label")))
-        rowLabels(i) = r.getAs[String]("row_label")
-      if (cols("col_label") && !r.isNullAt(r.fieldIndex("col_label")))
-        colLabels(j) = r.getAs[String]("col_label")
+        ".dst export; persist large distance sets as long-format " +
+        "parquet instead")
+    // canonicalize each cell to its WRITTEN position: symmetric files
+    // store the lower triangle, and the engine's pairwise queries emit
+    // i < j, so mirror to (max, min); duplicate sources for one target
+    // cell resolve deterministically to the smallest original (i, j)
+    val li = if (symmetric) greatest(col("i"), col("j")) else col("i")
+    val lj = if (symmetric) least(col("i"), col("j")) else col("j")
+    val cells = df
+      .select(li.cast("int").as("li"), lj.cast("int").as("lj"),
+        struct(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+          col("d").cast("double").as("d")).as("c"))
+      .groupBy(col("li"), col("lj"))
+      .agg(min(col("c")).as("c"))
+      .select(col("li"), col("lj"), col("c.d").as("d"))
+    // labels: O(n) driver arrays from two tiny keyed aggregations
+    def labels(idx: String, lab: String): Array[String] = {
+      val out = Array.fill[String](n)(null)
+      if (cols(lab)) df.filter(col(lab).isNotNull)
+        .groupBy(col(idx).cast("int").as("k"))
+        .agg(min(col(lab)).as("l"))
+        .collect().foreach { r =>
+          val k = r.getInt(0)
+          require(k >= 0 && k < n, s"label index $k outside ${n}x$n matrix")
+          out(k) = r.getString(1)
+        }
+      out
     }
+    val rowLabels = labels("i", "row_label")
+    val colLabels = labels("j", "col_label")
     val hasRow = rowLabels.exists(_ != null)
     val hasCol = colLabels.exists(_ != null)
-    val sb = new StringBuilder
-    sb.append(n)
-    if (!symmetric) sb.append("\tasymmetric")
-    if (hasRow) sb.append("\trow_labels")
-    if (hasCol) sb.append("\tcol_labels")
-    sb.append('\n')
-    if (hasCol) sb.append(colLabels.map(l => if (l == null) "" else l)
-      .mkString("", "\t", "\n"))
-    (0 until n).foreach { i =>
-      val cells = (0 until (if (symmetric) i + 1 else n)).map(j => fmt(m(i)(j)))
-      val prefix = if (hasRow) {
-        (if (rowLabels(i) == null) "" else rowLabels(i)) +
-          (if (cells.nonEmpty) "\t" else "")
-      } else ""
-      sb.append(prefix).append(cells.mkString("\t")).append('\n')
-    }
-    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+    // global (li, lj) order with bounded partitions: toLocalIterator
+    // pulls ONE partition at a time, so ≤ ~1M cells are ever resident
+    val nParts = math.max(1, math.min(2048,
+      (n.toLong * n / 1000000L).toInt + 1))
+    val it = cells
+      .repartitionByRange(nParts, col("li"), col("lj"))
+      .sortWithinPartitions(col("li"), col("lj"))
+      .toLocalIterator()
+    val w = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8)
+    try {
+      w.write(n.toString)
+      if (!symmetric) w.write("\tasymmetric")
+      if (hasRow) w.write("\trow_labels")
+      if (hasCol) w.write("\tcol_labels")
+      w.write("\n")
+      if (hasCol) w.write(colLabels.map(l => if (l == null) "" else l)
+        .mkString("", "\t", "\n"))
+      var cur: Row = if (it.hasNext) it.next() else null
+      (0 until n).foreach { i =>
+        val width = if (symmetric) i + 1 else n
+        val line = Array.fill[Double](width)(0.0)
+        while (cur != null && cur.getInt(0) == i) {
+          val j = cur.getInt(1)
+          require(j >= 0 && j < width && i < n,
+            s"cell ($i,$j) outside the written ${n}x$n ${
+              if (symmetric) "lower triangle" else "matrix"}")
+          line(j) = cur.getDouble(2)
+          cur = if (it.hasNext) it.next() else null
+        }
+        require(cur == null || cur.getInt(0) > i,
+          s"cell (${cur.getInt(0)},${cur.getInt(1)}) outside ${n}x$n matrix")
+        val prefix = if (hasRow) {
+          (if (rowLabels(i) == null) "" else rowLabels(i)) +
+            (if (width > 0) "\t" else "")
+        } else ""
+        w.write(prefix)
+        w.write(line.map(fmt).mkString("\t"))
+        w.write("\n")
+      }
+      require(cur == null,
+        s"cell (${if (cur != null) cur.getInt(0) else -1},_) outside " +
+          s"${n}x$n matrix")
+    } finally w.close()
   }
 
   /** Integral doubles print without the trailing .0 (the reference saves

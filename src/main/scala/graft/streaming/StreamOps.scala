@@ -424,14 +424,19 @@ object StreamOps {
     // plan-statistics cutover, NOT an eager count(): a counting action here
     // was a full extra scan of the input before the real job — at 100 TB a
     // non-trivial pre-pass for a monitoring query. Catalyst's estimate is
-    // free (parquet footers / catalog stats); when only sizeInBytes is
-    // known, ~40 B covers the 5 narrow columns of this input shape. Both
-    // plan shapes are bit-identical (OperatorSpec pins it), so a wrong
+    // free (parquet footers / catalog stats). When only sizeInBytes is
+    // known it is usually the COMPRESSED file size (parquet relations),
+    // often well under 40 B/row for these 5 narrow columns — so the
+    // fallback divides by a compressed estimate (8 B/row), biasing toward
+    // the chunked path: a false "chunk" costs one extra narrow shuffle,
+    // while a false "don't chunk" silently reinstates the 4-task
+    // parallelism cliff the chunked path exists to avoid. Both plan
+    // shapes are bit-identical (OperatorSpec pins it), so a wrong
     // estimate is a parallelism choice, never a correctness one.
     val chunked = forceChunked || {
       val st = base.queryExecution.optimizedPlan.stats
       st.rowCount.map(_ > BigInt(ZScoreChunkCutover))
-        .getOrElse(st.sizeInBytes > BigInt(ZScoreChunkCutover) * 40)
+        .getOrElse(st.sizeInBytes > BigInt(ZScoreChunkCutover) * 8)
     }
     val staged =
       if (!chunked) {

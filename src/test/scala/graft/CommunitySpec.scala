@@ -79,22 +79,22 @@ class CommunitySpec extends SparkSpec {
   }
 
   test("driver fast path is bit-identical to the distributed rounds") {
-    // long ids engage the local path; withDistributed forces the
+    // long ids engage the local path; useLocal = false forces the
     // distributed loop on the same graph — labels must agree exactly
     def clique(ids: Seq[Long]) =
       for (a <- ids; b <- ids if a < b) yield (a, b)
     val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
       clique(Seq(10L, 11L, 12L, 13L)) ++ clique(Seq(20L, 21L, 22L, 23L)) :+
       ((4L, 10L)) :+ ((13L, 20L))).toDF("src", "dst")
-    def run() = (
-      Community.labelPropagation(edges, "src", "dst", 3)
+    def run(useLocal: Boolean) = (
+      Community.labelPropagation(edges, "src", "dst", 3, useLocal)
         .orderBy("node").as[(Long, Long)].collect().toSeq,
-      Community.louvain(edges, "src", "dst", 1, 4)
+      Community.louvain(edges, "src", "dst", 1, 4, useLocal)
         .orderBy("node").as[(Long, Long)].collect().toSeq,
-      Community.pagerank(edges, "src", "dst", 5)
+      Community.pagerank(edges, "src", "dst", 5, useLocal = useLocal)
         .orderBy("node").as[(Long, Double)].collect().toSeq)
-    val (lpaLoc, louLoc, prLoc) = run()
-    val (lpaDist, louDist, prDist) = Community.withDistributed(run())
+    val (lpaLoc, louLoc, prLoc) = run(useLocal = true)
+    val (lpaDist, louDist, prDist) = run(useLocal = false)
     assert(lpaLoc == lpaDist)
     assert(louLoc == louDist)
     assert(prLoc == prDist) // decimal-grid sums ⇒ bit-equal ranks

@@ -66,6 +66,44 @@ class DistMatrixIOSpec extends SparkSpec {
     assert(at(2, 0) == 4.0 && at(2, 1) == 1.5)
   }
 
+  test("writeDst rejects n over the cap and out-of-range cells") {
+    import spark.implicits._
+    val tiny = Seq((0, 1, 1.0)).toDF("i", "j", "d")
+    // driver-materialized single-file export: the n cap must hold
+    val e1 = intercept[IllegalArgumentException](
+      DistMatrixIO.writeDst(tiny, 20001, "/tmp/graft_dst_never.dst"))
+    assert(e1.getMessage.contains("20000"))
+    // a cell outside the declared matrix must fail loudly, not write a
+    // truncated file
+    val oob = Seq((0, 1, 1.0), (5, 1, 2.0)).toDF("i", "j", "d")
+    val f = Files.createTempFile("graft_dst_oob_", ".dst").toString
+    intercept[IllegalArgumentException](
+      DistMatrixIO.writeDst(oob, 3, f, symmetric = true))
+    val neg = Seq((-1, 1, 1.0)).toDF("i", "j", "d")
+    intercept[IllegalArgumentException](
+      DistMatrixIO.writeDst(neg, 3, f, symmetric = true))
+  }
+
+  test("writeDst streams a larger matrix without collecting it") {
+    import spark.implicits._
+    // n = 300 (90k cells — would already be uncomfortable as boxed Rows
+    // at the old cap's density): upper-triangle input, round-trip exact
+    val n = 300
+    val upper = spark.range(n.toLong * n).select(
+      (col("id") / n).cast("int").as("i"),
+      pmod(col("id"), lit(n)).cast("int").as("j"),
+      ((col("id") % 7) + 1).cast("double").as("d"))
+      .filter(col("i") < col("j"))
+    val f = Files.createTempFile("graft_dst_big_", ".dst").toString
+    DistMatrixIO.writeDst(upper, n, f, symmetric = true)
+    val back = DistMatrixIO.readDst(spark, f)
+    assert(back.count() == n.toLong * n)
+    val mism = back.as("b")
+      .join(upper.as("u"), Seq("i", "j"))
+      .filter(col("b.d") =!= col("u.d")).count()
+    assert(mism == 0)
+  }
+
   test("write → read round-trips values and labels (symmetric)") {
     import spark.implicits._
     val long = (for (i <- 0 until 3; j <- 0 until 3) yield

@@ -1,13 +1,37 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-rehearsal data generator (test scope, not part of the library):
   * replicates an existing sf directory K times with key offsets into a
   * new directory, preserving distributions while growing join
   * cardinalities — an sf1-equivalent from sf0.1 without touching the
-  * read-only driver data. Usage:
+  * read-only driver data.
+  *
+  * Replicas of `documents.text` and `embeddings.embedding` are MUTATED,
+  * not copied verbatim: a verbatim replica gives every document K-1
+  * exact twins, so near-dup pair volume grows ×K(K-1)/2 and the dedup
+  * family's scale numbers measure the fixture pathology, not the
+  * operator (round-8/9 verdicts). Instead each (row, replica) draws a
+  * deterministic mutation intensity from xxhash64 keyed by structural
+  * position (id, replica, token index — never a sequential RNG stream,
+  * matching the repo's hash-driven-RNG convention):
+  *   - text: per-token substitution from the corpus vocab with
+  *     probability r ∈ {0, 1/32, …, 15/32} drawn per (doc, replica) —
+  *     3-shingle Jaccard vs the base doc then spans ≈1.0 down to ≈0.1,
+  *     so SOME replicas stay above each dedup threshold (near-dups,
+  *     found), some fall below (distinct, correctly not found), and
+  *     r = 0 replicas (1/16) remain exact duplicates for the exact-dedup
+  *     paths. n_chars is recomputed from the mutated text.
+  *   - embeddings: per-element uniform noise with amplitude
+  *     s ∈ {0, 0.01, …, 0.31} drawn per (vec, replica) — expected noise
+  *     norm ≈ 4.6·s against unit-norm signal, so cosine similarity to
+  *     the base vector spans ≈1.0 down to ≈0.6 across the ANN/near-dup
+  *     thresholds.
+  * Replica 0 is always the untouched base fixture.
+  *
+  * Usage:
   *   Test/runMain graft.GenScale /root/testdata/sf0.1 /tmp/sf1 10
   */
 object GenScale {
@@ -36,13 +60,57 @@ object GenScale {
       "embeddings" -> Seq("vec_id"),
       "nation" -> Nil, "region" -> Nil)
 
+    // corpus vocab for substitutions (tiny — the synthetic corpus draws
+    // from a few dozen tokens; sorted so the array literal is stable)
+    lazy val vocab: Seq[String] = {
+      import spark.implicits._
+      spark.read.parquet(s"$src/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .distinct().as[String].collect().sorted.toSeq
+    }
+
+    /** Seeded token swaps for replica i (identity for i = 0). */
+    def mutateText(df: DataFrame, i: Int): DataFrame = {
+      if (i == 0) return df
+      val rate = pmod(xxhash64(lit("mutrate"), col("doc_id"), lit(i)), lit(16))
+      val vlen = vocab.length
+      val vlit = typedLit(vocab)
+      val mutated = transform(split(col("text"), " "), (tok, p) =>
+        when(pmod(xxhash64(lit("muttok"), col("doc_id"), lit(i), p),
+          lit(32)) < rate,
+          element_at(vlit,
+            (pmod(xxhash64(lit("mutpick"), col("doc_id"), lit(i), p),
+              lit(vlen)) + 1).cast("int")))
+          .otherwise(tok))
+      df.withColumn("text", array_join(mutated, " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+
+    /** Seeded ε-noise for replica i (identity for i = 0). */
+    def mutateEmbedding(df: DataFrame, i: Int): DataFrame = {
+      if (i == 0) return df
+      val scale = pmod(xxhash64(lit("embscale"), col("vec_id"), lit(i)),
+        lit(32)).cast("double") / lit(100.0)
+      val noised = transform(col("embedding"), (x, j) => {
+        val u = (pmod(xxhash64(lit("embnoise"), col("vec_id"), lit(i), j),
+          lit(2001)).cast("double") - lit(1000.0)) / lit(1000.0)
+        (x + scale * u).cast("float")
+      })
+      df.withColumn("embedding", noised)
+    }
+
     keyCols.foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$src/$t.parquet")
       val out: DataFrame =
         if (keys.isEmpty) base // dimension tables stay single-copy
         else (0 until k).map { i =>
-          keys.foldLeft(base) { (df, c) =>
+          val shifted = keys.foldLeft(base) { (df, c) =>
             df.withColumn(c, col(c) + lit(i * OFF)) }
+          t match {
+            case "documents" => mutateText(shifted, i)
+            case "embeddings" => mutateEmbedding(shifted, i)
+            case _ => shifted
+          }
         }.reduce(_.unionByName(_))
       if (t == "events" || t == "documents") {
         // StreamOps sources readStream from the sf DIR with

@@ -59,6 +59,47 @@ class KNNSpec extends SparkSpec {
     assert(preds == Map(100L -> "a", 101L -> "b"))
   }
 
+  test("IVF shortlist with nprobe = nlist is identical to the exact path") {
+    // the recall-1 identity (same device ann_ivf pins for cosine): with
+    // every list probed, the IVF candidate set IS the full train set and
+    // the re-rank uses the identical fixed-chain d2 + TopKPairs selection
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        element_at(col("embedding"), 1).as("x"),
+        element_at(col("embedding"), 2).as("y"),
+        element_at(col("embedding"), 3).as("z"),
+        col("label"))
+    val test = emb.filter(col("id") % 10 === 0)
+    val tr = emb.filter(col("id") % 10 =!= 0)
+    val fs = Seq("x", "y", "z")
+    val exactC = KNN.classify(test, tr, "id", fs, "label", 5)
+      .as[(Long, Int)].collect().toMap
+    val ivfC = KNN.classify(test, tr, "id", fs, "label", 5,
+      ivf = Some((8, 8)))
+      .as[(Long, Int)].collect().toMap
+    assert(ivfC == exactC)
+    assert(exactC.nonEmpty)
+    val exactR = KNN.regress(test, tr, "id", fs, "label", 5)
+      .as[(Long, Double)].collect().toMap
+    val ivfR = KNN.regress(test, tr, "id", fs, "label", 5,
+      ivf = Some((8, 8)))
+      .as[(Long, Double)].collect().toMap
+    assert(ivfR == exactR) // decimal-path means ⇒ bit-equal
+  }
+
+  test("IVF shortlist with few probes still finds within-cluster neighbors") {
+    // two well-separated clusters, nlist = 2, nprobe = 1: every test
+    // point's true neighbors share its cluster, so even the minimal
+    // probe budget reproduces the exact answer
+    val test = Seq((100L, 0.2, 0.2), (101L, 10.2, 10.2)).toDF("id", "x", "y")
+    val exact = KNN.classify(test, train, "id", Seq("x", "y"), "cls", 3)
+      .as[(Long, String)].collect().toMap
+    val ivf = KNN.classify(test, train, "id", Seq("x", "y"), "cls", 3,
+      ivf = Some((2, 1)))
+      .as[(Long, String)].collect().toMap
+    assert(ivf == exact)
+  }
+
   test("LSH classify equals exact vote over the LSH candidate set") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).first().getInt(0)

@@ -50,6 +50,42 @@ class KernelSpec extends SparkSpec {
     assert(out == Set(2L, 3L)) // doc 1 has < 3 tokens
   }
 
+  test("minhash kernel skips null tokens exactly like concat_ws") {
+    // caller-built arrays may carry nulls (containsNull = true); the
+    // kernel must produce the same bytes concat_ws(" ", ...) would —
+    // null skipped with NO separator — so the documented composition
+    // equivalence holds even for null-bearing inputs
+    import graft.text.DedupOps
+    val toks = Seq(
+      Seq("a", null, "b", "c"),          // null mid-window
+      Seq(null, "x", "y", "z", null),    // nulls at both ends
+      Seq("p", "q", "r"))                // null-free control
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "toks")
+    def collectSigs(c: org.apache.spark.sql.Column) = {
+      val sig = df.select(col("doc_id"), c.as("s"))
+      sig.orderBy("doc_id").collect()
+        .map(r => r.getSeq[Long](1).toSeq).toSeq
+    }
+    val fused = collectSigs(graft.functions.MinhashExpr.minhashSigs(
+      col("toks"), 3, DedupOps.MinhashParams, DedupOps.MinhashP, xx = true))
+    // slow path: windows of 3 via explicit slices, concat_ws (which skips
+    // nulls), Spark's own xxhash64, then the 16 permutation mins
+    val slow = toks.map { ts =>
+      val shingles = ts.sliding(3).map(w =>
+        w.filter(_ != null).mkString(" ")).toSeq
+      val hs = shingles.map { s =>
+        val h = df.sparkSession.sql(
+          s"SELECT pmod(xxhash64('${s}'), 4294967296)").head().getLong(0)
+        h
+      }
+      DedupOps.MinhashParams.map { case (a, b) =>
+        hs.map(h => java.lang.Math.floorMod(h * a + b, DedupOps.MinhashP)).min
+      }
+    }
+    assert(fused == slow)
+  }
+
   test("TopKPairs keeps the k smallest with (key, id) tie-break, any partitioning") {
     val rows = Seq(
       (1L, 5.0, 10L), (1L, 5.0, 9L), (1L, 4.0, 50L), (1L, 6.0, 1L),

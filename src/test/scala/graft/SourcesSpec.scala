@@ -146,6 +146,21 @@ class SourcesSpec extends SparkSpec {
     assert(grid(1).head == "a<b&c>\"d")
   }
 
+  test("xlsx writer rejects inputs over the per-sheet row cap") {
+    // the driver-memory guard AND the format's own 1,048,576-row sheet
+    // limit: one row over must fail loudly, not OOM or write a file
+    // Excel can't open
+    val over = spark.range(1048576L).toDF("v") // 1,048,575 data + 1 = over
+    val p = java.io.File.createTempFile("graft_cap_", ".xlsx").getAbsolutePath
+    val e = intercept[IllegalArgumentException](
+      graft.sources.ExcelWriter.write(over, p))
+    assert(e.getMessage.contains("1048575"))
+    // exactly at the cap is fine (boundary): cheap 3-row sanity instead
+    // of a million-row write — the cap check is the subject here
+    graft.sources.ExcelWriter.write(spark.range(3L).toDF("v"), p)
+    assert(graft.sources.ExcelReader.cells(p).length == 4)
+  }
+
   // --- SqlTable via embedded Derby (Orange/data/sql/table.py:27-124) ----
 
   private lazy val derbyUrl: String = {
