@@ -592,28 +592,49 @@ object TextQueries {
         val cand = DedupOps.minhashCandidates(
           DedupOps.minhashSignatures(dd, "doc_id", "text", 3),
           "doc_id", bands = 8, rows = 2)
-        // two per-pair cost cuts with UNCHANGED kept rows/values:
+        // three per-pair cost cuts with UNCHANGED kept rows/values:
         //  - equal texts (the dominant candidate class in any corpus
         //    with exact dups) short-circuit to 0 via an O(len) compare
         //    instead of the O(len²) DP;
         //  - the DP itself runs BANDED with threshold = ⌊max_len/5⌋
         //    (catalyst Levenshtein's 3-arg form): dist ≤ ⌊L/5⌋ ⟺
         //    dist·5 ≤ L for integers, and above-threshold pairs return
-        //    −1 — exactly the rows the old filter dropped.
+        //    −1 — exactly the rows the old filter dropped;
+        //  - the DP projection is wrapped in EvalOnce: without it,
+        //    predicate pushdown folds the kernel into the text-join's
+        //    post-condition and it re-runs per candidate row off the
+        //    codegen path (measured 46 s vs 1.4 s on the sf1 mutated
+        //    replica, where candidates are REAL near-dups instead of
+        //    short-circuiting twins).
+        // The explicit repartition keeps the DP spread across cores:
+        // the pair table is small in BYTES, so AQE's coalescing would
+        // funnel the CPU-bound scoring into one task (cheap-bytes/
+        // expensive-rows); keyed on the pair ids it is the same
+        // partitioning the dedup aggregate already produced.
         import org.apache.spark.sql.graftbridge.SqlBridge
         val maxLen = greatest(length(col("t1")), length(col("t2")))
         val banded = SqlBridge.column(
           org.apache.spark.sql.catalyst.expressions.Levenshtein(
             SqlBridge.expression(col("t1")), SqlBridge.expression(col("t2")),
             Some(SqlBridge.expression((maxLen / 5).cast("int")))))
-        cand
+        val survivors = cand
+          .repartition(s.sparkContext.defaultParallelism,
+            col("id1"), col("id2"))
           .join(dd.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
           .join(dd.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
           .select(col("id1"), col("id2"),
-            when(col("t1") === col("t2"), 0).otherwise(banded).as("edit_dist"),
+            graft.functions.BarrierExpr.evalOnce(
+              when(col("t1") === col("t2"), 0).otherwise(banded))
+              .as("edit_dist"),
             maxLen.as("max_len"))
           .filter(col("edit_dist") >= 0 && col("edit_dist") * 5 <= col("max_len"))
-          .orderBy(col("id1"), col("id2"))
+          // persist BEFORE the global sort (the dedup_incremental_batch
+          // cache pattern): RangePartitioner's boundary-sampling pass
+          // re-executes its child, which here would re-run the whole
+          // signature+join+DP pipeline a second time; the survivor set
+          // is pair-volume bound and tiny next to the work that made it
+          .persist()
+        survivors.orderBy(col("id1"), col("id2"))
       },
       Some {
         val p = DedupOps.MinhashP

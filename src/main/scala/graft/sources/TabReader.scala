@@ -68,12 +68,45 @@ object TabReader {
     "yyyy-MM",
     "yyyy-DDD")
 
-  /** First-match parse of a time string through [[TimeFormats]] — one
-    * codegen'd coalesce over try_to_timestamp probes, NULL only when no
-    * format fits (the reference raises; a NULL row surfaces the same
-    * rows through IsDefined filters). */
-  def timeProbe(c: Column): Column =
-    coalesce(TimeFormats.map(f => try_to_timestamp(c, lit(f))): _*)
+  /** Locale (non-ISO) date forms — the reference's opt-in
+    * ADDITIONAL_FORMATS table (variable.py:985-1051): `%d.%m.%Y`,
+    * `%d. %m. %Y`, 2-digit-year variants, US `%m/%d/%Y`, each bare and
+    * with the three time suffixes, plus compact `%Y%m%d%H%M`. Spark's
+    * `yyyy` requires ≥ 4 digits and `yy` exactly 2, so the two year
+    * widths never shadow each other in the probe chain. These are NOT in
+    * the default probe: Orange surfaces them only when the user opts in
+    * (the CSV-import format picker), and `25.11.2021` is genuinely
+    * ambiguous against other locales' `%m.%d.%Y` — same opt-in here
+    * (`localeTimes`). */
+  val LocaleTimeFormats: Seq[String] = {
+    val dates = Seq("d.M.yyyy", "d. M. yyyy", "d.M.yy", "d. M. yy",
+      "M/d/yyyy", "M/d/yy")
+    val times = Seq(" H:mm", " H:mm:ss", " H:mm:ss.SSSSSS")
+    dates.flatMap(d => times.map(d + _)) ++ dates :+ "yyyyMMddHHmm"
+  }
+
+  /** First-match parse of a time string through [[TimeFormats]] (plus
+    * [[LocaleTimeFormats]] when `locale`) — one codegen'd coalesce over
+    * try_to_timestamp probes, NULL only when no format fits (the
+    * reference raises; a NULL row surfaces the same rows through
+    * IsDefined filters). */
+  def timeProbe(c: Column, locale: Boolean = false): Column = {
+    val fmts = TimeFormats ++ (if (locale) LocaleTimeFormats else Nil)
+    coalesce(fmts.map(f => try_to_timestamp(c, lit(f))): _*)
+  }
+
+  /** Per-column import override (the CSV-import widget's column-type
+    * matrix — reference Orange/widgets/utils/textimport.py:151-166
+    * `ColumnType`, applied via owcsvimport Options.columntypes). */
+  sealed trait ColType
+  object ColType {
+    case object Skip        extends ColType
+    case object Auto        extends ColType
+    case object Numeric     extends ColType
+    case object Categorical extends ColType
+    case object Text        extends ColType
+    case object Time        extends ColType
+  }
 
   private case class HVar(name: String, kind: VarKind, role: Role,
                           values: Seq[String])
@@ -124,7 +157,9 @@ object TabReader {
     * type flags; 1-row prefixed if names carry `t#name` prefixes; else
     * 1-row plain names with inferred types. */
   def read(spark: SparkSession, path: String,
-           delimiter: String = "\t"): DataFrame = {
+           delimiter: String = "\t",
+           localeTimes: Boolean = false,
+           overrides: Map[String, ColType] = Map.empty): DataFrame = {
     val dRe = java.util.regex.Pattern.quote(delimiter)
     val head = headLines(spark, path, 3)
     require(head.nonEmpty, s"empty .tab file: $path")
@@ -172,6 +207,22 @@ object TabReader {
         (names.map(n => HVar(n, VarKind.Continuous, Role.Feature, Nil)), 1)
       }
 
+    // per-column type overrides (the import widget's column-type matrix,
+    // owcsvimport.py Options.columntypes / textimport.py ColumnType:
+    // 151-166): the user's choice beats the header/inferred kind;
+    // Skip drops the column, Auto keeps the detected kind
+    val hvars2 = hvars.map { h =>
+      if (h == null) null
+      else overrides.get(h.name) match {
+        case None | Some(ColType.Auto) => h
+        case Some(ColType.Skip)        => null
+        case Some(ColType.Numeric)     => h.copy(kind = VarKind.Continuous, values = Nil)
+        case Some(ColType.Categorical) => h.copy(kind = VarKind.Discrete)
+        case Some(ColType.Text)        => h.copy(kind = VarKind.Str, values = Nil)
+        case Some(ColType.Time)        => h.copy(kind = VarKind.Time, values = Nil)
+      }
+    }
+
     // Distributed body read: all-string schema, drop header rows by value
     // (they re-appear as data rows since we supply our own schema).
     val rawFields = names.indices.map(i => StructField(s"_c$i", StringType, true))
@@ -193,12 +244,12 @@ object TabReader {
     }
 
     val missing = Schema.MissingTokens.toSeq
-    val cols = hvars.zipWithIndex.collect { case (h, i) if h != null =>
+    val cols = hvars2.zipWithIndex.collect { case (h, i) if h != null =>
       val rawCol = col(s"_c$i")
       val cleaned = when(rawCol.isin(missing: _*), null).otherwise(rawCol)
       val typed = h.kind match {
         case VarKind.Continuous => cleaned.cast(DoubleType)
-        case VarKind.Time       => timeProbe(cleaned)
+        case VarKind.Time       => timeProbe(cleaned, localeTimes)
         case _                  => cleaned
       }
       val meta = OVar(h.name, h.kind, h.role, h.values).toField.metadata

@@ -102,6 +102,44 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("EvalOnce barrier: identical rows, and the DP stays out of join conditions") {
+    // the dedup_edit_distance scoring shape with and without the
+    // barrier must agree row-for-row (EvalOnce is a plan-shape device,
+    // not semantics), and the barriered plan must carry NO levenshtein
+    // inside a join condition — that pushdown is the 30× regression the
+    // sf1 mutated-replica rehearsal exposed
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    val dd = spark.read.parquet(s"$sf/documents.parquet")
+    val cand = DedupOps.minhashCandidates(
+      DedupOps.minhashSignatures(dd, "doc_id", "text", 3),
+      "doc_id", bands = 8, rows = 2)
+    def scored(barrier: Boolean) = {
+      val maxLen = greatest(length(col("t1")), length(col("t2")))
+      val banded = SqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.Levenshtein(
+          SqlBridge.expression(col("t1")), SqlBridge.expression(col("t2")),
+          Some(SqlBridge.expression((maxLen / 5).cast("int")))))
+      val raw = when(col("t1") === col("t2"), 0).otherwise(banded)
+      val d = if (barrier) graft.functions.BarrierExpr.evalOnce(raw) else raw
+      cand
+        .join(dd.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+        .join(dd.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+        .select(col("id1"), col("id2"), d.as("edit_dist"),
+          maxLen.as("max_len"))
+        .filter(col("edit_dist") >= 0 &&
+          col("edit_dist") * 5 <= col("max_len"))
+    }
+    val want = scored(barrier = false)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val got = scored(barrier = true)
+    assert(got.as[(Long, Long, Int, Int)].collect().toSet == want)
+    val plan = got.queryExecution.executedPlan.toString
+    val joinLines = plan.split("\n").filter(_.contains("HashJoin"))
+    assert(joinLines.nonEmpty)
+    assert(!joinLines.exists(_.toLowerCase.contains("levenshtein")),
+      "banded DP leaked into a join condition despite EvalOnce")
+  }
+
   test("banded simhash pairs match the fallback on real document data") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sig = DedupOps.simhash(docs, "doc_id", "text").cache()

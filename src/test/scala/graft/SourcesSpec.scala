@@ -146,6 +146,32 @@ class SourcesSpec extends SparkSpec {
     assert(grid(1).head == "a<b&c>\"d")
   }
 
+  test("fromUrl: real http:// URL downloads and dispatches (in-process server)") {
+    // the reference exercises io.py:409-460 UrlReader against real URLs;
+    // an in-process JDK HttpServer gives the same code path (URL →
+    // openStream → temp file → extension dispatch) with zero egress
+    val body = "a\tb\nc\ts\n\n1\tx\n2\ty\n"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data/iris.tab",
+      new com.sun.net.httpserver.HttpHandler {
+        def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          try ex.getResponseBody.write(bytes) finally ex.close()
+        }
+      })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val df = Sources.fromUrl(spark, s"http://127.0.0.1:$port/data/iris.tab")
+      assert(df.columns.toSeq == Seq("a", "b"))
+      assert(df.count() == 2)
+      assert(df.orderBy("a").collect().map(_.getDouble(0)).toSeq ==
+        Seq(1.0, 2.0))
+    } finally server.stop(0)
+  }
+
   test("xlsx writer rejects inputs over the per-sheet row cap") {
     // the driver-memory guard AND the format's own 1,048,576-row sheet
     // limit: one row over must fail loudly, not OOM or write a file

@@ -100,6 +100,81 @@ class TabReaderSpec extends SparkSpec {
     assert(vals == Seq(1637847320.0, 1637798400.0, 48900.0, 1637798400.0, -1.0))
   }
 
+  test("opt-in locale formats parse; the default probe leaves them null") {
+    // reference ADDITIONAL_FORMATS (variable.py:985-1051): these are an
+    // explicit user choice there and an explicit localeTimes=true here —
+    // `04.02.2016` must NOT silently parse by default (ambiguous against
+    // other locales' month-first dotted forms)
+    import spark.implicits._
+    val cases = Seq(
+      ("04.02.2016", 1454544000.0),              // %d.%m.%Y → Feb 4
+      ("25. 11. 2021", 1637798400.0),            // %d. %m. %Y
+      ("25.11.21", 1637798400.0),                // %d.%m.%y → 2021
+      ("11/25/2021", 1637798400.0),              // %m/%d/%Y (US)
+      ("11/25/21", 1637798400.0),                // %m/%d/%y
+      ("25.11.2021 13:35:20", 1637847320.0),     // dotted + time
+      ("11/25/2021 13:35:20.25", 1637847320.25), // US + fractional
+      ("202111251335", 1637847300.0))            // %Y%m%d%H%M
+    val got = cases.toDF("s", "want")
+      .select(col("s"), col("want"),
+        TabReader.timeProbe(col("s"), locale = true).cast("double").as("got"),
+        TabReader.timeProbe(col("s")).cast("double").as("iso"))
+      .collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(2), s"locale probe missed '${r.getString(0)}'")
+      assert(r.getDouble(2) == r.getDouble(1),
+        s"'${r.getString(0)}' parsed to ${r.getDouble(2)}, want ${r.getDouble(1)}")
+      assert(r.isNullAt(3), s"'${r.getString(0)}' leaked into the ISO probe")
+    }
+    // ISO forms still win inside the locale probe (prefix order), and the
+    // reader-level opt-in threads through the .tab header path
+    val tab = "/tmp/graft_test_locale_times.tab"
+    val body = Seq("when", "t", "", "04.02.2016", "2016-02-05").mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tab), body)
+    val vals = TabReader.read(spark, tab, localeTimes = true)
+      .select(col("when").cast("double")).collect().map(_.getDouble(0)).toSeq
+    assert(vals == Seq(1454544000.0, 1454630400.0))
+    val defaults = TabReader.read(spark, tab)
+      .select(col("when").cast("double")).collect()
+      .map(r => if (r.isNullAt(0)) -1.0 else r.getDouble(0)).toSeq
+    assert(defaults == Seq(-1.0, 1454630400.0))
+  }
+
+  test("per-column type overrides: Skip/Numeric/Text/Time/Categorical beat the header") {
+    import graft.sources.TabReader.ColType
+    val tab = "/tmp/graft_test_overrides.tab"
+    val body = Seq(
+      "num\ttxt\twhen\tdrop\tcat",
+      "s\tc\ts\tc\tred blue",
+      "\t\t\t\t",
+      "1.5\t7\t2021-11-25\t9\tred",
+      "2.5\t8\t2021-11-26\t9\tblue").mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tab), body)
+    val df = TabReader.read(spark, tab, overrides = Map(
+      "num" -> ColType.Numeric,   // declared s → forced double
+      "txt" -> ColType.Text,      // declared c → forced string
+      "when" -> ColType.Time,     // declared s → forced time probe
+      "drop" -> ColType.Skip,     // gone entirely
+      "cat" -> ColType.Categorical))
+    assert(df.columns.toSeq == Seq("num", "txt", "when", "cat"))
+    assert(df.schema("num").dataType.typeName == "double")
+    assert(df.schema("txt").dataType.typeName == "string")
+    assert(Schema.domainOf(df)("when").kind == VarKind.Time)
+    // Categorical keeps the declared value dictionary; a Text override
+    // on the same column would strip it (checked below)
+    assert(Schema.domainOf(df)("cat").kind == VarKind.Discrete)
+    assert(Schema.domainOf(df)("cat").values == Seq("red", "blue"))
+    assert(Schema.domainOf(
+      TabReader.read(spark, tab, overrides = Map("cat" -> ColType.Text)))("cat")
+      .kind == VarKind.Str)
+    assert(df.select(col("when").cast("double")).collect()
+      .map(_.getDouble(0)).toSeq == Seq(1637798400.0, 1637884800.0))
+    // Auto (or absence) keeps the header's declaration
+    val auto = TabReader.read(spark, tab,
+      overrides = Map("num" -> ColType.Auto))
+    assert(auto.schema("num").dataType.typeName == "string")
+  }
+
   test("round-trip write/read preserves schema and rows") {
     val df = TabReader.read(spark, s"$datasets/iris.tab")
     val out = "/tmp/graft_test_iris.tab"
