@@ -236,10 +236,22 @@ object SGD {
         val nf = (0 to k).forall(i => pre.getLong(k + 1 + i) == nTot)
         (nTot, m, nf)
       }
-    val scaledSafe = nRows > 0 && nRows <= 8000000L && maxAbs <= 1.0
+    // per-TERM envelope only (the r8 AdaBoost lesson, applied here in
+    // round 10 after the sf10 rehearsal found ml_svm_rbf pinned on the
+    // DECIMAL fallback for 30 interpreted passes over 60M rows):
+    // |r·x| ≤ 1 keeps round(t·10¹²) exact in a double at ANY row count;
+    // accumulator overflow — the real reason the old 8·10⁶ row cap
+    // existed — is gone because the JVM path spills its per-partition
+    // longs into BigIntegers and the aggregate path sums the scaled
+    // longs in DECIMAL(38,0) (exact, order-independent). The oracle's
+    // fast branch is already overflow-free (DuckDB SUM(BIGINT)
+    // accumulates in HUGEINT); its env predicate drops the row clause
+    // in lockstep.
+    val scaledSafe = nRows > 0 && maxAbs <= 1.0
     def gradSum(c: Column): Column =
       if (scaledSafe)
-        (sum(round(c * 1e12, 0).cast("long")) / lit(1e12)).cast("double")
+        (sum(round(c * 1e12, 0).cast("long").cast("decimal(38,0)"))
+          .cast("double") / lit(1e12)).cast("double")
       else detSum(c)
 
     // The JVM gradient accumulates the SAME scaled-long sums
@@ -259,9 +271,19 @@ object SGD {
     def gradJvm(w: Array[Double]): Array[Double] = {
       val kk = k; val ll = loss
       val bw = spark.sparkContext.broadcast(w)
+      // long accumulators with BigInteger spill (AdaBoost's device):
+      // integer addition stays order-independent and the sum exact at
+      // ANY row count — the fixed-point grid, not the row count, is the
+      // envelope
+      val SpillAt = Long.MaxValue >> 1
       val acc = arrRdd.mapPartitions { it =>
         val ww = bw.value
         val a = new Array[Long](kk + 1)
+        val big = Array.fill(kk + 1)(java.math.BigInteger.ZERO)
+        def spill(i: Int): Unit = {
+          big(i) = big(i).add(java.math.BigInteger.valueOf(a(i)))
+          a(i) = 0L
+        }
         while (it.hasNext) {
           val x = it.next()
           var z = 0.0; var i = 0
@@ -270,16 +292,25 @@ object SGD {
           val r = ll.residualJvm(z, x(kk))
           if (r != 0.0) {
             var j = 0
-            while (j < kk) { a(j) += roundScaled(r * x(j)); j += 1 }
+            while (j < kk) {
+              a(j) += roundScaled(r * x(j))
+              if (a(j) > SpillAt || a(j) < -SpillAt) spill(j)
+              j += 1
+            }
             a(kk) += roundScaled(r)
+            if (a(kk) > SpillAt || a(kk) < -SpillAt) spill(kk)
           }
         }
-        Iterator.single(a)
+        var i = 0
+        while (i <= kk) { spill(i); i += 1 }
+        Iterator.single(big)
       }.treeReduce { (p, q) =>
-        var i = 0; while (i <= kk) { p(i) += q(i); i += 1 }; p
+        var i = 0; while (i <= kk) { p(i) = p(i).add(q(i)); i += 1 }; p
       }
       bw.destroy()
-      acc.map(_ / 1e12)
+      // bigTotal → correctly-rounded double, then the grid division —
+      // the same two steps the oracle's HUGEINT SUM → DOUBLE cast does
+      acc.map(_.doubleValue() / 1e12)
     }
 
     var w = Array.fill(k + 1)(0.0) // weights + intercept, zero init
@@ -360,8 +391,11 @@ object SGD {
     // Spark side pre-computes, so both engines pick the same branch —
     // scaled-long inside the envelope, detSum's DECIMAL(38,14) outside.
     def scaledSum(t: String) = {
+      // HUGEINT sum → DOUBLE (correctly rounded), THEN the grid
+      // division — a BIGINT cast here would overflow past 2⁶³ where the
+      // Spark side's BigInteger spill keeps going
       val fast =
-        s"(CAST(SUM(CAST(ROUND(($t) * 1e12, 0) AS BIGINT)) AS BIGINT) / 1e12)"
+        s"(CAST(SUM(CAST(ROUND(($t) * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12)"
       val slow =
         s"CAST(SUM(CAST(ROUND(($t), 12) AS DECIMAL(38,14))) AS DOUBLE)"
       s"(CASE WHEN (SELECT safe FROM env) THEN $fast ELSE $slow END)"
@@ -386,7 +420,10 @@ object SGD {
     val last = s"it$iterations"
     val metric = loss.metricSql(z(last), ySql, scaledSum)
     val envAbs = featsSql.map { case (_, e) => s"ABS($e)" }.mkString(", ")
-    val env = s"env AS (SELECT COUNT(*) BETWEEN 1 AND 8000000 AND " +
+    // row-count clause dropped in lockstep with the Spark side: DuckDB
+    // SUM(BIGINT) accumulates in HUGEINT (overflow-free at any n), so
+    // only the per-term |x| ≤ 1 bound gates the fast branch
+    val env = s"env AS (SELECT COUNT(*) >= 1 AND " +
       s"COALESCE(MAX(GREATEST($envAbs)), 1e300) <= 1.0 AS safe FROM $table)"
     s"""WITH $prelude$env,
        |it0 AS (SELECT $init),

@@ -65,10 +65,13 @@ object Softmax {
       }.treeReduce((a, b) => (a._1 + b._1, math.max(a._2, b._2)))
     }
     require(n > 0, "softmax fit on empty input")
-    // same envelope as SGD: outside it the 1e-12 long grid could
-    // overflow/lose exactness — softmax callers pre-scale, so enforce
-    require(n <= 8000000L && maxAbs <= 1.0,
-      s"softmax envelope: n=$n maxAbs=$maxAbs (pre-scale features)")
+    // per-TERM envelope only (lockstep with SGD.linearGD round-10):
+    // |r·x| ≤ 1 keeps round(t·10¹²) exact at ANY n; accumulator
+    // overflow is handled by the BigInteger spill below, and the
+    // oracle's HUGEINT SUM is overflow-free — softmax callers
+    // pre-scale, so enforce just the magnitude bound
+    require(maxAbs <= 1.0,
+      s"softmax envelope: maxAbs=$maxAbs (pre-scale features to [-1,1])")
 
     def roundScaled(v: Double): Long = {
       val t = v * 1e12
@@ -81,9 +84,17 @@ object Softmax {
     for (_ <- 1 to iterations) {
       val bw = spark.sparkContext.broadcast(theta)
       val kk = k; val cc = c
+      // long accumulators with BigInteger spill (SGD/AdaBoost device):
+      // exact at any row count, order-independent
+      val SpillAt = Long.MaxValue >> 1
       val g = arrRdd.mapPartitions { it =>
         val th = bw.value
         val acc = new Array[Long](cc * (kk + 1))
+        val big = Array.fill(cc * (kk + 1))(java.math.BigInteger.ZERO)
+        def spill(i: Int): Unit = {
+          big(i) = big(i).add(java.math.BigInteger.valueOf(acc(i)))
+          acc(i) = 0L
+        }
         val z = new Array[Double](cc)
         val e = new Array[Double](cc)
         while (it.hasNext) {
@@ -106,19 +117,26 @@ object Softmax {
             val r = e(ci) / se - (if (yi == ci) 1.0 else 0.0)
             var j = 0
             while (j < kk) {
-              acc(ci * (kk + 1) + j) += roundScaled(r * x(j)); j += 1
+              val ix = ci * (kk + 1) + j
+              acc(ix) += roundScaled(r * x(j))
+              if (acc(ix) > SpillAt || acc(ix) < -SpillAt) spill(ix)
+              j += 1
             }
-            acc(ci * (kk + 1) + kk) += roundScaled(r)
+            val ib = ci * (kk + 1) + kk
+            acc(ib) += roundScaled(r)
+            if (acc(ib) > SpillAt || acc(ib) < -SpillAt) spill(ib)
             ci += 1
           }
         }
-        Iterator.single(acc)
+        var i = 0
+        while (i < acc.length) { spill(i); i += 1 }
+        Iterator.single(big)
       }.treeReduce { (a, b) =>
-        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        var i = 0; while (i < a.length) { a(i) = a(i).add(b(i)); i += 1 }; a
       }
       bw.destroy()
       theta = Array.tabulate(c, k + 1) { (ci, j) =>
-        val gs = g(ci * (k + 1) + j) / 1e12
+        val gs = g(ci * (k + 1) + j).doubleValue() / 1e12
         math.rint((theta(ci)(j) - lr * (gs / nD + lambda * theta(ci)(j) / nD)) * 1e10) / 1e10
       }
     }
@@ -200,8 +218,11 @@ object Softmax {
     val init = (0 until c).flatMap(ci =>
       (0 to k).map(j => s"CAST(0.0 AS DOUBLE) AS ${w(ci, j)}"))
       .mkString(", ")
+    // HUGEINT sum → DOUBLE → grid division (matches the Spark side's
+    // BigInteger spill → doubleValue → ÷1e12; a BIGINT cast would
+    // overflow past 2⁶³)
     def scaledSum(t: String) =
-      s"(CAST(SUM(CAST(ROUND(($t) * 1e12, 0) AS BIGINT)) AS BIGINT) / 1e12)"
+      s"(CAST(SUM(CAST(ROUND(($t) * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12)"
     // per-iteration: a probability CTE using DuckDB's lateral SELECT
     // aliases (z/e/se computed once per row), then the 1-row update CTE
     val steps = (1 to iterations).map { i =>
