@@ -36,7 +36,8 @@ object Bisect {
       .head().getDouble(0)
     require(maxAbs <= 1.0, s"bisect envelope: max|x|=$maxAbs (pre-scale)")
     def scaledSum(c: Column): Column =
-      (sum(round(c * 1e12, 0).cast("long")) / lit(1e12)).cast("double")
+      (sum(round(c * 1e12, 0).cast("long").cast("decimal(38,0)"))
+        .cast("double") / lit(1e12)).cast("double")
     def r10(v: Double): Double = {
       val p = v * 1e10
       (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)) / 1e10

@@ -71,7 +71,8 @@ object Lloyd {
       }
     }
     def scaledSum(c: Column): Column =
-      (sum(round(c * 1e12, 0).cast("long")) / lit(1e12)).cast("double")
+      (sum(round(c * 1e12, 0).cast("long").cast("decimal(38,0)"))
+        .cast("double") / lit(1e12)).cast("double")
 
     for (_ <- 1 to iterations) {
       val asg = base.crossJoin(broadcast(centDF(cent)))

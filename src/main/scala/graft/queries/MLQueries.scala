@@ -630,8 +630,8 @@ object MLQueries {
           // row allocated a heap BigDecimal and the two scans cost 13 s
           // at sf0.1; the long grid runs them in ~3 s.
           sumFn = c =>
-            (sum(round(c * lit(1e12), 0).cast("long")) / lit(1e12))
-              .cast("double"))
+            (sum(round(c * lit(1e12), 0).cast("long").cast("decimal(38,0)"))
+              .cast("double") / lit(1e12)).cast("double"))
         val bQty = m.beta.head * 100000.0 / 50.0
         val bDisc = m.beta(1) * 100000.0 * 10.0
         val b0 = m.intercept * 100000.0

@@ -64,22 +64,30 @@ object StreamingQueries {
       Some("""SELECT event_type, event_id, tsec,
              |  ROUND(value, 6) AS value, ROUND(z, 6) AS z
              |FROM (
-             |  SELECT event_type, event_id,
-             |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec, value,
-             |    COUNT(*) OVER w AS n_win,
-             |    (value - (CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w
-             |        AS DOUBLE) / COUNT(*) OVER w))
-             |      / SQRT((CAST(SUM(CAST(ROUND(value * value, 6)
+             |  SELECT event_type, event_id, tsec, value, n_win,
+             |    -- zero-variance frames have no defined z (lockstep
+             |    -- with the Spark side's when-guard; without the CASE,
+             |    -- DuckDB's NaN — which sorts ABOVE everything — would
+             |    -- PASS the |z| filter where Spark's NULL drops)
+             |    CASE WHEN var_s > 0
+             |      THEN (value - mean_v) / SQRT(var_s) END AS z
+             |  FROM (
+             |    SELECT event_type, event_id,
+             |      CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec, value,
+             |      COUNT(*) OVER w AS n_win,
+             |      CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w
+             |          AS DOUBLE) / COUNT(*) OVER w AS mean_v,
+             |      (CAST(SUM(CAST(ROUND(value * value, 6)
              |            AS DECIMAL(38,6))) OVER w AS DOUBLE)
              |          - CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w
              |              AS DOUBLE)
              |            * CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w
              |              AS DOUBLE) / COUNT(*) OVER w)
-             |        / (COUNT(*) OVER w - 1)) AS z
-             |  FROM events
-             |  WINDOW w AS (PARTITION BY event_type
-             |    ORDER BY epoch_ns(ts), event_id
-             |    ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+             |        / (COUNT(*) OVER w - 1) AS var_s
+             |    FROM events
+             |    WINDOW w AS (PARTITION BY event_type
+             |      ORDER BY epoch_ns(ts), event_id
+             |      ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)))
              |WHERE n_win >= 30 AND ABS(ROUND(z, 6)) >= 3.0
              |ORDER BY event_type, event_id""".stripMargin)),
 

@@ -464,7 +464,15 @@ object StreamOps {
     val s2 = sum(v2Dec).over(w).cast("double")
     val mean = s1 / cnt
     val varS = (s2 - s1 * s1 / cnt) / (cnt - 1)
-    val z = (col("value") - mean) / sqrt(varS)
+    // zero-variance frames (50 identical trailing values — real streams
+    // have them, and the sf10 100-replica fixture is full of them) have
+    // no defined z; guard EXPLICITLY because ANSI mode throws
+    // DIVIDE_BY_ZERO even for double x/0 instead of yielding NaN. NULL z
+    // fails the |z| ≥ 3 filter exactly like the NaN the IEEE form
+    // produced — the oracle carries the same CASE so neither engine
+    // leans on NaN-ordering quirks (DuckDB sorts NaN above everything,
+    // so its NaN would PASS the filter where Spark's drops).
+    val z = when(varS > lit(0.0), (col("value") - mean) / sqrt(varS))
     staged
       .withColumn("n_win", cnt).withColumn("z", z)
       .filter(col("__copy") === 0 &&
