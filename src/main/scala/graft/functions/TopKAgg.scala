@@ -113,4 +113,21 @@ object TopKAgg {
     SqlBridge.column(
       TopKPairs(SqlBridge.expression(key), SqlBridge.expression(id), k)
         .toAggregateExpression())
+
+  private val FallbackConf =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+  /** TypedImperativeAggregate runs through ObjectHashAggregate, whose
+    * hash map falls back to SORT-based aggregation after
+    * `fallbackThreshold` distinct keys per task — default 128. For
+    * TopKPairs that fallback re-creates exactly the pathology the
+    * aggregate exists to avoid: every task SORTS its entire candidate
+    * slice (|test|·|train| / tasks rows) before merging, which at the
+    * sf10 rehearsal spilled the 22G-row kNN candidate stream to
+    * disk-full. A k-entry heap costs ~400 B per group, so 2^18 groups
+    * per task bound the map at ~100 MB — raise the threshold to that
+    * when it is still at the Spark default, and leave any explicit user
+    * setting alone. */
+  def ensureHashAggCapacity(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (spark.conf.get(FallbackConf, "128") == "128")
+      spark.conf.set(FallbackConf, (1 << 18).toString)
 }

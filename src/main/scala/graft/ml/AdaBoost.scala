@@ -104,13 +104,32 @@ object AdaBoost {
       val t = v * 1e12
       if (t >= 0) Math.round(t) else -Math.round(-t)
     }
+    // Every cached value is ±1 by construction (stump outputs and the
+    // {−1,+1} label), so the cache is a packed SIGN bitset — bit set ↔
+    // +1.0 — at ⌈(K+1)/64⌉ longs per row instead of K+1 doubles. At the
+    // sf10 rehearsal the double form was ~9 GB at 60M rows and spilled
+    // MEMORY_AND_DISK; packed it is one long per row. Arithmetic is
+    // unchanged bit-for-bit: ±1.0 multiplications become sign flips and
+    // w·(1−y·h)/2 is EXACTLY w when the bits differ and +0.0 when equal
+    // ((1−(−1))/2 = 1.0 and w·1.0 = w are exact in IEEE754), so every
+    // scaled-long sum — and the CTE oracle — sees identical terms.
+    val words = (kCand + 1 + 63) >> 6
+    @inline def bit(x: Array[Long], i: Int): Boolean =
+      ((x(i >> 6) >>> (i & 63)) & 1L) != 0L
     lazy val hArr = {
       val hDf = base.select(cands.map(c => h(c)).zipWithIndex
         .map { case (c, k) => c.as(s"h_$k") } :+ col("y"): _*)
+      val kk = kCand; val nw = words
       val r = hDf.rdd.map { row =>
-        val a = new Array[Double](kCand + 1)
+        val a = new Array[Long](nw)
         var i = 0
-        while (i <= kCand) { a(i) = row.getDouble(i); i += 1 }
+        while (i <= kk) {
+          val v = row.getDouble(i)
+          if (v == 1.0) a(i >> 6) |= 1L << (i & 63)
+          else if (v != -1.0) throw new IllegalArgumentException(
+            s"AdaBoost cache expects ±1 values, got $v (is y in {-1,+1}?)")
+          i += 1
+        }
         a
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count()
@@ -144,20 +163,25 @@ object AdaBoost {
         }
         while (it.hasNext) {
           val x = it.next()
-          val yv = x(kk)
+          val yb = bit(x, kk)
           var f = 0.0; var j = 0
           while (j < rr) {
             val kj = bks(j)
-            f += bas(j) * (if (kj >= 0) x(kj) else 0.0)
+            if (kj >= 0) f += (if (bit(x, kj)) bas(j) else -bas(j))
             j += 1
           }
-          val w = Math.exp(-yv * f)
-          a(0) += roundScaled(w)
+          val w = Math.exp(if (yb) -f else f)
+          val rw = roundScaled(w)
+          a(0) += rw
           if (a(0) > SpillAt || a(0) < -SpillAt) spill(0)
+          // w·(1−y·h_k)/2 is exactly w when y ≠ h_k and +0.0 when equal,
+          // so the candidate term reuses the already-rounded rw
           var k = 0
           while (k < kk) {
-            a(k + 1) += roundScaled((w * (1.0 - yv * x(k))) / 2.0)
-            if (a(k + 1) > SpillAt || a(k + 1) < -SpillAt) spill(k + 1)
+            if (bit(x, k) != yb) {
+              a(k + 1) += rw
+              if (a(k + 1) > SpillAt || a(k + 1) < -SpillAt) spill(k + 1)
+            }
             k += 1
           }
         }
@@ -227,11 +251,10 @@ object AdaBoost {
             var f = 0.0; var j = 0
             while (j < rr) {
               val kj = bks(j)
-              f += bas(j) * (if (kj >= 0) x(kj) else 0.0)
+              if (kj >= 0) f += (if (bit(x, kj)) bas(j) else -bas(j))
               j += 1
             }
-            val pred = if (f > 0) 1.0 else -1.0
-            if (pred == x(kk)) c += 1
+            if ((f > 0) == bit(x, kk)) c += 1
             t += 1
           }
           Iterator.single((c, t))

@@ -35,9 +35,9 @@ object Bisect {
       max(greatest(feats.map { case (n, _) => abs(col(s"x_$n")) }: _*)))
       .head().getDouble(0)
     require(maxAbs <= 1.0, s"bisect envelope: max|x|=$maxAbs (pre-scale)")
-    def scaledSum(c: Column): Column =
-      (sum(round(c * 1e12, 0).cast("long").cast("decimal(38,0)"))
-        .cast("double") / lit(1e12)).cast("double")
+    // exact split-radix sum — overflow-proof to 2⁴² rows/cluster at
+    // long speed (see Tables.scaledLongSum)
+    def scaledSum(c: Column): Column = graft.core.Tables.scaledLongSum(c)
     def r10(v: Double): Double = {
       val p = v * 1e10
       (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)) / 1e10

@@ -100,24 +100,40 @@ object GradBoost {
     val base = df.filter(nonNull)
       .select(iCols ++: (y01.cast("double").as("y") +: subCols): _*)
     val width = kC + 1 + (if (doSub) rounds else 0)
+    // Every cached column is binary by construction (split indicators,
+    // the {0,1} label, bag-inclusion draws), so the cache is a packed
+    // bitset — ⌈width/64⌉ longs per row instead of `width` doubles. At
+    // the sf10 rehearsal the 16-double form was 7.7 GB and spilled
+    // MEMORY_AND_DISK; one long per row fits any executor. The values
+    // themselves are unchanged (1.0/0.0 ↔ bit set/clear), so every
+    // downstream sum — and the CTE oracle — is bit-identical.
+    val words = (width + 63) >> 6
     val arr = {
-      val w = width
+      val w = width; val nw = words
       val r = base.rdd.map { row =>
-        val a = new Array[Double](w)
+        val a = new Array[Long](nw)
         var i = 0
-        while (i < w) { a(i) = row.getDouble(i); i += 1 }
+        while (i < w) {
+          val v = row.getDouble(i)
+          if (v == 1.0) a(i >> 6) |= 1L << (i & 63)
+          else if (v != 0.0) throw new IllegalArgumentException(
+            s"GradBoost cache expects binary columns, got $v (is y01 in {0,1}?)")
+          i += 1
+        }
         a
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count()
       r
     }
+    @inline def bit(x: Array[Long], i: Int): Boolean =
+      ((x(i >> 6) >>> (i & 63)) & 1L) != 0L
 
     // f0 = ln(p̄/(1−p̄)) from exact long counts (same division shape as
     // the SQL twin: SUM(y)::DOUBLE / COUNT(*))
     val (nRows, nPos) = {
       val (n, p) = arr.mapPartitions { it =>
         var n = 0L; var p = 0L
-        while (it.hasNext) { val x = it.next(); n += 1; if (x(kC) == 1.0) p += 1 }
+        while (it.hasNext) { val x = it.next(); n += 1; if (bit(x, kC)) p += 1 }
         Iterator.single((n, p))
       }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2))
       (n, p)
@@ -145,20 +161,20 @@ object GradBoost {
         val a = new Array[Long](2 + 2 * al.length)
         while (it.hasNext) {
           val x = it.next()
-          if (subIdx < 0 || x(subIdx) == 1.0) {
+          if (subIdx < 0 || bit(x, subIdx)) {
             var f = f0; var j = 0
             while (j < pk.length) {
               val (kj, gl, gr) = pk(j)
-              f += lr * (if (x(kj) == 1.0) gl else gr)
+              f += lr * (if (bit(x, kj)) gl else gr)
               j += 1
             }
             val p = 1.0 / (1.0 + Math.exp(-f))
-            val resid = x(kC) - p
+            val resid = (if (bit(x, kC)) 1.0 else 0.0) - p
             val h = p * (1.0 - p)
             a(0) += rs(resid); a(1) += rs(h)
             var i = 0
             while (i < al.length) {
-              if (x(al(i)) == 1.0) { a(2 + 2 * i) += rs(resid); a(3 + 2 * i) += rs(h) }
+              if (bit(x, al(i))) { a(2 + 2 * i) += rs(resid); a(3 + 2 * i) += rs(h) }
               i += 1
             }
           }
@@ -193,11 +209,10 @@ object GradBoost {
           var f = f0; var j = 0
           while (j < pk.length) {
             val (kj, gl, gr) = pk(j)
-            f += lr * (if (x(kj) == 1.0) gl else gr)
+            f += lr * (if (bit(x, kj)) gl else gr)
             j += 1
           }
-          val pred = if (f > 0) 1.0 else 0.0
-          if (pred == x(kC)) c += 1
+          if ((f > 0) == bit(x, kC)) c += 1
           t += 1
         }
         Iterator.single((c, t))

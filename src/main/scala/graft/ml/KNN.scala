@@ -61,6 +61,7 @@ object KNN {
   private def neighbors(test: DataFrame, train: DataFrame, id: String,
                         features: Seq[String], k: Int): DataFrame = {
     requireIntegralId(train, id)
+    graft.functions.TopKAgg.ensureHashAggCapacity(train.sparkSession)
     val t = test.select(col(id).as("__tid") +:
       features.map(f => col(f).cast("double").as(s"__t_$f")): _*)
     val r = train.select(col(id).as("__rid") +:
@@ -98,6 +99,7 @@ object KNN {
                            features: Seq[String], k: Int, nlist: Int,
                            nprobe: Int, lloyd: Int = 2): DataFrame = {
     requireIntegralId(train, id)
+    graft.functions.TopKAgg.ensureHashAggCapacity(train.sparkSession)
     val spark = train.sparkSession
     import spark.implicits._
     val dim = features.length

@@ -70,9 +70,9 @@ object Lloyd {
           lit(c)).otherwise(rest)
       }
     }
-    def scaledSum(c: Column): Column =
-      (sum(round(c * 1e12, 0).cast("long").cast("decimal(38,0)"))
-        .cast("double") / lit(1e12)).cast("double")
+    // exact split-radix sum — overflow-proof to 2⁴² rows/cluster at
+    // long speed (see Tables.scaledLongSum)
+    def scaledSum(c: Column): Column = Tables.scaledLongSum(c)
 
     for (_ <- 1 to iterations) {
       val asg = base.crossJoin(broadcast(centDF(cent)))

@@ -340,14 +340,10 @@ object AnalyticsQueries {
             (col(s"r_$c") / nRows).as(s"r_$c"))): _*)
         val pairs = for { i <- colsU.indices; j <- colsU.indices if i < j }
           yield (colsU(i), colsU(j))
-        // scaled longs summed in DECIMAL(38,0): exact and
-        // order-independent at ANY row count — a bare long sum wrapped
-        // (ANSI: errored) at the sf10 rehearsal's 60M rows where
-        // Σ|term|·10¹² first passed 2⁶³; in-envelope values are
-        // bit-unchanged (sums < 2⁶³ cast identically)
-        def lSum(c: Column): Column =
-          (sum(round(c * lit(1e12), 0).cast("long").cast("decimal(38,0)"))
-            .cast("double") / lit(1e12)).cast("double")
+        // exact split-radix sum — overflow-proof to 2⁴² rows/group at
+        // long speed (a bare long sum wrapped at the sf10 rehearsal's
+        // 60M rows; see Tables.scaledLongSum)
+        def lSum(c: Column): Column = Tables.scaledLongSum(c)
         val moments =
           colsU.flatMap(c => Seq(
             lSum(col(s"v_$c")).as(s"s_v_$c"),

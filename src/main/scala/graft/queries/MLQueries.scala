@@ -622,16 +622,13 @@ object MLQueries {
           .withColumn("disc_s", col("l_discount") * 10.0)
           .withColumn("y_s", col("l_extendedprice") / 100000.0)
         val m = graft.ml.PLS.fit(data, Seq("qty_s", "disc_s"), "y_s", 2,
-          // scaled-long 1e-12 sums: order-independent integer adds on
-          // the SAME grid as the oracle's ROUND(t,12) decimal sums
-          // (terms are centered unit-scale products, |t|·1e12 ≪ 2⁵³ and
-          // Σ ≪ 2⁶³). The previous detSum(_, 18) forced DECIMAL(38,20),
-          // whose unscaled values exceed the compact-long range — every
-          // row allocated a heap BigDecimal and the two scans cost 13 s
-          // at sf0.1; the long grid runs them in ~3 s.
-          sumFn = c =>
-            (sum(round(c * lit(1e12), 0).cast("long").cast("decimal(38,0)"))
-              .cast("double") / lit(1e12)).cast("double"))
+          // scaled-long 1e-12 sums on the SAME grid as the oracle's
+          // ROUND(t,12) decimal sums (terms are centered unit-scale
+          // products, |t|·1e12 ≪ 2⁵³). The previous detSum(_, 18)
+          // forced DECIMAL(38,20) — heap BigDecimal per row, 13 s for
+          // the two scans at sf0.1; the split-radix long grid is exact
+          // to 2⁴² rows and runs them in ~3 s (Tables.scaledLongSum).
+          sumFn = Tables.scaledLongSum)
         val bQty = m.beta.head * 100000.0 / 50.0
         val bDisc = m.beta(1) * 100000.0 * 10.0
         val b0 = m.intercept * 100000.0

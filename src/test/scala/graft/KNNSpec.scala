@@ -100,6 +100,28 @@ class KNNSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("ensureHashAggCapacity lifts only the Spark-default fallback threshold") {
+    // TopKPairs runs through ObjectHashAggregate; at the default 128-key
+    // fallback every task sort-spills its whole candidate slice (the sf10
+    // kNN disk-full). The helper must lift the default but never clobber
+    // an explicit user setting.
+    val conf = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val before = spark.conf.getOption(conf)
+    try {
+      spark.conf.unset(conf) // back to the Spark default (128)
+      graft.functions.TopKAgg.ensureHashAggCapacity(spark)
+      assert(spark.conf.get(conf) == (1 << 18).toString)
+      spark.conf.set(conf, "4096") // explicit user choice
+      graft.functions.TopKAgg.ensureHashAggCapacity(spark)
+      assert(spark.conf.get(conf) == "4096")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
+    }
+  }
+
   test("LSH classify equals exact vote over the LSH candidate set") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
