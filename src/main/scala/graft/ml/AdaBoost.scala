@@ -113,24 +113,41 @@ object AdaBoost {
     // w·(1−y·h)/2 is EXACTLY w when the bits differ and +0.0 when equal
     // ((1−(−1))/2 = 1.0 and w·1.0 = w are exact in IEEE754), so every
     // scaled-long sum — and the CTE oracle — sees identical terms.
+    // Chunked: one flat Array[Long] per ≤2¹⁶ rows (stride `words`),
+    // not one tiny array per row — the per-row form still paid ~32 B
+    // of object header per 8 B payload, which at the sf100 rehearsal's
+    // 600M rows turned a 4.8 GB bitset into a ~24 GB spilling cache.
     val words = (kCand + 1 + 63) >> 6
-    @inline def bit(x: Array[Long], i: Int): Boolean =
-      ((x(i >> 6) >>> (i & 63)) & 1L) != 0L
+    @inline def bit(ch: Array[Long], off: Int, i: Int): Boolean =
+      ((ch(off + (i >> 6)) >>> (i & 63)) & 1L) != 0L
     lazy val hArr = {
       val hDf = base.select(cands.map(c => h(c)).zipWithIndex
         .map { case (c, k) => c.as(s"h_$k") } :+ col("y"): _*)
       val kk = kCand; val nw = words
-      val r = hDf.rdd.map { row =>
-        val a = new Array[Long](nw)
-        var i = 0
-        while (i <= kk) {
-          val v = row.getDouble(i)
-          if (v == 1.0) a(i >> 6) |= 1L << (i & 63)
-          else if (v != -1.0) throw new IllegalArgumentException(
-            s"AdaBoost cache expects ±1 values, got $v (is y in {-1,+1}?)")
-          i += 1
+      val chunkRows = 1 << 16
+      val r = hDf.rdd.mapPartitions { rows =>
+        new Iterator[Array[Long]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Array[Long] = {
+            val buf = new Array[Long](chunkRows * nw)
+            var n = 0
+            while (n < chunkRows && rows.hasNext) {
+              val row = rows.next()
+              val off = n * nw
+              var i = 0
+              while (i <= kk) {
+                val v = row.getDouble(i)
+                if (v == 1.0) buf(off + (i >> 6)) |= 1L << (i & 63)
+                else if (v != -1.0) throw new IllegalArgumentException(
+                  s"AdaBoost cache expects ±1 values, got $v (is y in {-1,+1}?)")
+                i += 1
+              }
+              n += 1
+            }
+            if (n == chunkRows) buf
+            else java.util.Arrays.copyOf(buf, n * nw)
+          }
         }
-        a
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count()
       r
@@ -161,28 +178,34 @@ object AdaBoost {
           big(i) = big(i).add(java.math.BigInteger.valueOf(a(i)))
           a(i) = 0L
         }
+        val nw = (kk + 1 + 63) >> 6
         while (it.hasNext) {
-          val x = it.next()
-          val yb = bit(x, kk)
-          var f = 0.0; var j = 0
-          while (j < rr) {
-            val kj = bks(j)
-            if (kj >= 0) f += (if (bit(x, kj)) bas(j) else -bas(j))
-            j += 1
-          }
-          val w = Math.exp(if (yb) -f else f)
-          val rw = roundScaled(w)
-          a(0) += rw
-          if (a(0) > SpillAt || a(0) < -SpillAt) spill(0)
-          // w·(1−y·h_k)/2 is exactly w when y ≠ h_k and +0.0 when equal,
-          // so the candidate term reuses the already-rounded rw
-          var k = 0
-          while (k < kk) {
-            if (bit(x, k) != yb) {
-              a(k + 1) += rw
-              if (a(k + 1) > SpillAt || a(k + 1) < -SpillAt) spill(k + 1)
+          val ch = it.next(); val m = ch.length / nw
+          var ri = 0
+          while (ri < m) {
+            val off = ri * nw
+            val yb = bit(ch, off, kk)
+            var f = 0.0; var j = 0
+            while (j < rr) {
+              val kj = bks(j)
+              if (kj >= 0) f += (if (bit(ch, off, kj)) bas(j) else -bas(j))
+              j += 1
             }
-            k += 1
+            val w = Math.exp(if (yb) -f else f)
+            val rw = roundScaled(w)
+            a(0) += rw
+            if (a(0) > SpillAt || a(0) < -SpillAt) spill(0)
+            // w·(1−y·h_k)/2 is exactly w when y ≠ h_k and +0.0 when
+            // equal, so the candidate term reuses the already-rounded rw
+            var k = 0
+            while (k < kk) {
+              if (bit(ch, off, k) != yb) {
+                a(k + 1) += rw
+                if (a(k + 1) > SpillAt || a(k + 1) < -SpillAt) spill(k + 1)
+              }
+              k += 1
+            }
+            ri += 1
           }
         }
         var i = 0
@@ -246,16 +269,22 @@ object AdaBoost {
         val (c, t) = hArr.mapPartitions { it =>
           val (bks, bas) = bc.value
           var c = 0L; var t = 0L
+          val nw = (kk + 1 + 63) >> 6
           while (it.hasNext) {
-            val x = it.next()
-            var f = 0.0; var j = 0
-            while (j < rr) {
-              val kj = bks(j)
-              if (kj >= 0) f += (if (bit(x, kj)) bas(j) else -bas(j))
-              j += 1
+            val ch = it.next(); val m = ch.length / nw
+            var ri = 0
+            while (ri < m) {
+              val off = ri * nw
+              var f = 0.0; var j = 0
+              while (j < rr) {
+                val kj = bks(j)
+                if (kj >= 0) f += (if (bit(ch, off, kj)) bas(j) else -bas(j))
+                j += 1
+              }
+              if ((f > 0) == bit(ch, off, kk)) c += 1
+              t += 1
+              ri += 1
             }
-            if ((f > 0) == bit(x, kk)) c += 1
-            t += 1
           }
           Iterator.single((c, t))
         }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2))

@@ -107,33 +107,55 @@ object GradBoost {
     // MEMORY_AND_DISK; one long per row fits any executor. The values
     // themselves are unchanged (1.0/0.0 ↔ bit set/clear), so every
     // downstream sum — and the CTE oracle — is bit-identical.
+    // Chunked: one flat Array[Long] per ≤2¹⁶ rows (stride `words`) —
+    // the per-row form still paid ~32 B of header per 8 B payload,
+    // which at 600M rows re-created the spill the bitset removed.
     val words = (width + 63) >> 6
     val arr = {
       val w = width; val nw = words
-      val r = base.rdd.map { row =>
-        val a = new Array[Long](nw)
-        var i = 0
-        while (i < w) {
-          val v = row.getDouble(i)
-          if (v == 1.0) a(i >> 6) |= 1L << (i & 63)
-          else if (v != 0.0) throw new IllegalArgumentException(
-            s"GradBoost cache expects binary columns, got $v (is y01 in {0,1}?)")
-          i += 1
+      val chunkRows = 1 << 16
+      val r = base.rdd.mapPartitions { rows =>
+        new Iterator[Array[Long]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Array[Long] = {
+            val buf = new Array[Long](chunkRows * nw)
+            var n = 0
+            while (n < chunkRows && rows.hasNext) {
+              val row = rows.next()
+              val off = n * nw
+              var i = 0
+              while (i < w) {
+                val v = row.getDouble(i)
+                if (v == 1.0) buf(off + (i >> 6)) |= 1L << (i & 63)
+                else if (v != 0.0) throw new IllegalArgumentException(
+                  s"GradBoost cache expects binary columns, got $v (is y01 in {0,1}?)")
+                i += 1
+              }
+              n += 1
+            }
+            if (n == chunkRows) buf
+            else java.util.Arrays.copyOf(buf, n * nw)
+          }
         }
-        a
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count()
       r
     }
-    @inline def bit(x: Array[Long], i: Int): Boolean =
-      ((x(i >> 6) >>> (i & 63)) & 1L) != 0L
+    @inline def bit(ch: Array[Long], off: Int, i: Int): Boolean =
+      ((ch(off + (i >> 6)) >>> (i & 63)) & 1L) != 0L
 
     // f0 = ln(p̄/(1−p̄)) from exact long counts (same division shape as
     // the SQL twin: SUM(y)::DOUBLE / COUNT(*))
     val (nRows, nPos) = {
+      val nw = words
       val (n, p) = arr.mapPartitions { it =>
         var n = 0L; var p = 0L
-        while (it.hasNext) { val x = it.next(); n += 1; if (bit(x, kC)) p += 1 }
+        while (it.hasNext) {
+          val ch = it.next(); val m = ch.length / nw
+          n += m
+          var ri = 0
+          while (ri < m) { if (bit(ch, ri * nw, kC)) p += 1; ri += 1 }
+        }
         Iterator.single((n, p))
       }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2))
       (n, p)
@@ -156,27 +178,35 @@ object GradBoost {
       val bc = spark.sparkContext.broadcast(
         (picked.map(p => (p._1, p._2, p._3)).toArray, allowed))
       val subIdx = if (doSub) kC + r else -1
+      val nwS = words
       val sums = arr.mapPartitions { it =>
         val (pk, al) = bc.value
         val a = new Array[Long](2 + 2 * al.length)
         while (it.hasNext) {
-          val x = it.next()
-          if (subIdx < 0 || bit(x, subIdx)) {
-            var f = f0; var j = 0
-            while (j < pk.length) {
-              val (kj, gl, gr) = pk(j)
-              f += lr * (if (bit(x, kj)) gl else gr)
-              j += 1
+          val ch = it.next(); val m = ch.length / nwS
+          var ri = 0
+          while (ri < m) {
+            val off = ri * nwS
+            if (subIdx < 0 || bit(ch, off, subIdx)) {
+              var f = f0; var j = 0
+              while (j < pk.length) {
+                val (kj, gl, gr) = pk(j)
+                f += lr * (if (bit(ch, off, kj)) gl else gr)
+                j += 1
+              }
+              val p = 1.0 / (1.0 + Math.exp(-f))
+              val resid = (if (bit(ch, off, kC)) 1.0 else 0.0) - p
+              val h = p * (1.0 - p)
+              a(0) += rs(resid); a(1) += rs(h)
+              var i = 0
+              while (i < al.length) {
+                if (bit(ch, off, al(i))) {
+                  a(2 + 2 * i) += rs(resid); a(3 + 2 * i) += rs(h)
+                }
+                i += 1
+              }
             }
-            val p = 1.0 / (1.0 + Math.exp(-f))
-            val resid = (if (bit(x, kC)) 1.0 else 0.0) - p
-            val h = p * (1.0 - p)
-            a(0) += rs(resid); a(1) += rs(h)
-            var i = 0
-            while (i < al.length) {
-              if (bit(x, al(i))) { a(2 + 2 * i) += rs(resid); a(3 + 2 * i) += rs(h) }
-              i += 1
-            }
+            ri += 1
           }
         }
         Iterator.single(a)
@@ -201,19 +231,25 @@ object GradBoost {
     val acc = {
       val bc = spark.sparkContext.broadcast(
         picked.map(p => (p._1, p._2, p._3)).toArray)
+      val nwA = words
       val (c, t) = arr.mapPartitions { it =>
         val pk = bc.value
         var c = 0L; var t = 0L
         while (it.hasNext) {
-          val x = it.next()
-          var f = f0; var j = 0
-          while (j < pk.length) {
-            val (kj, gl, gr) = pk(j)
-            f += lr * (if (bit(x, kj)) gl else gr)
-            j += 1
+          val ch = it.next(); val m = ch.length / nwA
+          var ri = 0
+          while (ri < m) {
+            val off = ri * nwA
+            var f = f0; var j = 0
+            while (j < pk.length) {
+              val (kj, gl, gr) = pk(j)
+              f += lr * (if (bit(ch, off, kj)) gl else gr)
+              j += 1
+            }
+            if ((f > 0) == bit(ch, off, kC)) c += 1
+            t += 1
+            ri += 1
           }
-          if ((f > 0) == bit(x, kC)) c += 1
-          t += 1
         }
         Iterator.single((c, t))
       }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2))

@@ -182,18 +182,41 @@ object SGD {
     // instead of assuming the caller pre-dropped them (task retries can
     // only over-count, which errs toward the safe aggregate fallback).
     lazy val nullAcc = spark.sparkContext.longAccumulator("graft.sgd.nulls")
+    // Chunked columnar cache: flat primitive chunks of up to 2¹⁶ rows
+    // (row-major, stride k+1; the last chunk per partition is trimmed)
+    // instead of one Array[Double] per row. The per-row form carried
+    // ~32 B of object header + cache-entry overhead on top of the 24 B
+    // payload — at the sf100 rehearsal 600M rows spilled a ~34 GB cache
+    // past the 28.6 GiB store and EVERY epoch re-read the spill (28×
+    // for 10× data); flat chunks hold the same doubles at payload cost
+    // with sequential-scan locality. Rows keep their partition order
+    // and per-row arithmetic, so the gradient sums are bit-identical.
     lazy val arrRdd = {
       val kk = k
       val acc = nullAcc
-      val r = base.rdd.map { row =>
-        val a = new Array[Double](kk + 1)
-        var i = 0
-        while (i <= kk) {
-          if (row.isNullAt(i)) { acc.add(1L); a(i) = 0.0 }
-          else a(i) = row.getDouble(i)
-          i += 1
+      val stride = kk + 1
+      val chunkRows = 1 << 16
+      val r = base.rdd.mapPartitions { rows =>
+        new Iterator[Array[Double]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Array[Double] = {
+            val buf = new Array[Double](chunkRows * stride)
+            var n = 0
+            while (n < chunkRows && rows.hasNext) {
+              val row = rows.next()
+              val off = n * stride
+              var i = 0
+              while (i < stride) {
+                if (row.isNullAt(i)) { acc.add(1L); buf(off + i) = 0.0 }
+                else buf(off + i) = row.getDouble(i)
+                i += 1
+              }
+              n += 1
+            }
+            if (n == chunkRows) buf
+            else java.util.Arrays.copyOf(buf, n * stride)
+          }
         }
-        a
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count()
       r
@@ -211,11 +234,18 @@ object SGD {
         val kk = k
         val (n, mx) = arrRdd.mapPartitions { it =>
           var n = 0L; var mx = 0.0
+          val stride = kk + 1
           while (it.hasNext) {
-            val x = it.next(); n += 1
-            var i = 0
-            while (i < kk) {
-              val a = math.abs(x(i)); if (a > mx) mx = a; i += 1
+            val ch = it.next(); val m = ch.length / stride
+            n += m
+            var r = 0
+            while (r < m) {
+              val off = r * stride
+              var i = 0
+              while (i < kk) {
+                val a = math.abs(ch(off + i)); if (a > mx) mx = a; i += 1
+              }
+              r += 1
             }
           }
           Iterator.single((n, mx))
@@ -284,21 +314,27 @@ object SGD {
           big(i) = big(i).add(java.math.BigInteger.valueOf(a(i)))
           a(i) = 0L
         }
+        val stride = kk + 1
         while (it.hasNext) {
-          val x = it.next()
-          var z = 0.0; var i = 0
-          while (i < kk) { z += x(i) * ww(i); i += 1 }
-          z += ww(kk)
-          val r = ll.residualJvm(z, x(kk))
-          if (r != 0.0) {
-            var j = 0
-            while (j < kk) {
-              a(j) += roundScaled(r * x(j))
-              if (a(j) > SpillAt || a(j) < -SpillAt) spill(j)
-              j += 1
+          val ch = it.next(); val m = ch.length / stride
+          var rr = 0
+          while (rr < m) {
+            val off = rr * stride
+            var z = 0.0; var i = 0
+            while (i < kk) { z += ch(off + i) * ww(i); i += 1 }
+            z += ww(kk)
+            val r = ll.residualJvm(z, ch(off + kk))
+            if (r != 0.0) {
+              var j = 0
+              while (j < kk) {
+                a(j) += roundScaled(r * ch(off + j))
+                if (a(j) > SpillAt || a(j) < -SpillAt) spill(j)
+                j += 1
+              }
+              a(kk) += roundScaled(r)
+              if (a(kk) > SpillAt || a(kk) < -SpillAt) spill(kk)
             }
-            a(kk) += roundScaled(r)
-            if (a(kk) > SpillAt || a(kk) < -SpillAt) spill(kk)
+            rr += 1
           }
         }
         var i = 0
@@ -340,16 +376,22 @@ object SGD {
         val bw = spark.sparkContext.broadcast(w)
         val (c, t) = arrRdd.mapPartitions { it =>
           val ww = bw.value; var c = 0L; var t = 0L
+          val stride = kk + 1
           while (it.hasNext) {
-            val x = it.next()
-            var z = 0.0; var i = 0
-            while (i < kk) { z += x(i) * ww(i); i += 1 }
-            z += ww(kk)
-            val pred =
-              if (isLog) { if (1.0 / (1.0 + math.exp(-z)) > 0.5) 1.0 else 0.0 }
-              else { if (z > 0) 1.0 else -1.0 }
-            if (pred == x(kk)) c += 1
-            t += 1
+            val ch = it.next(); val m = ch.length / stride
+            var rr = 0
+            while (rr < m) {
+              val off = rr * stride
+              var z = 0.0; var i = 0
+              while (i < kk) { z += ch(off + i) * ww(i); i += 1 }
+              z += ww(kk)
+              val pred =
+                if (isLog) { if (1.0 / (1.0 + math.exp(-z)) > 0.5) 1.0 else 0.0 }
+                else { if (z > 0) 1.0 else -1.0 }
+              if (pred == ch(off + kk)) c += 1
+              t += 1
+              rr += 1
+            }
           }
           Iterator.single((c, t))
         }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2))

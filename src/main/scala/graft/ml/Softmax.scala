@@ -41,24 +41,51 @@ object Softmax {
       feats.map { case (n, f) => f.cast("double").as(s"x_$n") } :+
         y.cast("double").as("y"): _*).na.drop()
 
+    // Chunked columnar cache (lockstep with SGD.linearGD round-10):
+    // flat primitive chunks of up to 2¹⁶ rows (row-major, stride k+1)
+    // instead of one Array[Double] per row — same doubles at payload
+    // cost, no per-row object headers, so multi-epoch caches stay
+    // memory-resident at 10⁸⁺ rows. Row order and per-row arithmetic
+    // are unchanged: the gradient sums are bit-identical.
     val arrRdd = {
       val kk = k
-      base.rdd.map { row =>
-        val a = new Array[Double](kk + 1)
-        var i = 0
-        while (i <= kk) { a(i) = row.getDouble(i); i += 1 }
-        a
+      val stride = kk + 1
+      val chunkRows = 1 << 16
+      base.rdd.mapPartitions { rows =>
+        new Iterator[Array[Double]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Array[Double] = {
+            val buf = new Array[Double](chunkRows * stride)
+            var n = 0
+            while (n < chunkRows && rows.hasNext) {
+              val row = rows.next()
+              val off = n * stride
+              var i = 0
+              while (i < stride) { buf(off + i) = row.getDouble(i); i += 1 }
+              n += 1
+            }
+            if (n == chunkRows) buf
+            else java.util.Arrays.copyOf(buf, n * stride)
+          }
+        }
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val (n, maxAbs) = {
       val kk = k
       arrRdd.mapPartitions { it =>
         var n = 0L; var mx = 0.0
+        val stride = kk + 1
         while (it.hasNext) {
-          val a = it.next(); n += 1
-          var i = 0
-          while (i < kk) {
-            val v = math.abs(a(i)); if (v > mx) mx = v; i += 1
+          val ch = it.next(); val m = ch.length / stride
+          n += m
+          var r = 0
+          while (r < m) {
+            val off = r * stride
+            var i = 0
+            while (i < kk) {
+              val v = math.abs(ch(off + i)); if (v > mx) mx = v; i += 1
+            }
+            r += 1
           }
         }
         Iterator.single((n, mx))
@@ -97,35 +124,41 @@ object Softmax {
         }
         val z = new Array[Double](cc)
         val e = new Array[Double](cc)
+        val stride = kk + 1
         while (it.hasNext) {
-          val x = it.next()
-          val yi = x(kk).toInt
-          var ci = 0
-          while (ci < cc) {
-            val t = th(ci)
-            var s = 0.0; var j = 0
-            while (j < kk) { s += x(j) * t(j); j += 1 }
-            z(ci) = s + t(kk)
-            e(ci) = math.exp(z(ci))
-            ci += 1
-          }
-          var se = 0.0
-          ci = 0
-          while (ci < cc) { se += e(ci); ci += 1 }
-          ci = 0
-          while (ci < cc) {
-            val r = e(ci) / se - (if (yi == ci) 1.0 else 0.0)
-            var j = 0
-            while (j < kk) {
-              val ix = ci * (kk + 1) + j
-              acc(ix) += roundScaled(r * x(j))
-              if (acc(ix) > SpillAt || acc(ix) < -SpillAt) spill(ix)
-              j += 1
+          val ch = it.next(); val m = ch.length / stride
+          var rr = 0
+          while (rr < m) {
+            val off = rr * stride
+            val yi = ch(off + kk).toInt
+            var ci = 0
+            while (ci < cc) {
+              val t = th(ci)
+              var s = 0.0; var j = 0
+              while (j < kk) { s += ch(off + j) * t(j); j += 1 }
+              z(ci) = s + t(kk)
+              e(ci) = math.exp(z(ci))
+              ci += 1
             }
-            val ib = ci * (kk + 1) + kk
-            acc(ib) += roundScaled(r)
-            if (acc(ib) > SpillAt || acc(ib) < -SpillAt) spill(ib)
-            ci += 1
+            var se = 0.0
+            ci = 0
+            while (ci < cc) { se += e(ci); ci += 1 }
+            ci = 0
+            while (ci < cc) {
+              val r = e(ci) / se - (if (yi == ci) 1.0 else 0.0)
+              var j = 0
+              while (j < kk) {
+                val ix = ci * (kk + 1) + j
+                acc(ix) += roundScaled(r * ch(off + j))
+                if (acc(ix) > SpillAt || acc(ix) < -SpillAt) spill(ix)
+                j += 1
+              }
+              val ib = ci * (kk + 1) + kk
+              acc(ib) += roundScaled(r)
+              if (acc(ib) > SpillAt || acc(ib) < -SpillAt) spill(ib)
+              ci += 1
+            }
+            rr += 1
           }
         }
         var i = 0
@@ -149,21 +182,27 @@ object Softmax {
         val th = bw.value
         val s = new Array[Long](cc); val p = new Array[Long](cc)
         var ok = 0L
+        val stride = kk + 1
         while (it.hasNext) {
-          val x = it.next()
-          val yi = x(kk).toInt
-          var best = 0; var bestZ = Double.NegativeInfinity
-          var ci = 0
-          while (ci < cc) {
-            val t = th(ci)
-            var z = 0.0; var j = 0
-            while (j < kk) { z += x(j) * t(j); j += 1 }
-            z += t(kk)
-            if (z > bestZ) { bestZ = z; best = ci }
-            ci += 1
+          val ch = it.next(); val m = ch.length / stride
+          var rr = 0
+          while (rr < m) {
+            val off = rr * stride
+            val yi = ch(off + kk).toInt
+            var best = 0; var bestZ = Double.NegativeInfinity
+            var ci = 0
+            while (ci < cc) {
+              val t = th(ci)
+              var z = 0.0; var j = 0
+              while (j < kk) { z += ch(off + j) * t(j); j += 1 }
+              z += t(kk)
+              if (z > bestZ) { bestZ = z; best = ci }
+              ci += 1
+            }
+            s(yi) += 1; p(best) += 1
+            if (best == yi) ok += 1
+            rr += 1
           }
-          s(yi) += 1; p(best) += 1
-          if (best == yi) ok += 1
         }
         Iterator.single((s, p, ok))
       }.treeReduce { (a, b) =>
