@@ -49,6 +49,21 @@ class GradBoostSpec extends SparkSpec {
     assert(fit(df.repartition(1)) == fit(df.repartition(7)))
   }
 
+  test("gbt chunked bitset crosses the 2^16-row chunk boundary bit-exactly") {
+    // 70_000 rows in ONE partition = a full 65 536-row chunk + a trimmed
+    // tail; 7 partitions keep every chunk partial. Counts and gradient
+    // sums are integer, so both layouts must match exactly.
+    val df = spark.range(70000).select(
+      (col("id") % 13).cast("double").as("x1"),
+      when(col("id") % 13 > 6, 1.0).otherwise(0.0).as("y"))
+    val cands = GradBoost.splits(Seq("x1" -> Seq(4.0, 8.0)))
+    def fit(parts: Int) =
+      GradBoost.fitLogistic(df.repartition(parts),
+        Seq("x1" -> col("x1")), col("y"), cands, rounds = 3, lr = 0.4)
+        .collect().map(_.toSeq).toSeq
+    assert(fit(1) == fit(7))
+  }
+
   test("gbt subsample/colsample stay deterministic and change the fit") {
     val df = (1 to 200).map { i =>
       val x1 = (i % 11).toDouble; val x2 = (i % 5).toDouble

@@ -41,4 +41,20 @@ class SGDLossSpec extends SparkSpec {
       .first().toSeq
     assert(fitOn(df) == fitOn(df.repartition(13)))
   }
+
+  test("chunked cache crosses the 2^16-row chunk boundary bit-exactly") {
+    // 70_000 rows in ONE partition forces a full 65 536-row chunk plus
+    // a trimmed 4 464-row tail; 7 partitions keep every chunk partial.
+    // The gradient sums are integer and order-independent, so both
+    // layouts — and both code paths through the chunk iterator — must
+    // produce identical weights and metric.
+    val n = 70000
+    val df = spark.range(n).select(
+      ((col("id") % 997).cast("double") / 997.0).as("x"),
+      when(col("id") % 997 > 498, 1.0).otherwise(-1.0).as("y"))
+    def fitOn(parts: Int) = SGD.linearGD(
+      df.repartition(parts), Seq(("x", col("x"))), col("y"),
+      iterations = 3, lr = 0.5, SGD.HingeLoss).first().toSeq
+    assert(fitOn(1) == fitOn(7))
+  }
 }
