@@ -121,12 +121,61 @@ object SGD {
       s"($y) THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)"
   }
 
+  /** A derived-feature generator for wide fits whose k model features
+    * are cheap functions of a much smaller raw column set (RFF cosines,
+    * random-projection activations). The chunked cache then stores the
+    * RAW doubles only — (nRaw+1)/(k+1) of the feature-cache bytes — and
+    * `expandChunk` rebuilds a feature chunk (stride k+1, label in the
+    * last slot) from a raw chunk (stride nRaw+1). The expansion MUST be
+    * bit-identical to the Column feature expressions (same fold order,
+    * same java.lang.Math calls Catalyst codegen emits), so whether the
+    * expanded chunks are persisted or recomputed per pass is purely a
+    * memory/CPU trade — results cannot differ. */
+  final class FeatureGen(val raw: Seq[Column],
+                         val expandChunk: Array[Double] => Array[Double])
+    extends Serializable
+
+  /** Build a [[FeatureGen]] from a per-row expansion:
+    * expandRow(in, inOff, out, outOff) reads nRaw raw doubles at inOff
+    * and writes the k feature doubles at outOff (the label copy is
+    * handled here). */
+  def featureGen(raw: Seq[Column], k: Int,
+                 expandRow: (Array[Double], Int, Array[Double], Int) => Unit)
+      : FeatureGen = {
+    val nRaw = raw.size
+    val inStride = nRaw + 1
+    val outStride = k + 1
+    val f = (in: Array[Double]) => {
+      val m = in.length / inStride
+      val out = new Array[Double](m * outStride)
+      var r = 0
+      while (r < m) {
+        expandRow(in, r * inStride, out, r * outStride)
+        out(r * outStride + k) = in(r * inStride + nRaw)
+        r += 1
+      }
+      out
+    }
+    new FeatureGen(raw, f)
+  }
+
+  /** Above this estimated feature-cache size the gen path stops
+    * persisting expanded chunks and recomputes them per pass — the
+    * single-box guard for fits whose expanded features dwarf memory
+    * (sf100 rehearsal: 600M rows × 33 doubles ≈ 158 GB expanded vs
+    * 9.6 GB raw). Overridable via `graft.sgd.featCacheMaxBytes`. */
+  private val DefaultFeatCacheMaxBytes = 24L << 30
+
   /** Full-batch GD over `loss`.
     * @param feats (name, expression) pairs, pre-scaled to ~[0,1]
     * @param y     label expression (0/1 logistic, real SVR, ±1 hinge)
+    * @param gen   optional raw-column generator for the wide JVM cache
+    *              (honored for logistic/hinge wide fits — the losses
+    *              whose final metric also runs on the JVM cache)
     * @return one row: final weights, intercept, training metric. */
   def linearGD(df: DataFrame, feats: Seq[(String, Column)], y: Column,
-               iterations: Int, lr: Double, loss: GDLoss): DataFrame = {
+               iterations: Int, lr: Double, loss: GDLoss,
+               gen: Option[FeatureGen] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession
@@ -138,12 +187,19 @@ object SGD {
     // narrow fits cache the columnar projection (iterations re-scan it);
     // wide fits (k > 8) skip it — their cache is the primitive-array RDD
     // below, and materializing a 65-column columnar cache first costs
-    // ~10 s at sf0.1 for nothing
-    val base = {
+    // ~10 s at sf0.1 for nothing. Lazy: the gen path never materializes
+    // the full feature projection at all.
+    lazy val base = {
       val b = df.select(feats.map { case (n, f) => f.as(s"x_$n") } :+
         y.cast("double").as("y"): _*)
       if (feats.size <= 8) b.cache() else b
     }
+    // gen honored only where EVERY data pass runs on the JVM cache: the
+    // wide path, and losses whose final metric has a JVM twin below
+    // (logistic/hinge sign-accuracy). Other losses fall through to the
+    // plain wide cache unchanged.
+    val genOpt = gen.filter(_ =>
+      k > 8 && (loss == LogisticLoss || loss == HingeLoss))
     val wSchema = StructType((0 to k).map(i =>
       StructField(s"wc$i", DoubleType, nullable = false)))
     def wDF(w: Array[Double]) = spark.createDataFrame(
@@ -191,22 +247,22 @@ object SGD {
     // for 10× data); flat chunks hold the same doubles at payload cost
     // with sequential-scan locality. Rows keep their partition order
     // and per-row arithmetic, so the gradient sums are bit-identical.
-    lazy val arrRdd = {
-      val kk = k
+    def buildChunks(src: DataFrame, stride: Int)
+        : org.apache.spark.rdd.RDD[Array[Double]] = {
       val acc = nullAcc
-      val stride = kk + 1
+      val st = stride
       val chunkRows = 1 << 16
-      val r = base.rdd.mapPartitions { rows =>
+      val r = src.rdd.mapPartitions { rows =>
         new Iterator[Array[Double]] {
           def hasNext: Boolean = rows.hasNext
           def next(): Array[Double] = {
-            val buf = new Array[Double](chunkRows * stride)
+            val buf = new Array[Double](chunkRows * st)
             var n = 0
             while (n < chunkRows && rows.hasNext) {
               val row = rows.next()
-              val off = n * stride
+              val off = n * st
               var i = 0
-              while (i < stride) {
+              while (i < st) {
                 if (row.isNullAt(i)) { acc.add(1L); buf(off + i) = 0.0 }
                 else buf(off + i) = row.getDouble(i)
                 i += 1
@@ -214,13 +270,44 @@ object SGD {
               n += 1
             }
             if (n == chunkRows) buf
-            else java.util.Arrays.copyOf(buf, n * stride)
+            else java.util.Arrays.copyOf(buf, n * st)
           }
         }
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.count()
       r
     }
+    // Gen path: chunk-cache the RAW columns, then either expand ONCE
+    // into a persisted feature cache (when the expanded bytes fit the
+    // budget — same per-epoch cost as the plain wide cache) or keep the
+    // raw cache and expand per pass (the single-box survival path when
+    // the expanded features dwarf memory). Both hand every pass chunks
+    // of identical doubles, so the choice is invisible in results.
+    lazy val genCache: (org.apache.spark.rdd.RDD[Array[Double]],
+                        Option[Array[Double] => Array[Double]]) = {
+      val g = genOpt.get
+      val rawBase = df.select(
+        g.raw.zipWithIndex.map { case (c, i) => c.as(s"r_$i") } :+
+        y.cast("double").as("y"): _*)
+      val rawStride = g.raw.size + 1
+      val raw = buildChunks(rawBase, rawStride)
+      val rawRows = raw.map(ch => (ch.length / rawStride).toLong)
+        .fold(0L)(_ + _)
+      val maxBytes = spark.conf.getOption("graft.sgd.featCacheMaxBytes")
+        .map(_.toLong).getOrElse(DefaultFeatCacheMaxBytes)
+      if (rawRows * (k + 1) * 8L <= maxBytes) {
+        val ex = raw.mapPartitions(_.map(g.expandChunk),
+            preservesPartitioning = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ex.count()
+        raw.unpersist(false)
+        (ex, None)
+      } else (raw, Some(g.expandChunk))
+    }
+    lazy val arrRdd: org.apache.spark.rdd.RDD[Array[Double]] =
+      if (genOpt.isDefined) genCache._1 else buildChunks(base, k + 1)
+    def passExpand: Option[Array[Double] => Array[Double]] =
+      if (genOpt.isDefined) genCache._2 else None
 
     // Wide fits also run the envelope pass on the primitive-array cache:
     // a k+1-field max/abs aggregate pays the same interpreted-eval bill
@@ -232,7 +319,9 @@ object SGD {
     val (nRows, maxAbs, nullFree) =
       if (k > 8) {
         val kk = k
-        val (n, mx) = arrRdd.mapPartitions { it =>
+        val ex = passExpand
+        val (n, mx) = arrRdd.mapPartitions { it0 =>
+          val it = ex.fold(it0)(f => it0.map(f))
           var n = 0L; var mx = 0.0
           val stride = kk + 1
           while (it.hasNext) {
@@ -300,13 +389,15 @@ object SGD {
     if (k > 8 && !useJvm) base.cache()
     def gradJvm(w: Array[Double]): Array[Double] = {
       val kk = k; val ll = loss
+      val ex = passExpand
       val bw = spark.sparkContext.broadcast(w)
       // long accumulators with BigInteger spill (AdaBoost's device):
       // integer addition stays order-independent and the sum exact at
       // ANY row count — the fixed-point grid, not the row count, is the
       // envelope
       val SpillAt = Long.MaxValue >> 1
-      val acc = arrRdd.mapPartitions { it =>
+      val acc = arrRdd.mapPartitions { it0 =>
+        val it = ex.fold(it0)(f => it0.map(f))
         val ww = bw.value
         val a = new Array[Long](kk + 1)
         val big = Array.fill(kk + 1)(java.math.BigInteger.ZERO)
@@ -373,8 +464,10 @@ object SGD {
       if (useJvm && nRows > 0 &&
           (loss == LogisticLoss || loss == HingeLoss)) {
         val kk = k; val isLog = loss == LogisticLoss
+        val ex = passExpand
         val bw = spark.sparkContext.broadcast(w)
-        val (c, t) = arrRdd.mapPartitions { it =>
+        val (c, t) = arrRdd.mapPartitions { it0 =>
+          val it = ex.fold(it0)(f => it0.map(f))
           val ww = bw.value; var c = 0L; var t = 0L
           val stride = kk + 1
           while (it.hasNext) {
