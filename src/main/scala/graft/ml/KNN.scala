@@ -114,24 +114,22 @@ object KNN {
       .map(r => (r.getAs[Long]("__rl"),
         (0 until dim).map(i => r.getDouble(i + 1)).toSeq)).toSeq
       .sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
-    def centDF = broadcast(centroids.toDF("list_id", "cent"))
-    // d2 to a centroid: same fixed left-assoc accumulation as dist2
-    def centD2(pre: String): Column =
-      features.zipWithIndex.map { case (f, i) =>
-        (col(s"$pre$f") - element_at(col("cent"), i + 1)) *
-          (col(s"$pre$f") - element_at(col("cent"), i + 1))
-      }.reduce(_ + _)
-    def assign(df: DataFrame, pre: String, idcol: String,
-               rank: Int): DataFrame = {
-      val w = Window.partitionBy(col(idcol))
-        .orderBy(centD2(pre).asc, col("list_id").asc)
-      df.crossJoin(centDF)
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= rank)
-        .drop("cent", "__rk")
+    // zero-expansion argmin projection (SimilarityOps.assignTopR) —
+    // d2 to a centroid keeps the same fixed left-assoc accumulation as
+    // dist2 and the same (d2 asc, list_id asc) order the old
+    // crossJoin+window used, so assignments are bit-unchanged while the
+    // nlist× row expansion + Exchange + sort are gone
+    def assign(df: DataFrame, pre: String, rank: Int): DataFrame = {
+      def d2(cent: Column): Column =
+        features.zipWithIndex.map { case (f, i) =>
+          (col(s"$pre$f") - element_at(cent, i + 1)) *
+            (col(s"$pre$f") - element_at(cent, i + 1))
+        }.reduce(_ + _)
+      graft.similarity.SimilarityOps.assignTopR(df, centroids, d2,
+        asc = true, rank, "list_id")
     }
     for (_ <- 1 to lloyd) {
-      val assigned = assign(tr, "__r_", "__rid", 1)
+      val assigned = assign(tr, "__r_", 1)
       val dims = features.map(f => graft.core.Tables.exactMean(
         col(s"__r_$f")).as(s"__m_$f"))
       centroids = assigned.groupBy(col("list_id"))
@@ -139,10 +137,10 @@ object KNN {
         .map(r => (r.getLong(0), (1 to dim).map(r.getDouble).toSeq))
         .toSeq.sortBy(_._1)
     }
-    val invlists = assign(tr, "__r_", "__rid", 1)
+    val invlists = assign(tr, "__r_", 1)
     val te = test.select(col(id).as("__tid") +:
       features.map(f => col(f).cast("double").as(s"__t_$f")): _*)
-    val probes = assign(te, "__t_", "__tid", nprobe)
+    val probes = assign(te, "__t_", nprobe)
     broadcast(probes).join(invlists, Seq("list_id"))
       .filter(col("__tid") =!= col("__rid"))
       .withColumn("__d2", dist2(features))

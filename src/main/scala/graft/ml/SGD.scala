@@ -295,14 +295,17 @@ object SGD {
         .fold(0L)(_ + _)
       val maxBytes = spark.conf.getOption("graft.sgd.featCacheMaxBytes")
         .map(_.toLong).getOrElse(DefaultFeatCacheMaxBytes)
+      // capture the expansion FUNCTION only — FeatureGen itself holds
+      // Columns (not serializable) and must never enter a task closure
+      val exf = g.expandChunk
       if (rawRows * (k + 1) * 8L <= maxBytes) {
-        val ex = raw.mapPartitions(_.map(g.expandChunk),
+        val ex = raw.mapPartitions(_.map(exf),
             preservesPartitioning = true)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         ex.count()
         raw.unpersist(false)
         (ex, None)
-      } else (raw, Some(g.expandChunk))
+      } else (raw, Some(exf))
     }
     lazy val arrRdd: org.apache.spark.rdd.RDD[Array[Double]] =
       if (genOpt.isDefined) genCache._1 else buildChunks(base, k + 1)

@@ -133,6 +133,53 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Zero-expansion broadcast top-`rank` centroid assignment — replaces
+    * the crossJoin(centroids) + row_number window the IVF/PQ builders
+    * used through round 10. That shape broadcast-joined each row with
+    * all nlist centroids and then ran `Window.partitionBy(id)`, which
+    * Exchanges + sorts n×nlist EXPANDED rows — every Lloyd round, the
+    * dominant ANN-build cost at 100 TB. Here the driver-held centroid
+    * list embeds as literal arrays, every row scores all centroids in
+    * ONE whole-stage-codegen projection, and the top `rank` are picked
+    * with array_min / array_max / array_sort (native, lambda-free
+    * expressions): no Exchange, no sort, no row expansion beyond the
+    * `rank` survivors (PlanSpec pins the Exchange-free shape).
+    *
+    * Ordering contract — identical to the old window
+    * (score asc|desc, centroid id asc): struct ordering is
+    * lexicographic and sorts NaN greatest in both array_min/max and
+    * array_sort, reproducing the window's NaN placement in either
+    * direction. For descending scores the id is negated INSIDE the
+    * struct (so the tie-break still favors the smallest id) and negated
+    * back on output; for top-r the ascending sort is sliced from the
+    * tail and reversed, which is exactly the (score desc, id asc) total
+    * order. The score expression itself is unchanged from the window
+    * form, so every assignment is bit-identical. */
+  private[graft] def assignTopR(df: DataFrame,
+                                cents: Seq[(Long, Seq[Double])],
+                                score: Column => Column, asc: Boolean,
+                                rank: Int, out: String): DataFrame = {
+    require(rank >= 1 && rank <= cents.size,
+      s"assign rank $rank outside 1..${cents.size}")
+    val entries = cents.map { case (j, v) =>
+      val s = score(typedLit(v))
+      struct(s.as("s"), lit(if (asc) j else -j).as("j"))
+    }
+    val arr = array(entries: _*)
+    def outCol(j: Column): Column = (if (asc) j else -j).cast("long")
+    if (rank == 1) {
+      val best = if (asc) array_min(arr) else array_max(arr)
+      df.withColumn(out, outCol(best.getField("j")))
+    } else {
+      val top =
+        if (asc) slice(array_sort(arr), 1, rank)
+        else reverse(slice(array_sort(arr), -rank, rank))
+      df.withColumn("__ae", explode(top))
+        .withColumn(out, outCol(col("__ae").getField("j")))
+        .drop("__ae")
+    }
+  }
+
   /** IVF (inverted-file) ANN — the FAISS-style scale path beside LSH:
     *
     *  1. coarse quantizer: `nlist` centroids seeded from the smallest
@@ -161,28 +208,21 @@ object SimilarityOps {
       .sortBy(_._1).zipWithIndex
       .map { case ((_, v), i) => (i.toLong, v) }
     import spark.implicits._
-    def centDF = broadcast(centroids.toDF("list_id", "cent"))
-    def assign(df: DataFrame, vcol: String, idcol: String,
-               rank: Int): DataFrame = {
-      // native codegen'd kernels (VectorExprs) — same ascending
-      // accumulation order as the zip_with/aggregate lambdas they
-      // replace, so assignments are unchanged; the lambda-per-element
-      // frames are gone from the n×nlist hot loop
-      val dot = graft.functions.VectorExprs.dotD(
-        col(vcol).cast("array<double>"), col("cent"))
-      val nv = graft.functions.VectorExprs.norm2D(
-        col(vcol).cast("array<double>"))
-      val nc = graft.functions.VectorExprs.norm2D(col("cent"))
-      val w = Window.partitionBy(col(idcol))
-        .orderBy((dot / (nv * nc)).desc, col("list_id").asc)
-      df.crossJoin(centDF)
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= rank)
-        .drop("cent", "__rk")
+    def assign(df: DataFrame, vcol: String, rank: Int): DataFrame = {
+      // zero-expansion argmax projection (assignTopR) over the
+      // driver-held centroid list — native codegen'd kernels
+      // (VectorExprs) with the identical cosine the old window ordered
+      // by, so every assignment is bit-unchanged
+      val v = col(vcol).cast("array<double>")
+      val nv = graft.functions.VectorExprs.norm2D(v)
+      assignTopR(df, centroids, cent =>
+        graft.functions.VectorExprs.dotD(v, cent) /
+          (nv * graft.functions.VectorExprs.norm2D(cent)),
+        asc = false, rank, "list_id")
     }
     // Lloyd refinement: exact per-dimension means of each list
     for (_ <- 1 to lloyd) {
-      val assigned = assign(c, "cv", "cid", 1)
+      val assigned = assign(c, "cv", 1)
       val dims = (1 to dim).map(i => graft.core.Tables.exactMean(
         element_at(col("cv"), i).cast("double")).as(s"d$i"))
       val upd = assigned.groupBy(col("list_id"))
@@ -191,11 +231,11 @@ object SimilarityOps {
           r.getDouble(i)).toSeq)).toSeq.sortBy(_._1)
       centroids = upd
     }
-    val invlists = assign(c, "cv", "cid", 1)
+    val invlists = assign(c, "cv", 1)
       .select(col("list_id"), col("cid").as("neighbor_id"), col("cv").as("__cv"))
     val probes = assign(
       queries.select(col(id).as("query_id"), col(vec).as("qv")),
-      "qv", "query_id", nprobe)
+      "qv", nprobe)
       .select(col("query_id"), col("qv").as("__qv"), col("list_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -284,11 +324,23 @@ object SimilarityOps {
       na * na + nb * nb - lit(2.0) * dot
     }
     def assign(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("cid"), col("s"))
-        .orderBy(l2sq(col("sv"), col("cent")).asc, col("code").asc)
-      df.join(cbDF, Seq("s"))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
+      // per-subspace argmin projection: CASE on s selects that
+      // subspace's literal codebook, array_min picks
+      // (L2² asc, code asc) — the old (cid, s) window's exact order —
+      // with no ksub× join expansion and no Exchange+sort
+      val bestPerS = (0 until m).map { s =>
+        val arr = array(codebook.filter(_._1 == s).map {
+          case (_, code, v) =>
+            struct(l2sq(col("sv"), typedLit(v)).as("s"),
+              lit(code).as("j"))
+        }: _*)
+        s -> array_min(arr)
+      }
+      val best = bestPerS.tail.foldLeft(
+        when(col("s") === bestPerS.head._1, bestPerS.head._2)) {
+        case (acc, (s, b)) => acc.when(col("s") === s, b)
+      }
+      df.withColumn("code", best.getField("j"))
         .select(col("cid"), col("s"), col("code"), col("sv"))
     }
     for (_ <- 1 to lloyd) {
@@ -339,18 +391,15 @@ object SimilarityOps {
       .select(col(vec).cast("array<double>").as("cent"))
       .collect().map(_.getSeq[Double](0)).toSeq
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }
-    val centDF = broadcast(cents.toDF("list_id", "cent"))
     def route(df: DataFrame, rank: Int): DataFrame = {
+      // zero-expansion coarse routing (assignTopR): same cosine, same
+      // (cos desc, list_id asc) order as the old crossJoin+window
       val v = col(vec).cast("array<double>")
-      val cos = graft.functions.VectorExprs.dotD(v, col("cent")) /
-        (graft.functions.VectorExprs.norm2D(v) *
-         graft.functions.VectorExprs.norm2D(col("cent")))
-      val w = Window.partitionBy(col(id))
-        .orderBy(cos.desc, col("list_id").asc)
-      df.crossJoin(centDF)
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= rank)
-        .drop("cent", "__rk")
+      val nv = graft.functions.VectorExprs.norm2D(v)
+      assignTopR(df, cents, cent =>
+        graft.functions.VectorExprs.dotD(v, cent) /
+          (nv * graft.functions.VectorExprs.norm2D(cent)),
+        asc = false, rank, "list_id")
     }
     val corpusLists = route(corpus, 1)
       .select(col(id).as("cid"), col("list_id"))

@@ -25,6 +25,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_orderkey") && !p.contains("l_shipdate"))
   }
 
+  test("IVF coarse assignment is a pure projection (no exchange, no window)") {
+    // the r10 shape crossJoined every row with all nlist centroids and
+    // ranked with row_number() — an Exchange + sort of n×nlist expanded
+    // rows per Lloyd round; assignTopR must stay a single projection
+    spark.catalog.clearCache()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = (0 until 8).map(j =>
+      (j.toLong, Seq.tabulate(64)(i => (j * 64 + i) / 512.0)))
+    for (r <- Seq(1, 3)) {
+      val v = col("embedding").cast("array<double>")
+      val df = graft.similarity.SimilarityOps.assignTopR(emb, cents,
+        c => graft.functions.VectorExprs.dotD(v, c) /
+          (graft.functions.VectorExprs.norm2D(v) *
+           graft.functions.VectorExprs.norm2D(c)),
+        asc = false, rank = r, "list_id")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"rank=$r assignment shuffles:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      assert(!p.contains("Window"), s"rank=$r assignment sorts a window")
+    }
+  }
+
+  test("ann_ivf end-to-end: only the final top-k window remains, no cross join") {
+    val p = plan("ann_ivf")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "centroid assignment reintroduced a cross join")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected exactly the final ranking window, got $windows")
+  }
+
   test("3-way join broadcasts both dimension sides (no fact shuffle)") {
     val p = plan("join_inner_3way")
     assert("BroadcastHashJoin".r.findAllIn(p).length == 2)
