@@ -244,18 +244,30 @@ object StreamOps {
     spark.table(sinkName)
   }
 
-  def streamingMinhashBandDedup(spark: SparkSession, sfDir: String,
-                                sinkName: String, bands: Int = 8,
-                                rows: Int = 2,
-                                fastHash: Boolean = false): DataFrame = {
+  /** Core of the streaming band dedup over any (streaming) document
+    * DataFrame: MinHash signatures per row → (band, sig) keys →
+    * watermark-TTL'd dedup state → distinct-bucket counts per band.
+    *
+    * State bound (the 100 TB guarantee): the bucket state is keyed by
+    * (band, sig) and evicted by `dropDuplicatesWithinWatermark` once
+    * the watermark on `eventTime` passes a key's last-seen time +
+    * `stateTtl` — so state size is ∝ distinct buckets seen within one
+    * TTL window of the stream head, NOT ∝ all documents ever ingested.
+    * A duplicate arriving more than `stateTtl` of event time after its
+    * twin is re-admitted (the standard within-watermark dedup
+    * contract); inside the window the dedup is exact.
+    * StreamingTtlSpec pins both halves differentially; the drained
+    * single-batch fixtures dedup globally (watermark only advances
+    * between micro-batches), so the oracle twins are unchanged. */
+  def minhashBandDedupStream(docs: DataFrame, bands: Int, rows: Int,
+                             fastHash: Boolean, stateTtl: String,
+                             eventTime: Column): DataFrame = {
     import graft.text.{DedupOps, TextOps}
     require(bands * rows <= DedupOps.MinhashParams.length,
       s"bands*rows = ${bands * rows} exceeds the " +
         s"${DedupOps.MinhashParams.length} fixed permutations")
-    val path = s"$sfDir/documents.parquet"
-    val schema = spark.read.parquet(path).schema
-    val withSig = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val withSig = docs
+      .withColumn("__et", eventTime.cast("timestamp"))
       // materialize the token array BEFORE the shingle lambda (the
       // shinglesFromTokens O(tokens²) pitfall), then hash once per
       // shingle; each permutation re-scans only the small hash array
@@ -274,12 +286,31 @@ object StreamOps {
       }
       struct(lit(b).as("band"), concat_ws("_", mins: _*).as("sig"))
     }
-    val stream = withSig
-      .select(explode(array(bandStructs: _*)).as("bs"))
-      .select(col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .dropDuplicates("band", "sig")
+    withSig
+      .select(col("__et"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("__et"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .withWatermark("__et", stateTtl)
+      .dropDuplicatesWithinWatermark("band", "sig")
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_buckets"))
+  }
+
+  def streamingMinhashBandDedup(spark: SparkSession, sfDir: String,
+                                sinkName: String, bands: Int = 8,
+                                rows: Int = 2,
+                                fastHash: Boolean = false,
+                                stateTtl: String = "30 days"): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    // the fixture carries no arrival time — derive a deterministic one
+    // from doc_id (1 doc/second, +1 so doc 0 lands ABOVE the initial
+    // watermark of epoch 0: an event time equal to the watermark is
+    // "late" and would silently drop the doc); any real ingest passes
+    // its own column
+    val stream = minhashBandDedupStream(docs, bands, rows, fastHash,
+      stateTtl, timestamp_seconds(col("doc_id") + 1))
     runDrained(spark)(stream.writeStream
       .format("memory").queryName(sinkName).outputMode("complete").start())
     spark.table(sinkName)
