@@ -71,6 +71,13 @@ object DedupOps {
     * equi-join and computes Jaccard over the retained shingle sets
     * (the standard pipeline approximation); None keeps the exact
     * reference semantics. */
+  /** Above this estimated candidate-pair count (Σ df·(df−1)/2 over the
+    * retained shingle document frequencies) [[jaccardPairs]] fails fast
+    * instead of attempting the self-join — the sf10 rehearsal showed the
+    * uncapped twin filling 77 GB of shuffle disk at ~12.4G pairs before
+    * dying anyway. Overridable via `graft.dedup.maxJaccardPairs`. */
+  val DefaultMaxJaccardPairs: Long = 2_000_000_000L
+
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                    threshold: Double,
                    maxDocFreq: Option[Int] = None): DataFrame = {
@@ -84,6 +91,36 @@ object DedupOps {
         shAll.join(dfreq, "shingle")
       case None => shAll
     }).cache()
+    // fail-fast skew guard: the shingle self-join below materializes
+    // exactly Σ df·(df−1)/2 candidate rows; estimate it from one
+    // aggregate over the (already cached) retained shingles and refuse
+    // a job that can only end in a disk-filling shuffle. Scale paths
+    // that stay sub-quadratic at any corpus size: a maxDocFreq cap
+    // (dedup_ngram_jaccard_capped) or MinHash-LSH banding
+    // (dedup_minhash_lsh / minhashBandPairs).
+    val maxPairs = df.sparkSession.conf
+      .getOption("graft.dedup.maxJaccardPairs").map(_.toLong)
+      .getOrElse(DefaultMaxJaccardPairs)
+    val estPairs = {
+      // decimal throughout: df·(df−1) overflows a long once df > ~3e9,
+      // which a 100 TB hot shingle can reach
+      val d = col("__df").cast("decimal(19,0)")
+      Option(sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("__df"))
+          .agg(sum((d * (d - 1) / 2).cast("decimal(38,0)")).as("p"))
+          .head.getDecimal(0))
+        .map(_.toBigInteger).getOrElse(java.math.BigInteger.ZERO)
+    }
+    if (estPairs.compareTo(java.math.BigInteger.valueOf(maxPairs)) > 0) {
+      sh.unpersist(false)
+      throw new IllegalStateException(
+        s"jaccardPairs would materialize ~$estPairs candidate pairs " +
+        s"(> $maxPairs, graft.dedup.maxJaccardPairs): the all-pairs " +
+        "shingle self-join is quadratic in hot-shingle document " +
+        "frequency. Use a maxDocFreq cap (dedup_ngram_jaccard_capped " +
+        "semantics) or MinHash-LSH banding (dedup_minhash_lsh) at this " +
+        "scale, or raise graft.dedup.maxJaccardPairs explicitly.")
+    }
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
       .filter(col(s"a.$id") < col(s"b.$id"))

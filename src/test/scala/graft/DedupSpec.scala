@@ -43,6 +43,29 @@ class DedupSpec extends SparkSpec {
     assert(stream == batch, s"fast stream $stream vs fast batch $batch")
   }
 
+  test("jaccardPairs fails fast past the pair-volume guard, naming the scale paths") {
+    // 6 docs sharing one hot shingle → Σ df·(df−1)/2 = 15 candidate pairs
+    val docs = (0 until 6).map(i =>
+      (i.toLong, s"common hot shingle unique$i tail$i end$i")).toDF("doc_id", "text")
+    spark.conf.set("graft.dedup.maxJaccardPairs", "10")
+    try {
+      val e = intercept[IllegalStateException] {
+        DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
+      }
+      assert(e.getMessage.contains("maxDocFreq") &&
+        e.getMessage.contains("MinHash-LSH") &&
+        e.getMessage.contains("graft.dedup.maxJaccardPairs"),
+        s"guard message must name the scale alternatives: ${e.getMessage}")
+      // a maxDocFreq cap that drops the hot shingle passes the same guard
+      val capped = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1,
+        maxDocFreq = Some(3))
+      assert(capped.collect() != null)
+    } finally spark.conf.unset("graft.dedup.maxJaccardPairs")
+    // default threshold admits the fixture unchanged
+    assert(DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
+      .count() >= 0)
+  }
+
   test("banded simhash pairs == naive all-pairs at Hamming <= 3") {
     // hand-built signatures: dup pairs at distance 0/1/2/3, a near-miss
     // at 4, and signatures differing in every band
