@@ -9,10 +9,11 @@ import org.apache.spark.sql.SparkSession
   * Queries run in sorted-name order (Map iteration order reshuffles whenever
   * a query is added, which moved JIT/codegen warm-up costs between queries
   * and produced phantom 4x per-round "regressions"). Each query is executed
-  * twice: the first (cold) execution pays codegen+JIT and is reported under
-  * "queries_cold"; the second (warm) execution is the headline "queries"
-  * value and the headline total. Warm values are comparable round-over-round
-  * and to isolated TimeQuery probes.
+  * 1 + SPARK_GRAFT_BENCH_WARMRUNS times: the first (cold) execution pays
+  * codegen+JIT and is reported under "queries_cold"; the headline "queries"
+  * value is the (lower-median) warm execution. Warm values are comparable
+  * round-over-round and to isolated probes; the "basis" field records
+  * whether a value is a single sweep or a median.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -65,12 +66,20 @@ object Bench {
       (dt, err)
     }
 
+    // SPARK_GRAFT_BENCH_WARMRUNS > 1 reports the LOWER MEDIAN of that
+    // many warm executions per query — the knob for noise-dominated
+    // sweeps (the r11 driver run drifted +24% on byte-identical code;
+    // single-sweep artifacts carry no way to tell drift from
+    // regression). The artifact records the basis either way.
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMRUNS", "1").toInt
     var sinceGC = 0
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val (cold, errC) = time(fn)
-      val (warm, errW) = time(fn)
+      val warms = (1 to warmRuns).map(_ => time(fn))
+      val warm = warms.map(_._1).sorted.apply((warmRuns - 1) / 2)
+      val errW = warms.map(_._2).find(_ != null).orNull
       sinceGC += 1
       if (sinceGC >= 5) { System.gc(); sinceGC = 0 }
       (name, cold, warm, if (errW != null) errW else errC)
@@ -86,8 +95,12 @@ object Bench {
     val errs = results.filter(_._4 != null)
       .map(r => "\"" + r._1 + "\":\"" + r._4 + "\"")
       .mkString("{", ",", "}")
+    // "basis" tells artifact consumers whether warm values are a single
+    // sweep (noise-dominated: r11 drifted +24% on frozen code) or a
+    // median — compare single sweeps only against BENCH_MEDIANS_* floors
+    val basis = if (warmRuns > 1) s"median_of_$warmRuns" else "single_sweep"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmQs,"queries_cold":$coldQs,"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","basis":"$basis","queries":$warmQs,"queries_cold":$coldQs,"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver captures only the LAST ~2000 chars of sbt output, and the
@@ -99,10 +112,16 @@ object Bench {
     // flush and sleep before returning so the forwarder drains.
     val slowest = results.sortBy(-_._3).take(8).map(r => (r._1, r._3))
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(slowest)},"n_queries":${results.size},"n_errors":${results.count(_._4 != null)},"total_cold":$totalCold,"sf":"$sfDir","full":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","basis":"$basis","queries":${jmap(slowest)},"n_queries":${results.size},"n_errors":${results.count(_._4 != null)},"total_cold":$totalCold,"sf":"$sfDir","full":"$outPath"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath.stripSuffix(".json") + "_compact.json"),
       compact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // silence Spark's loggers BEFORE the final output: the r11 artifact
+    // was nulled by a benign async accessNonExistentAccumulatorError
+    // stack trace (ContextCleaner racing locally-checkpointed RDDs)
+    // interleaving into the stdout the driver parses — after this point
+    // nothing but the compact line may reach the stream
+    spark.sparkContext.setLogLevel("OFF")
     println(compact)
     Console.out.flush()
     // stop, then print AGAIN: shutdown warnings cannot land after this

@@ -31,12 +31,27 @@ import org.apache.spark.sql.functions._
   *     thresholds.
   * Replica 0 is always the untouched base fixture.
   *
+  * A fourth argument selects the replica mode:
+  *   - `mutate` (default): the r10 mutated-twin scheme above. Pair-query
+  *     volumes still grow ∝ K²/2 because every replica is related to its
+  *     base doc — the right fixture for measuring dedup RECALL machinery
+  *     at scale, the wrong one for extrapolating pair-bound runtimes.
+  *   - `grow`: replicas i > 0 are FRESH documents/embeddings — every
+  *     token (resp. vector element) is hash-drawn from the corpus vocab
+  *     (resp. uniform [−1,1]) keyed by (id, replica, position), reusing
+  *     only the base row's length so the length distribution holds.
+  *     Unique docs grow ∝ K and near-dup pairs stay ∝ the base corpus's
+  *     own natural duplicates — honest pair scaling for
+  *     dedup_simhash_pairs / dedup_edit_distance (r11 ask #5).
+  *
   * Usage:
-  *   Test/runMain graft.GenScale /root/testdata/sf0.1 /tmp/sf1 10
+  *   Test/runMain graft.GenScale /root/testdata/sf0.1 /tmp/sf1 10 [mutate|grow]
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
     val src = args(0); val dst = args(1); val k = args(2).toInt
+    val mode = if (args.length > 3) args(3) else "mutate"
+    require(mode == "mutate" || mode == "grow", s"unknown mode $mode")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -99,6 +114,31 @@ object GenScale {
       df.withColumn("embedding", noised)
     }
 
+    /** Fresh hash-drawn token sequence per (doc, replica) — only the
+      * base doc's token COUNT is reused (length distribution). */
+    def growText(df: DataFrame, i: Int): DataFrame = {
+      if (i == 0) return df
+      val vlen = vocab.length
+      val vlit = typedLit(vocab)
+      val fresh = transform(split(col("text"), " "), (_, p) =>
+        element_at(vlit,
+          (pmod(xxhash64(lit("growtok"), col("doc_id"), lit(i), p),
+            lit(vlen)) + 1).cast("int")))
+      df.withColumn("text", array_join(fresh, " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+
+    /** Fresh uniform-[−1,1] vector per (vec, replica) — cosine ranking
+      * is scale-invariant, so no normalization is needed. */
+    def growEmbedding(df: DataFrame, i: Int): DataFrame = {
+      if (i == 0) return df
+      val fresh = transform(col("embedding"), (_, j) =>
+        ((pmod(xxhash64(lit("growemb"), col("vec_id"), lit(i), j),
+          lit(2001)).cast("double") - lit(1000.0)) / lit(1000.0))
+          .cast("float"))
+      df.withColumn("embedding", fresh)
+    }
+
     keyCols.foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$src/$t.parquet")
       val out: DataFrame =
@@ -107,8 +147,12 @@ object GenScale {
           val shifted = keys.foldLeft(base) { (df, c) =>
             df.withColumn(c, col(c) + lit(i * OFF)) }
           t match {
-            case "documents" => mutateText(shifted, i)
-            case "embeddings" => mutateEmbedding(shifted, i)
+            case "documents" =>
+              if (mode == "grow") growText(shifted, i)
+              else mutateText(shifted, i)
+            case "embeddings" =>
+              if (mode == "grow") growEmbedding(shifted, i)
+              else mutateEmbedding(shifted, i)
             case _ => shifted
           }
         }.reduce(_.unionByName(_))
