@@ -114,20 +114,15 @@ object KNN {
       .map(r => (r.getAs[Long]("__rl"),
         (0 until dim).map(i => r.getDouble(i + 1)).toSeq)).toSeq
       .sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
-    // zero-expansion argmin projection (SimilarityOps.assignTopR) —
-    // d2 to a centroid keeps the same fixed left-assoc accumulation as
-    // dist2 and the same (d2 asc, list_id asc) order the old
-    // crossJoin+window used, so assignments are bit-unchanged while the
-    // nlist× row expansion + Exchange + sort are gone
-    def assign(df: DataFrame, pre: String, rank: Int): DataFrame = {
-      def d2(cent: Column): Column =
-        features.zipWithIndex.map { case (f, i) =>
-          (col(s"$pre$f") - element_at(cent, i + 1)) *
-            (col(s"$pre$f") - element_at(cent, i + 1))
-        }.reduce(_ + _)
-      graft.similarity.SimilarityOps.assignTopR(df, centroids, d2,
-        asc = true, rank, "list_id")
-    }
+    // zero-expansion argmin kernel (SimilarityOps.assignTopR, D2 mode) —
+    // the same fixed left-assoc (x−c)² accumulation as dist2 and the
+    // same (d2 asc, list_id asc) order the old crossJoin+window used,
+    // so assignments are bit-unchanged while the nlist× row expansion +
+    // Exchange + sort are gone
+    def assign(df: DataFrame, pre: String, rank: Int): DataFrame =
+      graft.similarity.SimilarityOps.assignTopR(df, centroids,
+        array(features.map(f => col(s"$pre$f")): _*),
+        graft.functions.CentroidSelect.D2, asc = true, rank, "list_id")
     for (_ <- 1 to lloyd) {
       val assigned = assign(tr, "__r_", 1)
       val dims = features.map(f => graft.core.Tables.exactMean(

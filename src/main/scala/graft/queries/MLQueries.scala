@@ -518,6 +518,42 @@ object MLQueries {
              |  PARTITION BY tid ORDER BY n DESC, cls ASC) = 1
              |ORDER BY c_custkey""".stripMargin)),
 
+    Q("ml_knn_class_ivf", // the SCALE path of ml_knn_class as a
+      // first-class gated query (was script-only evidence): IVF coarse
+      // lists + probe-limited exact re-rank (KNN.neighborsIVF — the
+      // zero-expansion argmax assignment). Run at nprobe = nlist, where
+      // the output is provably bit-identical to the exact path (KNNSpec
+      // pins the identity), so the oracle is the exact-kNN SQL itself;
+      // production sets nprobe << nlist to shrink the candidate scan.
+      (s, d) => {
+        val cust = Tables.load(s, d, "customer")
+        graft.ml.KNN.classify(
+          cust.filter(col("c_custkey") % 100 === 0),
+          cust.filter(col("c_custkey") % 100 =!= 0),
+          "c_custkey", Seq("c_acctbal", "c_nationkey"), "c_mktsegment", 5,
+          ivf = Some((8, 8)))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH test AS (
+             |  SELECT c_custkey AS tid, CAST(c_acctbal AS DOUBLE) AS t1,
+             |         CAST(c_nationkey AS DOUBLE) AS t2
+             |  FROM customer WHERE c_custkey % 100 = 0),
+             |train AS (
+             |  SELECT c_custkey AS rid, CAST(c_acctbal AS DOUBLE) AS r1,
+             |         CAST(c_nationkey AS DOUBLE) AS r2, c_mktsegment AS cls
+             |  FROM customer WHERE c_custkey % 100 <> 0),
+             |topk AS (
+             |  SELECT tid, cls FROM (
+             |    SELECT tid, rid, (t1-r1)*(t1-r1) + (t2-r2)*(t2-r2) AS d2, cls
+             |    FROM test CROSS JOIN train)
+             |  QUALIFY ROW_NUMBER() OVER (
+             |    PARTITION BY tid ORDER BY d2 ASC, rid ASC) <= 5),
+             |vote AS (SELECT tid, cls, COUNT(*) AS n FROM topk GROUP BY 1, 2)
+             |SELECT tid AS c_custkey, cls AS prediction FROM vote
+             |QUALIFY ROW_NUMBER() OVER (
+             |  PARTITION BY tid ORDER BY n DESC, cls ASC) = 1
+             |ORDER BY c_custkey""".stripMargin)),
+
     Q("ml_knn_regress", // kNN regressor (regression/knn.py): mean
       // c_acctbal of the 5 nearest customers in (nationkey, key-mod)
       // space. Test side = every 100th customer — the broadcast pair

@@ -139,45 +139,29 @@ object SimilarityOps {
     * all nlist centroids and then ran `Window.partitionBy(id)`, which
     * Exchanges + sorts n×nlist EXPANDED rows — every Lloyd round, the
     * dominant ANN-build cost at 100 TB. Here the driver-held centroid
-    * list embeds as literal arrays, every row scores all centroids in
-    * ONE whole-stage-codegen projection, and the top `rank` are picked
-    * with array_min / array_max / array_sort (native, lambda-free
-    * expressions): no Exchange, no sort, no row expansion beyond the
-    * `rank` survivors (PlanSpec pins the Exchange-free shape).
+    * list embeds in a fused native kernel
+    * ([[graft.functions.CentroidSelect.CentroidArgTop]]): every row
+    * scores all centroids in one tight codegen'd loop and emits only
+    * the `rank` surviving ids — no Exchange, no sort, no per-centroid
+    * struct allocation (an intermediate array(struct(score, id)) +
+    * array_max rewrite measured 1.75–3.9× slower than even the old
+    * join at sf10; PlanSpec pins the Exchange-free shape).
     *
     * Ordering contract — identical to the old window
-    * (score asc|desc, centroid id asc): struct ordering is
-    * lexicographic and sorts NaN greatest in both array_min/max and
-    * array_sort, reproducing the window's NaN placement in either
-    * direction. For descending scores the id is negated INSIDE the
-    * struct (so the tie-break still favors the smallest id) and negated
-    * back on output; for top-r the ascending sort is sliced from the
-    * tail and reversed, which is exactly the (score desc, id asc) total
-    * order. The score expression itself is unchanged from the window
-    * form, so every assignment is bit-identical. */
+    * (score asc|desc, centroid id asc): selection compares with
+    * java.lang.Double.compare (Spark's double order, NaN greatest) and
+    * keeps the earlier centroid on ties, with ids required ascending.
+    * Scores are bit-identical to the Column formulas (see
+    * [[graft.functions.CentroidSelect]]). `mode` is one of
+    * CentroidSelect.Cos / L2 / D2 over the `vec` array column. */
   private[graft] def assignTopR(df: DataFrame,
                                 cents: Seq[(Long, Seq[Double])],
-                                score: Column => Column, asc: Boolean,
+                                vec: Column, mode: Int, asc: Boolean,
                                 rank: Int, out: String): DataFrame = {
-    require(rank >= 1 && rank <= cents.size,
-      s"assign rank $rank outside 1..${cents.size}")
-    val entries = cents.map { case (j, v) =>
-      val s = score(typedLit(v))
-      struct(s.as("s"), lit(if (asc) j else -j).as("j"))
-    }
-    val arr = array(entries: _*)
-    def outCol(j: Column): Column = (if (asc) j else -j).cast("long")
-    if (rank == 1) {
-      val best = if (asc) array_min(arr) else array_max(arr)
-      df.withColumn(out, outCol(best.getField("j")))
-    } else {
-      val top =
-        if (asc) slice(array_sort(arr), 1, rank)
-        else reverse(slice(array_sort(arr), -rank, rank))
-      df.withColumn("__ae", explode(top))
-        .withColumn(out, outCol(col("__ae").getField("j")))
-        .drop("__ae")
-    }
+    val sel = graft.functions.CentroidSelect.argTop(vec, cents, mode,
+      asc, rank)
+    if (rank == 1) df.withColumn(out, sel)
+    else df.withColumn(out, explode(sel))
   }
 
   /** IVF (inverted-file) ANN — the FAISS-style scale path beside LSH:
@@ -208,18 +192,12 @@ object SimilarityOps {
       .sortBy(_._1).zipWithIndex
       .map { case ((_, v), i) => (i.toLong, v) }
     import spark.implicits._
-    def assign(df: DataFrame, vcol: String, rank: Int): DataFrame = {
-      // zero-expansion argmax projection (assignTopR) over the
-      // driver-held centroid list — native codegen'd kernels
-      // (VectorExprs) with the identical cosine the old window ordered
-      // by, so every assignment is bit-unchanged
-      val v = col(vcol).cast("array<double>")
-      val nv = graft.functions.VectorExprs.norm2D(v)
-      assignTopR(df, centroids, cent =>
-        graft.functions.VectorExprs.dotD(v, cent) /
-          (nv * graft.functions.VectorExprs.norm2D(cent)),
-        asc = false, rank, "list_id")
-    }
+    def assign(df: DataFrame, vcol: String, rank: Int): DataFrame =
+      // zero-expansion argmax kernel (assignTopR) over the driver-held
+      // centroid list — the identical cosine the old window ordered by,
+      // so every assignment is bit-unchanged
+      assignTopR(df, centroids, col(vcol).cast("array<double>"),
+        graft.functions.CentroidSelect.Cos, asc = false, rank, "list_id")
     // Lloyd refinement: exact per-dimension means of each list
     for (_ <- 1 to lloyd) {
       val assigned = assign(c, "cv", 1)
@@ -324,23 +302,22 @@ object SimilarityOps {
       na * na + nb * nb - lit(2.0) * dot
     }
     def assign(df: DataFrame): DataFrame = {
-      // per-subspace argmin projection: CASE on s selects that
-      // subspace's literal codebook, array_min picks
-      // (L2² asc, code asc) — the old (cid, s) window's exact order —
-      // with no ksub× join expansion and no Exchange+sort
+      // per-subspace argmin kernel: CASE on s selects that subspace's
+      // literal codebook; CentroidSelect scores the L2² with the exact
+      // (na·na + nb·nb) − 2·dot shape and picks (L2² asc, code asc) —
+      // the old (cid, s) window's order — with no ksub× join expansion
+      // and no Exchange+sort
       val bestPerS = (0 until m).map { s =>
-        val arr = array(codebook.filter(_._1 == s).map {
-          case (_, code, v) =>
-            struct(l2sq(col("sv"), typedLit(v)).as("s"),
-              lit(code).as("j"))
-        }: _*)
-        s -> array_min(arr)
+        val cb = codebook.filter(_._1 == s)
+          .map { case (_, code, v) => (code.toLong, v) }
+        s -> graft.functions.CentroidSelect.argTop(col("sv"), cb,
+          graft.functions.CentroidSelect.L2, asc = true, rank = 1)
       }
       val best = bestPerS.tail.foldLeft(
         when(col("s") === bestPerS.head._1, bestPerS.head._2)) {
         case (acc, (s, b)) => acc.when(col("s") === s, b)
       }
-      df.withColumn("code", best.getField("j"))
+      df.withColumn("code", best.cast("int"))
         .select(col("cid"), col("s"), col("code"), col("sv"))
     }
     for (_ <- 1 to lloyd) {
@@ -391,16 +368,11 @@ object SimilarityOps {
       .select(col(vec).cast("array<double>").as("cent"))
       .collect().map(_.getSeq[Double](0)).toSeq
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }
-    def route(df: DataFrame, rank: Int): DataFrame = {
+    def route(df: DataFrame, rank: Int): DataFrame =
       // zero-expansion coarse routing (assignTopR): same cosine, same
       // (cos desc, list_id asc) order as the old crossJoin+window
-      val v = col(vec).cast("array<double>")
-      val nv = graft.functions.VectorExprs.norm2D(v)
-      assignTopR(df, cents, cent =>
-        graft.functions.VectorExprs.dotD(v, cent) /
-          (nv * graft.functions.VectorExprs.norm2D(cent)),
-        asc = false, rank, "list_id")
-    }
+      assignTopR(df, cents, col(vec).cast("array<double>"),
+        graft.functions.CentroidSelect.Cos, asc = false, rank, "list_id")
     val corpusLists = route(corpus, 1)
       .select(col(id).as("cid"), col("list_id"))
     val probed = route(queries, nprobe)

@@ -114,29 +114,59 @@ object GenScale {
       df.withColumn("embedding", noised)
     }
 
-    /** Fresh hash-drawn token sequence per (doc, replica) — only the
-      * base doc's token COUNT is reused (length distribution). */
+    /** Fresh token sequence per (doc, replica) — only the base doc's
+      * token COUNT is reused (length distribution). Tokens are
+      * base-vocab words with a hash suffix: the raw ~40-token synthetic
+      * vocab makes any two "random" docs share most of their shingles
+      * (measured: 80× simhash-pair growth for 10× docs — a worse
+      * artifact than mutate mode), while the ~40·997 effective vocab
+      * makes fresh docs mutually distinct. 1/8 of replica docs are
+      * EXACT duplicates of an earlier replica's grown text (or of the
+      * base doc when the partner draw lands on 0) — computable because
+      * fresh text is a pure hash of (doc, replica, pos) — so near-dup
+      * pair volume grows ∝ K like a real ingest, not ∝ K². */
     def growText(df: DataFrame, i: Int): DataFrame = {
       if (i == 0) return df
       val vlen = vocab.length
       val vlit = typedLit(vocab)
-      val fresh = transform(split(col("text"), " "), (_, p) =>
-        element_at(vlit,
-          (pmod(xxhash64(lit("growtok"), col("doc_id"), lit(i), p),
-            lit(vlen)) + 1).cast("int")))
-      df.withColumn("text", array_join(fresh, " "))
+      def freshText(jc: Column): Column = array_join(
+        transform(split(col("text"), " "), (_, p) => concat(
+          element_at(vlit,
+            (pmod(xxhash64(lit("growtok"), col("doc_id"), jc, p),
+              lit(vlen)) + 1).cast("int")),
+          lit("x"),
+          pmod(xxhash64(lit("growsuf"), col("doc_id"), jc, p), lit(997))
+            .cast("string"))), " ")
+      val isDup =
+        pmod(xxhash64(lit("dupflag"), col("doc_id"), lit(i)), lit(8)) === 0
+      val partner =
+        pmod(xxhash64(lit("duppick"), col("doc_id"), lit(i)), lit(i))
+      val dupText = when(partner === 0, col("text"))
+        .otherwise(freshText(partner))
+      df.withColumn("text",
+          when(isDup, dupText).otherwise(freshText(lit(i))))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
 
     /** Fresh uniform-[−1,1] vector per (vec, replica) — cosine ranking
-      * is scale-invariant, so no normalization is needed. */
+      * is scale-invariant, so no normalization is needed. Same 1/8
+      * exact-duplicate device as [[growText]] for ∝K cosine-near-dup
+      * pair volume. */
     def growEmbedding(df: DataFrame, i: Int): DataFrame = {
       if (i == 0) return df
-      val fresh = transform(col("embedding"), (_, j) =>
-        ((pmod(xxhash64(lit("growemb"), col("vec_id"), lit(i), j),
-          lit(2001)).cast("double") - lit(1000.0)) / lit(1000.0))
-          .cast("float"))
-      df.withColumn("embedding", fresh)
+      def freshVec(jc: Column): Column = transform(col("embedding"),
+        (_, j) =>
+          ((pmod(xxhash64(lit("growemb"), col("vec_id"), jc, j),
+            lit(2001)).cast("double") - lit(1000.0)) / lit(1000.0))
+            .cast("float"))
+      val isDup =
+        pmod(xxhash64(lit("edupflag"), col("vec_id"), lit(i)), lit(8)) === 0
+      val partner =
+        pmod(xxhash64(lit("eduppick"), col("vec_id"), lit(i)), lit(i))
+      val dupVec = when(partner === 0, col("embedding"))
+        .otherwise(freshVec(partner))
+      df.withColumn("embedding",
+        when(isDup, dupVec).otherwise(freshVec(lit(i))))
     }
 
     keyCols.foreach { case (t, keys) =>

@@ -34,11 +34,9 @@ class PlanSpec extends SparkSpec {
     val cents = (0 until 8).map(j =>
       (j.toLong, Seq.tabulate(64)(i => (j * 64 + i) / 512.0)))
     for (r <- Seq(1, 3)) {
-      val v = col("embedding").cast("array<double>")
       val df = graft.similarity.SimilarityOps.assignTopR(emb, cents,
-        c => graft.functions.VectorExprs.dotD(v, c) /
-          (graft.functions.VectorExprs.norm2D(v) *
-           graft.functions.VectorExprs.norm2D(c)),
+        col("embedding").cast("array<double>"),
+        graft.functions.CentroidSelect.Cos,
         asc = false, rank = r, "list_id")
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), s"rank=$r assignment shuffles:\n" +
