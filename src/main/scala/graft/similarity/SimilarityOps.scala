@@ -109,6 +109,16 @@ object SimilarityOps {
     * `bands` (more bands → more chances to collide) exactly like
     * MinHash-LSH banding in text dedup. Candidates are deduped BEFORE
     * the exact cosine so each surviving pair is scored once. */
+  /** Above this estimated candidate-pair count (Σ c·(c−1)/2 over
+    * (band, bucket) occupancies) [[cosineNearDupPairs]] fails fast:
+    * with FIXED planesPerBand the bucket count is constant, so bucket
+    * occupancy — and the within-bucket self-join — grows quadratically
+    * with the corpus (measured: 200k uniform vectors at 4 planes/band
+    * = ~6G candidates, a disk-filling DNF). The scale knob is
+    * `planesPerBand` ∝ log₂(corpus): more, smaller buckets at a recall
+    * cost. Overridable via `graft.dedup.maxCosinePairs`. */
+  val DefaultMaxCosinePairs: Long = 2_000_000_000L
+
   def cosineNearDupPairs(corpus: DataFrame, id: String, vec: String,
                          dim: Int, threshold: Double, bands: Int,
                          planesPerBand: Int): DataFrame = {
@@ -120,6 +130,29 @@ object SimilarityOps {
         lshBandBucket(col(vec), dim,
           b * planesPerBand until (b + 1) * planesPerBand).as("bucket"))
     }.reduce(_.unionByName(_))
+    // fail-fast occupancy guard (the jaccardPairs device): the banded
+    // self-join below materializes exactly Σ c·(c−1)/2 candidate rows
+    val maxPairs = corpus.sparkSession.conf
+      .getOption("graft.dedup.maxCosinePairs").map(_.toLong)
+      .getOrElse(DefaultMaxCosinePairs)
+    val estPairs = {
+      val c = col("__c").cast("decimal(19,0)")
+      Option(keyed.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__c"))
+          .agg(sum((c * (c - 1) / 2).cast("decimal(38,0)")).as("p"))
+          .head.getDecimal(0))
+        .map(_.toBigInteger).getOrElse(java.math.BigInteger.ZERO)
+    }
+    if (estPairs.compareTo(java.math.BigInteger.valueOf(maxPairs)) > 0) {
+      throw new IllegalStateException(
+        s"cosineNearDupPairs would materialize ~$estPairs candidate " +
+        s"pairs (> $maxPairs, graft.dedup.maxCosinePairs): bucket " +
+        s"occupancy is quadratic at fixed planesPerBand ($planesPerBand). " +
+        "Raise planesPerBand (buckets ∝ 2^planes, occupancy ∝ " +
+        "n/2^planes) or use the ANN top-k family (ann_lsh_bucketed / " +
+        "ann_ivf) instead of all-pairs, or raise " +
+        "graft.dedup.maxCosinePairs explicitly.")
+    }
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.__id") < col("b.__id"))

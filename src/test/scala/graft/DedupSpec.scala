@@ -66,6 +66,27 @@ class DedupSpec extends SparkSpec {
       .count() >= 0)
   }
 
+  test("cosineNearDupPairs fails fast past the bucket-occupancy guard") {
+    // 40 identical-bucket vectors → 8 bands × C(40,2) = 6240 candidates
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => 0.5f + d * 0.01f + i * 1e-6f)))
+      .toDF("vec_id", "embedding")
+    spark.conf.set("graft.dedup.maxCosinePairs", "100")
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.similarity.SimilarityOps.cosineNearDupPairs(
+          vecs, "vec_id", "embedding", 8, 0.9, bands = 8, planesPerBand = 2)
+      }
+      assert(e.getMessage.contains("planesPerBand") &&
+        e.getMessage.contains("graft.dedup.maxCosinePairs"),
+        s"guard message must name the scale knob: ${e.getMessage}")
+    } finally spark.conf.unset("graft.dedup.maxCosinePairs")
+    // default threshold admits the fixture unchanged
+    assert(graft.similarity.SimilarityOps.cosineNearDupPairs(
+      vecs, "vec_id", "embedding", 8, 0.9, bands = 8,
+      planesPerBand = 2).count() >= 0)
+  }
+
   test("banded simhash pairs == naive all-pairs at Hamming <= 3") {
     // hand-built signatures: dup pairs at distance 0/1/2/3, a near-miss
     // at 4, and signatures differing in every band
