@@ -135,13 +135,16 @@ object SimilarityOps {
     val maxPairs = corpus.sparkSession.conf
       .getOption("graft.dedup.maxCosinePairs").map(_.toLong)
       .getOrElse(DefaultMaxCosinePairs)
-    val estPairs = {
+    val (estPairs, corpusRows) = {
       val c = col("__c").cast("decimal(19,0)")
-      Option(keyed.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("__c"))
-          .agg(sum((c * (c - 1) / 2).cast("decimal(38,0)")).as("p"))
-          .head.getDecimal(0))
-        .map(_.toBigInteger).getOrElse(java.math.BigInteger.ZERO)
+      val row = keyed.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(sum((c * (c - 1) / 2).cast("decimal(38,0)")).as("p"),
+          (sum(c) / bands).cast("long").as("n"))
+        .head
+      (Option(row.getDecimal(0)).map(_.toBigInteger)
+         .getOrElse(java.math.BigInteger.ZERO),
+       if (row.isNullAt(1)) 0L else row.getLong(1))
     }
     if (estPairs.compareTo(java.math.BigInteger.valueOf(maxPairs)) > 0) {
       throw new IllegalStateException(
@@ -158,10 +161,28 @@ object SimilarityOps {
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // the vector re-join's left side is the CANDIDATE set (≫ corpus when
+    // buckets are hot): sort-merge-joining it drags every candidate row
+    // through two Exchanges carrying a dim-float payload (measured: 750M
+    // candidates × 256 B ≈ a disk-filling 150 GB shuffle at 200k vectors
+    // × 8 planes/band). The corpus side is id+vector only — broadcast it
+    // whenever it plausibly fits an executor (corpus bytes ≈ n·(8+4·dim)),
+    // so candidates stream map-side and the only Exchange left is the
+    // pair dedup. Past the broadcast ceiling the corpus is big enough
+    // that the guard already forces planesPerBand ∝ log₂(n), keeping
+    // candidates ≈ O(corpus) and the shuffle join proportionate.
+    val vecBytes = corpusRows * (8L + 4L * dim)
+    val maxBcast = corpus.sparkSession.conf
+      .getOption("graft.dedup.broadcastVecBytes").map(_.toLong)
+      .getOrElse(512L * 1024 * 1024)
+    def side(n: String) = {
+      val v = corpus.select(col(id).as(n), col(vec).as("__v" + n))
+      if (vecBytes <= maxBcast) broadcast(v) else v
+    }
     cand
-      .join(corpus.select(col(id).as("id_a"), col(vec).as("__va")), "id_a")
-      .join(corpus.select(col(id).as("id_b"), col(vec).as("__vb")), "id_b")
-      .withColumn("cosine", cosineFixed(col("__va"), col("__vb"), dim))
+      .join(side("id_a"), "id_a")
+      .join(side("id_b"), "id_b")
+      .withColumn("cosine", cosineFixed(col("__vid_a"), col("__vid_b"), dim))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
