@@ -187,8 +187,8 @@ object SGD {
     // narrow fits cache the columnar projection (iterations re-scan it);
     // wide fits (k > 8) skip it — their cache is the primitive-array RDD
     // below, and materializing a 65-column columnar cache first costs
-    // ~10 s at sf0.1 for nothing. Lazy: the gen path never materializes
-    // the full feature projection at all.
+    // ~10 s at sf0.1 for nothing. Lazy: the gen recompute branch never
+    // materializes the full feature projection at all.
     lazy val base = {
       val b = df.select(feats.map { case (n, f) => f.as(s"x_$n") } :+
         y.cast("double").as("y"): _*)
@@ -277,35 +277,33 @@ object SGD {
       r.count()
       r
     }
-    // Gen path: chunk-cache the RAW columns, then either expand ONCE
-    // into a persisted feature cache (when the expanded bytes fit the
-    // budget — same per-epoch cost as the plain wide cache) or keep the
-    // raw cache and expand per pass (the single-box survival path when
-    // the expanded features dwarf memory). Both hand every pass chunks
-    // of identical doubles, so the choice is invisible in results.
+    // Gen path: when the EXPANDED feature cache fits the budget, build
+    // it straight from the Column expressions — one materialization
+    // with the feature math inside the codegen'd scan, byte-identical
+    // to the non-gen wide path (the earlier raw-chunks-then-JVM-expand
+    // fast branch paid a second materialization for the same doubles:
+    // +78% on ml_svm_rbf at sf1m). Only past the budget does the raw
+    // chunk cache + per-pass JVM expansion kick in — the single-box
+    // survival path when expanded features dwarf memory. KernelSVMSpec
+    // pins Column expansion ≡ JVM expansion bit-for-bit, so the branch
+    // choice is invisible in results. The branch decision costs one
+    // column-pruned count of the (pre-filtered) input.
     lazy val genCache: (org.apache.spark.rdd.RDD[Array[Double]],
                         Option[Array[Double] => Array[Double]]) = {
       val g = genOpt.get
-      val rawBase = df.select(
-        g.raw.zipWithIndex.map { case (c, i) => c.as(s"r_$i") } :+
-        y.cast("double").as("y"): _*)
-      val rawStride = g.raw.size + 1
-      val raw = buildChunks(rawBase, rawStride)
-      val rawRows = raw.map(ch => (ch.length / rawStride).toLong)
-        .fold(0L)(_ + _)
       val maxBytes = spark.conf.getOption("graft.sgd.featCacheMaxBytes")
         .map(_.toLong).getOrElse(DefaultFeatCacheMaxBytes)
-      // capture the expansion FUNCTION only — FeatureGen itself holds
-      // Columns (not serializable) and must never enter a task closure
-      val exf = g.expandChunk
-      if (rawRows * (k + 1) * 8L <= maxBytes) {
-        val ex = raw.mapPartitions(_.map(exf),
-            preservesPartitioning = true)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ex.count()
-        raw.unpersist(false)
-        (ex, None)
-      } else (raw, Some(exf))
+      if (df.count() * (k + 1) * 8L <= maxBytes)
+        (buildChunks(base, k + 1), None)
+      else {
+        val rawBase = df.select(
+          g.raw.zipWithIndex.map { case (c, i) => c.as(s"r_$i") } :+
+          y.cast("double").as("y"): _*)
+        // hand later passes the expansion FUNCTION only — FeatureGen
+        // itself holds Columns (not serializable) and must never enter
+        // a task closure
+        (buildChunks(rawBase, g.raw.size + 1), Some(g.expandChunk))
+      }
     }
     lazy val arrRdd: org.apache.spark.rdd.RDD[Array[Double]] =
       if (genOpt.isDefined) genCache._1 else buildChunks(base, k + 1)
