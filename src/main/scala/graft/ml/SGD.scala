@@ -163,8 +163,18 @@ object SGD {
     * persisting expanded chunks and recomputes them per pass — the
     * single-box guard for fits whose expanded features dwarf memory
     * (sf100 rehearsal: 600M rows × 33 doubles ≈ 158 GB expanded vs
-    * 9.6 GB raw). Overridable via `graft.sgd.featCacheMaxBytes`. */
-  private val DefaultFeatCacheMaxBytes = 24L << 30
+    * 9.6 GB raw). The default is HEAP-AWARE: half the JVM's max heap,
+    * capped at 24 GB — a fixed constant near the heap size lets a
+    * cache that "fits the budget" still OOM the executor, because
+    * MemoryStore accounts unroll memory only every few elements and a
+    * 17 MB-chunk cache build overshoots the storage pool across 32
+    * concurrent tasks before spill engages (measured: 15.8 GB cache,
+    * 24 GB heap → executor OOM; same cache, 48 GB heap → fine). On a
+    * real cluster the per-executor slice of the cache shrinks with the
+    * executor count while maxMemory is per-executor, so the same rule
+    * holds. Overridable via `graft.sgd.featCacheMaxBytes`. */
+  private def defaultFeatCacheMaxBytes: Long =
+    math.min(24L << 30, Runtime.getRuntime.maxMemory / 2)
 
   /** Full-batch GD over `loss`.
     * @param feats (name, expression) pairs, pre-scaled to ~[0,1]
@@ -292,7 +302,7 @@ object SGD {
                         Option[Array[Double] => Array[Double]]) = {
       val g = genOpt.get
       val maxBytes = spark.conf.getOption("graft.sgd.featCacheMaxBytes")
-        .map(_.toLong).getOrElse(DefaultFeatCacheMaxBytes)
+        .map(_.toLong).getOrElse(defaultFeatCacheMaxBytes)
       if (df.count() * (k + 1) * 8L <= maxBytes)
         (buildChunks(base, k + 1), None)
       else {
