@@ -72,12 +72,31 @@ object Sources {
       TabReader.read(spark, path)
     else if (lower.endsWith(".csv"))
       TabReader.read(spark, path, delimiter = ",")
+    else if (lower.endsWith(".txt")) // ambiguous-dialect text: sniff it
+      fromDelimited(spark, path)
     else if (lower.endsWith(".basket")) BasketReader.read(spark, path)
     else if (lower.endsWith(".xlsx")) ExcelReader.read(spark, path)
     else if (lower.endsWith(".xls")) XlsReader.read(spark, path)
     else if (lower.endsWith(".dst")) DistMatrixIO.readDst(spark, path)
     else throw new IllegalArgumentException(
       s"unsupported extension: $path (expected .parquet/.tab/.tsv/.csv/.basket/.xlsx/.xls/.dst)")
+  }
+
+  /** Read a delimited text file with a SNIFFED dialect — the engine
+    * half of the reference's CSV import flow (owcsvimport.py:590-615
+    * default_options_for_mime_type → sniff_csv_with_path): a bounded
+    * driver-side sample guesses delimiter/quote ([[DialectSniffer]]),
+    * then the distributed [[TabReader.read]] runs with that explicit
+    * dialect — the cluster-side plan is identical to a user-specified
+    * one. Per-column overrides ride through unchanged (the widget's
+    * column-type matrix, [[TabReader.ColType]]). */
+  def fromDelimited(spark: SparkSession, path: String,
+                    localeTimes: Boolean = false,
+                    overrides: Map[String, TabReader.ColType] = Map.empty)
+      : DataFrame = {
+    val d = DialectSniffer.sniffFile(spark, path)
+    TabReader.read(spark, path, delimiter = d.delimiter.toString,
+      localeTimes = localeTimes, overrides = overrides, quote = d.quote)
   }
 
   /** Write a table by file extension — the reverse dispatch

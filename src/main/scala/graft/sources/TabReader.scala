@@ -159,17 +159,24 @@ object TabReader {
   def read(spark: SparkSession, path: String,
            delimiter: String = "\t",
            localeTimes: Boolean = false,
-           overrides: Map[String, ColType] = Map.empty): DataFrame = {
+           overrides: Map[String, ColType] = Map.empty,
+           quote: String = ""): DataFrame = {
     val dRe = java.util.regex.Pattern.quote(delimiter)
+    // quote="" keeps the historical quote-free splitting byte-for-byte;
+    // a sniffed dialect (Sources.fromDelimited) passes the observed
+    // quote so RFC 4180 fields with embedded delimiters survive
+    def cells(line: String): Array[String] =
+      if (quote.isEmpty) line.split(dRe, -1)
+      else DialectSniffer.splitQuoted(line, delimiter.head, quote.head).toArray
     val head = headLines(spark, path, 3)
     require(head.nonEmpty, s"empty .tab file: $path")
-    val names = head.head.split(dRe, -1).toSeq
+    val names = cells(head.head).toSeq
 
     val typeFlag = "^(c|d|s|t|continuous|discrete|string|text|time|basket)$"
-    val looks3Row = head.size >= 3 && head(1).split(dRe, -1).forall { t =>
+    val looks3Row = head.size >= 3 && cells(head(1)).forall { t =>
       t.trim.isEmpty || t.trim.matches(typeFlag) || t.contains(" ") ||
         !t.trim.exists(_.isDigit)
-    } && head(2).split(dRe, -1).forall(r =>
+    } && cells(head(2)).forall(r =>
       r.trim.isEmpty || r.trim.toLowerCase.matches("^(class|meta|m|c|s|i|ignore|w|weight)(:.*)?$"))
 
     val prefixed = names.forall(_.matches("^[cdsmitw]{0,3}#.*")) &&
@@ -177,8 +184,8 @@ object TabReader {
 
     val (hvars, skip) =
       if (looks3Row) {
-        val types = head(1).split(dRe, -1).toSeq.padTo(names.size, "")
-        val roles = head(2).split(dRe, -1).toSeq.padTo(names.size, "")
+        val types = cells(head(1)).toSeq.padTo(names.size, "")
+        val roles = cells(head(2)).toSeq.padTo(names.size, "")
         val hv = names.indices.map { i =>
           val (kind, vals) = parseType(types(i))
           val (role, ignore) = parseRole(roles(i))
@@ -203,8 +210,33 @@ object TabReader {
           if (role == null) null else HVar(name, kind, role, Nil)
         }
         (hv, 1)
-      } else { // 1 header row, all continuous unless non-numeric
-        (names.map(n => HVar(n, VarKind.Continuous, Role.Feature, Nil)), 1)
+      } else {
+        // 1 plain header row: per-column kind guessed from a bounded
+        // driver-side sample of the body — the reference's column-type
+        // guessing (owcsvimport.py settings_version 3 note /
+        // textimport.py ColumnType): all-numeric → continuous, few
+        // repeated values → discrete, else string. A column the sample
+        // misjudges is one override away ([[ColType]]); time columns
+        // opt in the same way (the 3-row header declares them
+        // explicitly, a plain header cannot).
+        val sample = headLines(spark, path, 101).drop(1)
+          .map(l => cells(l).padTo(names.size, ""))
+        def num(s: String): Boolean =
+          try { s.trim.toDouble; true }
+          catch { case _: NumberFormatException => false }
+        val hv = names.zipWithIndex.map { case (n, i) =>
+          val vals = sample.map(_(i))
+            .filterNot(v => v == null || v.isEmpty ||
+              Schema.MissingTokens.contains(v))
+          val kind =
+            if (vals.isEmpty || vals.forall(num)) VarKind.Continuous
+            else {
+              val d = vals.distinct.size
+              if (d <= 10 && d < vals.size) VarKind.Discrete else VarKind.Str
+            }
+          HVar(n, kind, Role.Feature, Nil)
+        }
+        (hv, 1)
       }
 
     // per-column type overrides (the import widget's column-type matrix,
@@ -226,19 +258,24 @@ object TabReader {
     // Distributed body read: all-string schema, drop header rows by value
     // (they re-appear as data rows since we supply our own schema).
     val rawFields = names.indices.map(i => StructField(s"_c$i", StringType, true))
-    val raw = spark.read
-      .option("delimiter", delimiter).option("quote", "")
-      .schema(StructType(rawFields))
-      .csv(path)
+    val raw = {
+      val rd = spark.read
+        .option("delimiter", delimiter).option("quote", quote)
+      // RFC 4180 escapes a quote by doubling it; Spark's default escape
+      // is backslash, so point escape at the quote char when quoting on
+      (if (quote.isEmpty) rd else rd.option("escape", quote))
+        .schema(StructType(rawFields))
+        .csv(path)
+    }
     // Drop header rows by exact full-row match — a data row would have to
     // equal the entire header line to be lost. Spark CSV yields NULL for
     // empty cells, so compare through coalesce(…, ''). Blank lines (all
     // cells null) are dropped too.
     val nonBlank = names.indices.map(i => col(s"_c$i").isNotNull).reduce(_ || _)
     val body = head.take(skip).foldLeft(raw.filter(nonBlank)) { (acc, line) =>
-      val cells = line.split(dRe, -1).padTo(names.size, "")
+      val cs = cells(line).padTo(names.size, "")
       val isHeader = names.indices
-        .map(i => coalesce(col(s"_c$i"), lit("")) <=> lit(cells(i)))
+        .map(i => coalesce(col(s"_c$i"), lit("")) <=> lit(cs(i)))
         .reduce(_ && _)
       acc.filter(!isHeader)
     }
