@@ -71,7 +71,17 @@ object Bench {
     // sweeps (the r11 driver run drifted +24% on byte-identical code;
     // single-sweep artifacts carry no way to tell drift from
     // regression). The artifact records the basis either way.
-    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMRUNS", "1").toInt
+    // validated + clamped: 0/negative would leave `warms` empty and
+    // throw on the median index AFTER the cold run already paid its
+    // cost; an unparsable value should fail before any query runs
+    val warmRuns = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMRUNS", "1")
+      val n = try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BENCH_WARMRUNS must be an integer, got: '$raw'")
+      }
+      math.max(1, n)
+    }
     var sinceGC = 0
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>

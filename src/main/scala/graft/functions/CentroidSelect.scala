@@ -57,8 +57,11 @@ object CentroidSelect {
       while (i < d) { dot += v.getDouble(i) * c(i); i += 1 }
       (nv * nv + nc * nc) - 2.0 * dot
     case _ =>
+      // same min-length bound as Cos/L2: a row vector shorter than the
+      // centroid dimension must not read past its ArrayData
+      val d = math.min(v.numElements(), c.length)
       var s = 0.0; var i = 0
-      while (i < c.length) {
+      while (i < d) {
         val t = v.getDouble(i) - c(i); s += t * t; i += 1
       }
       s
@@ -136,10 +139,15 @@ object CentroidSelect {
                             ids: Seq[Long], mode: Int, asc: Boolean,
                             rank: Int)
       extends UnaryExpression with ExpectsInputTypes {
-    require(rank >= 1 && rank <= cents.size,
-      s"rank $rank outside 1..${cents.size}")
+    require(rank >= 1, s"rank $rank must be >= 1")
+    require(cents.nonEmpty, "need at least one centroid")
     require(ids == ids.sorted,
       "centroid ids must be ascending (the tie-break contract)")
+    // Lloyd refinement can shrink the centroid list below the requested
+    // nprobe (an emptied list); the old crossJoin+row_number<=rank form
+    // returned all surviving lists there — clamp rather than crash. The
+    // declared dataType keeps the REQUESTED arity (rank==1 ⇒ long).
+    private val effRank = math.min(rank, cents.size)
     override def inputTypes = Seq(ArrayType(DoubleType))
     override def dataType: DataType =
       if (rank == 1) LongType else ArrayType(LongType, containsNull = false)
@@ -159,7 +167,7 @@ object CentroidSelect {
       val v = a.asInstanceOf[ArrayData]
       if (rank == 1) topId(v, centsArr, normsArr, idsArr, mode, asc)
       else new GenericArrayData(
-        topIds(v, centsArr, normsArr, idsArr, mode, asc, rank))
+        topIds(v, centsArr, normsArr, idsArr, mode, asc, effRank))
     }
 
     override protected def doGenCode(ctx: CodegenContext,
@@ -174,7 +182,7 @@ object CentroidSelect {
         else
           s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
              |  graft.functions.CentroidSelect.topIds(
-             |    $x, $cRef, $nRef, $iRef, $mode, $asc, $rank));""".stripMargin
+             |    $x, $cRef, $nRef, $iRef, $mode, $asc, $effRank));""".stripMargin
       })
 
     override protected def withNewChildInternal(

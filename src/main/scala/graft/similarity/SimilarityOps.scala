@@ -125,11 +125,15 @@ object SimilarityOps {
     // candidate generation is id-only: the wide vector column stays OUT
     // of the (band, bucket) shuffle and the pair dedup — vectors are
     // re-joined by id only for the ≪ n² surviving candidates
+    // cached: the guard aggregate below plus BOTH sides of the banded
+    // self-join read it — without the cache the full per-band bucket
+    // hashing of the corpus is evaluated three times per call (the
+    // jaccardPairs retained-shingle device)
     val keyed = (0 until bands).map { b =>
       corpus.select(col(id).as("__id"), lit(b).as("band"),
         lshBandBucket(col(vec), dim,
           b * planesPerBand until (b + 1) * planesPerBand).as("bucket"))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)).cache()
     // fail-fast occupancy guard (the jaccardPairs device): the banded
     // self-join below materializes exactly Σ c·(c−1)/2 candidate rows
     val maxPairs = corpus.sparkSession.conf
@@ -147,6 +151,7 @@ object SimilarityOps {
        if (row.isNullAt(1)) 0L else row.getLong(1))
     }
     if (estPairs.compareTo(java.math.BigInteger.valueOf(maxPairs)) > 0) {
+      keyed.unpersist(false)
       throw new IllegalStateException(
         s"cosineNearDupPairs would materialize ~$estPairs candidate " +
         s"pairs (> $maxPairs, graft.dedup.maxCosinePairs): bucket " +
@@ -172,9 +177,15 @@ object SimilarityOps {
     // that the guard already forces planesPerBand ∝ log₂(n), keeping
     // candidates ≈ O(corpus) and the shuffle join proportionate.
     val vecBytes = corpusRows * (8L + 4L * dim)
+    // heap-aware ceiling (the featCacheMaxBytes rule, ml/SGD.scala):
+    // a broadcast relation lives once per executor JVM alongside the
+    // shuffle/storage pools, and the hashed-relation form costs ~2-3×
+    // the raw bytes — a flat 512 MB would be wrong on a 4 GB executor.
+    // maxMemory/16 keeps the expanded relation under ~1/5 of the heap.
     val maxBcast = corpus.sparkSession.conf
       .getOption("graft.dedup.broadcastVecBytes").map(_.toLong)
-      .getOrElse(512L * 1024 * 1024)
+      .getOrElse(math.min(512L * 1024 * 1024,
+        Runtime.getRuntime.maxMemory / 16))
     def side(n: String) = {
       val v = corpus.select(col(id).as(n), col(vec).as("__v" + n))
       if (vecBytes <= maxBcast) broadcast(v) else v

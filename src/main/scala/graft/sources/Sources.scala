@@ -96,7 +96,8 @@ object Sources {
       : DataFrame = {
     val d = DialectSniffer.sniffFile(spark, path)
     TabReader.read(spark, path, delimiter = d.delimiter.toString,
-      localeTimes = localeTimes, overrides = overrides, quote = d.quote)
+      localeTimes = localeTimes, overrides = overrides, quote = d.quote,
+      hasHeader = d.hasHeader)
   }
 
   /** Write a table by file extension — the reverse dispatch

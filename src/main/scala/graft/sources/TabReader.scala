@@ -155,12 +155,17 @@ object TabReader {
 
   /** Header classification (io_base.py:400-502): 3-row if row2 looks like
     * type flags; 1-row prefixed if names carry `t#name` prefixes; else
-    * 1-row plain names with inferred types. */
+    * 1-row plain names with inferred types. `hasHeader = false`
+    * (a sniffed headerless .txt/.csv — owcsvimport.py sniff flow
+    * rows_to_skip=0 + generated names) skips header classification
+    * entirely: line 1 is DATA, column names are synthesized _c0.._cN,
+    * and per-column kinds are guessed from the body sample alone. */
   def read(spark: SparkSession, path: String,
            delimiter: String = "\t",
            localeTimes: Boolean = false,
            overrides: Map[String, ColType] = Map.empty,
-           quote: String = ""): DataFrame = {
+           quote: String = "",
+           hasHeader: Boolean = true): DataFrame = {
     val dRe = java.util.regex.Pattern.quote(delimiter)
     // quote="" keeps the historical quote-free splitting byte-for-byte;
     // a sniffed dialect (Sources.fromDelimited) passes the observed
@@ -170,16 +175,18 @@ object TabReader {
       else DialectSniffer.splitQuoted(line, delimiter.head, quote.head).toArray
     val head = headLines(spark, path, 3)
     require(head.nonEmpty, s"empty .tab file: $path")
-    val names = cells(head.head).toSeq
+    val names: Seq[String] =
+      if (hasHeader) cells(head.head).toSeq
+      else cells(head.head).indices.map(i => s"_c$i")
 
     val typeFlag = "^(c|d|s|t|continuous|discrete|string|text|time|basket)$"
-    val looks3Row = head.size >= 3 && cells(head(1)).forall { t =>
+    val looks3Row = hasHeader && head.size >= 3 && cells(head(1)).forall { t =>
       t.trim.isEmpty || t.trim.matches(typeFlag) || t.contains(" ") ||
         !t.trim.exists(_.isDigit)
     } && cells(head(2)).forall(r =>
       r.trim.isEmpty || r.trim.toLowerCase.matches("^(class|meta|m|c|s|i|ignore|w|weight)(:.*)?$"))
 
-    val prefixed = names.forall(_.matches("^[cdsmitw]{0,3}#.*")) &&
+    val prefixed = hasHeader && names.forall(_.matches("^[cdsmitw]{0,3}#.*")) &&
       names.exists(_.contains("#"))
 
     val (hvars, skip) =
@@ -219,7 +226,9 @@ object TabReader {
         // misjudges is one override away ([[ColType]]); time columns
         // opt in the same way (the 3-row header declares them
         // explicitly, a plain header cannot).
-        val sample = headLines(spark, path, 101).drop(1)
+        // headerless input: line 1 is data, keep it in the sample
+        val sample = headLines(spark, path, 101)
+          .drop(if (hasHeader) 1 else 0)
           .map(l => cells(l).padTo(names.size, ""))
         def num(s: String): Boolean =
           try { s.trim.toDouble; true }
@@ -236,7 +245,7 @@ object TabReader {
             }
           HVar(n, kind, Role.Feature, Nil)
         }
-        (hv, 1)
+        (hv, if (hasHeader) 1 else 0)
       }
 
     // per-column type overrides (the import widget's column-type matrix,

@@ -73,4 +73,29 @@ class DialectSnifferSpec extends SparkSpec {
     val df = Sources.fromFile(spark, p) // dispatch still quote-free
     assert(df.count() == 2 && df.columns.toSeq == Seq("a", "b"))
   }
+
+  test("headerless sniff keeps line 1 as DATA with synthesized names") {
+    // all-numeric first row → sniffed hasHeader = false; before the
+    // fix the first data row was consumed as column names and dropped
+    // from the body (along with its duplicates) — silent data loss
+    val p = tmpWith(".txt", "1,10\n2,20\n3,30\n1,10\n")
+    val df = Sources.fromFile(spark, p)
+    assert(df.columns.toSeq == Seq("_c0", "_c1"))
+    // 4 rows including BOTH copies of the duplicate first line
+    val rows = df.orderBy("_c0", "_c1").collect()
+    assert(rows.length == 4)
+    assert(rows.map(r => (r.getDouble(0), r.getDouble(1))).toSeq ==
+      Seq((1.0, 10.0), (1.0, 10.0), (2.0, 20.0), (3.0, 30.0)))
+  }
+
+  test("headerless type guessing includes line 1 in the sample") {
+    // mixed column: first line's value participates in the kind vote
+    val p = tmpWith(".txt", "x,1\ny,2\nz,3\n")
+    val df = Sources.fromFile(spark, p)
+    assert(df.count() == 3)
+    // col 0 is strings (x/y/z), col 1 numeric
+    val sch = df.schema
+    assert(sch("_c0").dataType == org.apache.spark.sql.types.StringType)
+    assert(sch("_c1").dataType == org.apache.spark.sql.types.DoubleType)
+  }
 }

@@ -69,6 +69,52 @@ class SimilaritySpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("near-dup pairs identical on the broadcast and shuffle-join branches") {
+    // the vector re-join broadcasts the id+vector side below the
+    // heap-aware ceiling; force the shuffle fallback by setting the
+    // ceiling to 0 and pin branch-invariant results (r13 ask #1)
+    val e = embeddings
+    val bcast = SimilarityOps.cosineNearDupPairs(e, "vec_id", "embedding",
+        64, 0.3, 4, 4).orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    spark.conf.set("graft.dedup.broadcastVecBytes", "0")
+    try {
+      val shuffle = SimilarityOps.cosineNearDupPairs(e, "vec_id",
+          "embedding", 64, 0.3, 4, 4).orderBy("id_a", "id_b")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(bcast.nonEmpty && bcast == shuffle)
+    } finally spark.conf.unset("graft.dedup.broadcastVecBytes")
+  }
+
+  test("CentroidArgTop clamps rank to surviving centroids (Lloyd-emptied list)") {
+    // rank > cents.size used to throw at plan build where the old
+    // crossJoin+row_number form returned all surviving lists
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val df = Seq((10L, Seq(1.0, 0.1)), (11L, Seq(0.1, 1.0)))
+      .toDF("id", "v")
+    val got = SimilarityOps.assignTopR(df, cents, col("v"),
+        graft.functions.CentroidSelect.Cos, asc = false, rank = 5,
+        out = "list_id")
+      .groupBy("id").agg(sort_array(collect_list("list_id")).as("ls"))
+      .orderBy("id").as[(Long, Seq[Long])].collect().toSeq
+    // every row probes ALL surviving lists, none crash
+    assert(got == Seq((10L, Seq(0L, 1L)), (11L, Seq(0L, 1L))))
+  }
+
+  test("D2 scoring bounds the loop to the row vector's length") {
+    // a row vector SHORTER than the centroid dim must not read past
+    // its ArrayData (UnsafeArrayData would return garbage, not throw)
+    val cents = Seq((0L, Seq(0.0, 0.0, 100.0)), (1L, Seq(5.0, 5.0, 0.0)))
+    val df = Seq((1L, Seq(0.1, 0.2))).toDF("id", "v")
+    val got = SimilarityOps.assignTopR(df, cents, col("v"),
+        graft.functions.CentroidSelect.D2, asc = true, rank = 1,
+        out = "list_id")
+      .select("list_id").as[Long].collect().toSeq
+    // over the SHARED 2 dims, centroid 0 is nearer (0.05 vs 47.05);
+    // an unguarded read of dim 3 would have flipped this via the 100
+    assert(got == Seq(0L))
+  }
+
   test("IVF is deterministic across partitionings") {
     val e = embeddings
     val q = e.filter(col("vec_id") < 5)
