@@ -25,6 +25,26 @@ object TextQueries {
 
   private val enList = TextOps.StopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB twin of DedupOps.posGramTable at minRun = 10 (string grams
+    * where Spark carries the 128-bit hash pair — equality is over the
+    * identical "t1 … t10" join either way): `toks` = (doc_id, tok,
+    * 0-based pos), `g` = (doc_id, pos, gram) one row per full 10-token
+    * window. */
+  private val posGramSql: String =
+    """toks AS MATERIALIZED (
+      |  SELECT doc_id, ts[i] AS tok, i - 1 AS pos
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |       unnest(range(1, len(ts) + 1)) AS u(i)
+      |), g AS MATERIALIZED (
+      |  SELECT doc_id, pos, gram FROM (
+      |    SELECT doc_id, pos,
+      |      string_agg(tok, ' ') OVER w AS gram,
+      |      count(*) OVER w AS glen
+      |    FROM toks
+      |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING))
+      |  WHERE glen = 10)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("text_stats", // token counting / length stats per document
@@ -157,6 +177,116 @@ object TextQueries {
              |  COUNT(*) AS group_size
              |FROM documents GROUP BY md5(text)
              |ORDER BY content_hash""".stripMargin)),
+
+    Q("dedup_exact_substring", // exact-substring dedup flags (Lee et
+      // al. 2022 deduplicate-text-datasets): per doc, the maximal
+      // coalesced spans of ≥10-token windows occurring more than once
+      // anywhere in the corpus. Linear: groupBy the 128-bit window key,
+      // semi-join back, one gaps-and-islands window per doc.
+      (s, d) => {
+        val spans = DedupOps.exactSubstringSpans(docs(s, d),
+          "doc_id", "text", minRun = 10)
+        val perDoc = spans.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("dup_spans"),
+            sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+        docs(s, d).select(col("doc_id"),
+            TextOps.nTokens(col("text")).as("n_tokens"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $posGramSql,
+              |dup AS MATERIALIZED (
+              |  SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+              |hits AS MATERIALIZED (
+              |  SELECT doc_id, pos FROM g
+              |  WHERE gram IN (SELECT gram FROM dup)),
+              |isl AS MATERIALIZED (
+              |  SELECT doc_id, pos,
+              |    SUM(CASE WHEN pos - prev > 10 THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY doc_id ORDER BY pos) AS i
+              |  FROM (SELECT doc_id, pos,
+              |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              |        FROM hits)),
+              |spans AS MATERIALIZED (
+              |  SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+              |  FROM isl GROUP BY doc_id, i),
+              |agg AS (SELECT doc_id, count(*) AS dup_spans,
+              |          CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+              |        FROM spans GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  COALESCE(a.dup_spans, 0) AS dup_spans,
+              |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+              |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+              |FROM documents d LEFT JOIN agg a USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("dedup_exact_substring_trim", // the trim pass: every duplicated
+      // span removed (ALL occurrences), document reassembled from the
+      // kept tokens in the array domain — only span lists shuffle.
+      (s, d) => DedupOps.trimExactSubstrings(docs(s, d),
+          "doc_id", "text", minRun = 10)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $posGramSql,
+              |dup AS MATERIALIZED (
+              |  SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+              |hits AS MATERIALIZED (
+              |  SELECT doc_id, pos FROM g
+              |  WHERE gram IN (SELECT gram FROM dup)),
+              |isl AS MATERIALIZED (
+              |  SELECT doc_id, pos,
+              |    SUM(CASE WHEN pos - prev > 10 THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY doc_id ORDER BY pos) AS i
+              |  FROM (SELECT doc_id, pos,
+              |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              |        FROM hits)),
+              |spans AS MATERIALIZED (
+              |  SELECT doc_id, min(pos) AS s, max(pos) + 9 AS e
+              |  FROM isl GROUP BY doc_id, i),
+              |kept AS (
+              |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+              |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+              |    WHERE sp.doc_id = t.doc_id AND t.pos BETWEEN sp.s AND sp.e)),
+              |ag AS (SELECT doc_id,
+              |         string_agg(tok, ' ' ORDER BY pos) AS text_trimmed,
+              |         CAST(count(*) AS INT) AS n_kept
+              |       FROM kept GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  COALESCE(a.text_trimmed, '') AS text_trimmed,
+              |  COALESCE(a.n_kept, 0) AS n_kept
+              |FROM documents d LEFT JOIN ag a USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("dedup_exact_substring_pairs", // doc pairs sharing a ≥10-token
+      // contiguous run + the LONGEST shared run length: matched windows
+      // equi-join on the window key (guarded by the Σc·(c−1)/2
+      // fail-fast estimate), runs coalesce along (pos_a − pos_b)
+      // diagonals.
+      (s, d) => DedupOps.exactSubstringPairs(docs(s, d),
+          "doc_id", "text", minRun = 10)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $posGramSql,
+              |pairs AS MATERIALIZED (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    a.pos AS pa, a.pos - b.pos AS diag
+              |  FROM g a JOIN g b
+              |    ON a.gram = b.gram AND a.doc_id < b.doc_id),
+              |runs AS MATERIALIZED (
+              |  SELECT id_a, id_b, diag, pa,
+              |    SUM(CASE WHEN pa - prev > 1 THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS isl
+              |  FROM (SELECT id_a, id_b, diag, pa,
+              |          lag(pa) OVER (PARTITION BY id_a, id_b, diag
+              |                        ORDER BY pa) AS prev
+              |        FROM pairs)),
+              |rl AS (SELECT id_a, id_b, count(*) + 9 AS run
+              |       FROM runs GROUP BY id_a, id_b, diag, isl)
+              |SELECT id_a, id_b, CAST(max(run) AS BIGINT) AS max_run_tokens
+              |FROM rl GROUP BY id_a, id_b
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("dedup_ngram_jaccard", // 3-gram shingle Jaccard pairs (≥2 shared)
       (s, d) => DedupOps.jaccardPairs(docs(s, d), "doc_id", "text",

@@ -294,4 +294,141 @@ object DedupOps {
         .select(col("id1"), col("id2"), col("hamming"))
     }
   }
+
+  // ---- exact-substring dedup (deduplicate-text-datasets, Lee et al.
+  // 2022): flag/trim any minRun-token contiguous window occurring more
+  // than once in the corpus — the positional complement of exactDedup's
+  // whole-document hash. Never all-pairs: duplicate detection is one
+  // groupBy on the 128-bit window key; only the PAIRS variant joins,
+  // and it carries the jaccardPairs fail-fast volume guard. ----
+
+  /** Positional n-gram table: (id, pos, __gh, __gh2) — one row per
+    * minRun-token window, pos = 0-based token start, two independent
+    * XXH64 hashes of the window's space-joined tokens
+    * ([[graft.functions.GramHash]]; strings never materialized, never
+    * shuffled). */
+  private def posGramTable(df: DataFrame, id: String, text: String,
+                           minRun: Int): DataFrame =
+    df.select(col(id), TextOps.tokens(col(text)).as("__ts"))
+      .select(col(id), posexplode(arrays_zip(
+          graft.functions.GramHashExpr.gramHashes(col("__ts"), minRun, 42L),
+          graft.functions.GramHashExpr.gramHashes(col("__ts"), minRun, 7L))))
+      .select(col(id), col("pos"),
+        col("col")("0").as("__gh"), col("col")("1").as("__gh2"))
+
+  /** Maximal duplicated spans per document: (id, span_start, span_end)
+    * in 0-based token positions, inclusive. A position starts a
+    * duplicated window iff the same minRun-token window occurs anywhere
+    * else in the corpus (cross-document or repeated in-document — the
+    * deduplicate-text-datasets criterion); overlapping and adjacent
+    * windows coalesce into maximal runs (union of covered tokens).
+    *
+    * Scale shape: gram table ~ token count rows keyed by 16 B;
+    * duplicate detection = one partial-agg groupBy + a semi-join back;
+    * coalescing = one window per doc. Everything linear in corpus
+    * tokens — no join ever expands. */
+  def exactSubstringSpans(df: DataFrame, id: String, text: String,
+                          minRun: Int): DataFrame = {
+    val g = posGramTable(df, id, text, minRun)
+    val dup = g.groupBy(col("__gh"), col("__gh2"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .select(col("__gh"), col("__gh2"))
+    val hits = g.join(dup, Seq("__gh", "__gh2"), "left_semi")
+    // gaps-and-islands: starts p < q produce overlapping-or-adjacent
+    // coverage iff q ≤ p + minRun, so a gap > minRun opens a new span
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    hits
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(w) > minRun, 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(id), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(minRun) - 1).as("span_end"))
+      .select(col(id), col("span_start"), col("span_end"))
+  }
+
+  /** Trim pass: documents with every duplicated span removed (ALL
+    * occurrences, the Lee et al. semantics) — (id, text_trimmed,
+    * n_kept). Span removal happens in the ARRAY domain: only the small
+    * per-doc span lists shuffle (collect_list keyed by id); the
+    * document text itself joins once and is filtered in place. */
+  def trimExactSubstrings(df: DataFrame, id: String, text: String,
+                          minRun: Int): DataFrame = {
+    val spans = exactSubstringSpans(df, id, text, minRun)
+      .groupBy(col(id))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    df.join(spans, Seq(id), "left")
+      .select(col(id), TextOps.tokens(col(text)).as("__ts"),
+        coalesce(col("__spans"),
+          array().cast("array<struct<s:int,e:int>>")).as("__spans"))
+      .select(col(id),
+        transform(
+          filter(sequence(lit(0), size(col("__ts")) - 1),
+            i => !exists(col("__spans"),
+              s => i >= s("s") && i <= s("e"))),
+          i => element_at(col("__ts"), i + 1)).as("__kept"))
+      .select(col(id),
+        concat_ws(" ", col("__kept")).as("text_trimmed"),
+        size(col("__kept")).as("n_kept"))
+  }
+
+  /** Above this estimated matched-window-pair count (Σ c·(c−1)/2 over
+    * window-key occupancies) [[exactSubstringPairs]] fails fast — a
+    * boilerplate window shared by df documents contributes df² join
+    * rows on one key, the same hot-key blowup the Jaccard guard stops.
+    * Overridable via `graft.dedup.maxSubstringPairs`. */
+  val DefaultMaxSubstringPairs: Long = 2_000_000_000L
+
+  /** Document pairs sharing a ≥minRun-token contiguous run, with the
+    * length of the LONGEST shared run: (id_a, id_b, max_run_tokens).
+    * Matched windows join on the 128-bit key (equi-join — only docs
+    * sharing a window ever meet); within a pair, windows on one
+    * diagonal (pos_a − pos_b constant) with consecutive starts extend
+    * one run of (consecutive count + minRun − 1) tokens. */
+  def exactSubstringPairs(df: DataFrame, id: String, text: String,
+                          minRun: Int): DataFrame = {
+    val g = posGramTable(df, id, text, minRun).cache()
+    val maxPairs = df.sparkSession.conf
+      .getOption("graft.dedup.maxSubstringPairs").map(_.toLong)
+      .getOrElse(DefaultMaxSubstringPairs)
+    val estPairs = {
+      val c = col("__c").cast("decimal(19,0)")
+      Option(g.groupBy(col("__gh"), col("__gh2"))
+          .agg(count(lit(1)).as("__c"))
+          .agg(sum((c * (c - 1) / 2).cast("decimal(38,0)")).as("p"))
+          .head.getDecimal(0))
+        .map(_.toBigInteger).getOrElse(java.math.BigInteger.ZERO)
+    }
+    if (estPairs.compareTo(java.math.BigInteger.valueOf(maxPairs)) > 0) {
+      g.unpersist(false)
+      throw new IllegalStateException(
+        s"exactSubstringPairs would materialize ~$estPairs matched " +
+        s"window pairs (> $maxPairs, graft.dedup.maxSubstringPairs): " +
+        "a boilerplate window shared by df documents joins df² rows " +
+        "on one key. Use exactSubstringSpans/trimExactSubstrings (the " +
+        "linear flag/trim pass) at this scale, or raise " +
+        "graft.dedup.maxSubstringPairs explicitly.")
+    }
+    val cand = g.as("a").join(g.as("b"),
+        col("a.__gh") === col("b.__gh") &&
+          col("a.__gh2") === col("b.__gh2") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("__diag"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("__diag"))
+      .orderBy(col("pos_a"))
+    cand
+      .withColumn("__new",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(w) > 1, 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id_a"), col("id_b"), col("__diag"), col("__isl"))
+      .agg((count(lit(1)) + minRun - 1).as("__run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("__run")).as("max_run_tokens"))
+  }
 }

@@ -195,4 +195,77 @@ class DedupSpec extends SparkSpec {
     assert(banded == naive)
     sig.unpersist()
   }
+
+  test("GramHash kernel == xxhash64 over materialized shingle strings") {
+    // seed-42 kernel output must equal Spark's builtin xxhash64 of the
+    // space-joined window string (the oracle-faithfulness contract of
+    // GramHashExpr), positionally aligned
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val n = 7
+    val both = docs
+      .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("__ts"))
+      .select(col("doc_id"),
+        graft.functions.GramHashExpr.gramHashes(col("__ts"), n, 42L).as("k"),
+        transform(graft.text.TextOps.shinglesFromTokens(col("__ts"), n),
+          s => xxhash64(s)).as("c"))
+    val bad = both.filter(size(col("k")) =!= size(col("c")) ||
+      exists(arrays_zip(col("k"), col("c")),
+        z => z("k") =!= z("c"))).count()
+    assert(bad == 0)
+    // short docs yield empty arrays, not nulls
+    val shorty = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(graft.functions.GramHashExpr.gramHashes(
+        graft.text.TextOps.tokens(col("text")), 10, 42L).as("k"))
+      .select(size(col("k"))).as[Int].head()
+    assert(shorty == 0)
+  }
+
+  test("exactSubstringSpans: flagged positions coalesce; trim removes exactly them") {
+    // hand-built corpus: docs 1 and 2 share tokens r0..r9 (one 10-run);
+    // doc 3 repeats its own 10-run twice in-document; doc 4 is clean
+    val run = (0 until 10).map(i => s"r$i").mkString(" ")
+    val mk = (p: String, q: String) => s"$p $run $q"
+    val docs = Seq(
+      (1L, mk("a1 a2 a3", "z1 z2")),
+      (2L, mk("b1", "y1 y2 y3")),
+      (3L, s"c1 $run c2 c3 $run c4"),
+      (4L, (0 until 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = graft.text.DedupOps
+      .exactSubstringSpans(docs, "doc_id", "text", 10)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(spans == Seq((1L, 3, 12), (2L, 1, 10), (3L, 1, 10), (3L, 13, 22)))
+    val trimmed = graft.text.DedupOps
+      .trimExactSubstrings(docs, "doc_id", "text", 10)
+      .orderBy("doc_id").as[(Long, String, Int)].collect().toSeq
+    assert(trimmed(0) == ((1L, "a1 a2 a3 z1 z2", 5)))
+    assert(trimmed(1) == ((2L, "b1 y1 y2 y3", 4)))
+    assert(trimmed(2) == ((3L, "c1 c2 c3 c4", 4)))
+    assert(trimmed(3)._3 == 30 && trimmed(3)._2.startsWith("u0 u1"))
+    // pairs: docs 1/2/3 all share the run, longest shared run exactly 10
+    val pairs = graft.text.DedupOps
+      .exactSubstringPairs(docs, "doc_id", "text", 10)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L)))
+  }
+
+  test("exactSubstringPairs fails fast past the matched-pair guard") {
+    val boiler = (0 until 12).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 40L).map(i => (i, s"pre$i $boiler post$i"))
+      .toDF("doc_id", "text")
+    spark.conf.set("graft.dedup.maxSubstringPairs", "100")
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.text.DedupOps
+          .exactSubstringPairs(docs, "doc_id", "text", 10).count()
+      }
+      assert(e.getMessage.contains("exactSubstringSpans"))
+      // the linear flag path handles the same corpus fine
+      val flagged = graft.text.DedupOps
+        .exactSubstringSpans(docs, "doc_id", "text", 10).count()
+      assert(flagged == 40)
+    } finally spark.conf.unset("graft.dedup.maxSubstringPairs")
+  }
 }
