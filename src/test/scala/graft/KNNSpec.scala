@@ -100,6 +100,30 @@ class KNNSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("production-nprobe agreement floor on the sf0.1 customer fixture") {
+    // r13 ask #5: every prior IVF pin is at the nprobe = nlist identity;
+    // this pins prediction AGREEMENT with the exact path at real probe
+    // budgets (nprobe ≪ nlist) on the same 150-test/14850-train split
+    // ml_knn_class runs. Measured 1.000 at both settings (the 2-D
+    // feature space clusters coarsely, so 5-NN votes are robust to the
+    // shortlist); the floor leaves headroom for legitimate plan churn.
+    val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    val test = cust.filter(col("c_custkey") % 100 === 0)
+    val tr = cust.filter(col("c_custkey") % 100 =!= 0)
+    val fs = Seq("c_acctbal", "c_nationkey")
+    val exact = KNN.classify(test, tr, "c_custkey", fs, "c_mktsegment", 5)
+      .as[(Long, String)].collect().toMap
+    assert(exact.size == 150)
+    for (cfg <- Seq((8, 2), (16, 4))) {
+      val ivf = KNN.classify(test, tr, "c_custkey", fs, "c_mktsegment", 5,
+        ivf = Some(cfg))
+        .as[(Long, String)].collect().toMap
+      val agree = exact.count { case (id, p) => ivf.get(id).contains(p) }
+      assert(agree.toDouble / exact.size >= 0.95,
+        s"ivf=$cfg agreement ${agree.toDouble / exact.size}")
+    }
+  }
+
   test("ensureHashAggCapacity lifts only the Spark-default fallback threshold") {
     // TopKPairs runs through ObjectHashAggregate; at the default 128-key
     // fallback every task sort-spills its whole candidate slice (the sf10
