@@ -83,7 +83,21 @@ object Bench {
       math.max(1, n)
     }
     var sinceGC = 0
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY (comma list) restricts the sweep — the
+    // curated heavy-query median runs at sf10+ time a subset in the
+    // same sorted-order/warm protocol as the full sweep
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.trim).filter(_.nonEmpty) match {
+        case Some(l) =>
+          val want = l.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val missing = want -- all.toSet
+          require(missing.isEmpty,
+            s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${missing.toSeq.sorted.mkString(",")}")
+          all.filter(want)
+        case None => all
+      }
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val (cold, errC) = time(fn)

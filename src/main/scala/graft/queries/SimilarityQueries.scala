@@ -257,6 +257,34 @@ object SimilarityQueries {
               |  JOIN embeddings c ON c.vec_id = s.neighbor_id)
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    Q("ann_ivf_pq_rerank", // the full FAISS production stack
+      // (IndexIVFPQ + refine): coarse lists shrink candidates
+      // ~nprobe/nlist, the ADC scan shortlists from 16-bit codes, and
+      // ONLY shortlist rows fetch vectors for the exact re-rank. Raw
+      // ADC is quantization-bound on unstructured corpora (measured
+      // recall@10 ≈ 0.01 on the uniform growth replicas); the re-rank
+      // restores recall to the IVF candidate ceiling. Run at
+      // nprobe = nlist where the shortlist provably equals the plain
+      // PQ ranking, so the oracle replays codebook + ADC + re-rank.
+      (s, d) => SimilarityOps.ivfPqRerankTopKCosine(
+          emb(s, d).filter(col("vec_id") < 20), emb(s, d),
+          "vec_id", "embedding", Dim, k = 5, nlist = 8, nprobe = 8,
+          shortlist = 50)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH ${pqAdcRankedCtes("vec_id < 20", 4, 16, 2)},
+              |short AS (SELECT query_id, neighbor_id FROM ranked
+              |  WHERE rank <= 50)
+              |SELECT query_id, neighbor_id, cosine, rank FROM (
+              |  SELECT s.query_id, s.neighbor_id,
+              |    ROUND(${sqlCos("q.embedding", "c.embedding")}, 6) AS cosine,
+              |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+              |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC,
+              |               s.neighbor_id ASC) AS rank
+              |  FROM short s
+              |  JOIN embeddings q ON q.vec_id = s.query_id
+              |  JOIN embeddings c ON c.vec_id = s.neighbor_id)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     Q("ann_ivf_pq", // the composed FAISS production shape: coarse lists
       // shrink candidates ~nprobe/nlist BEFORE any distance work, then
       // the ADC scan prices each survivor at m LUT lookups. Run at

@@ -67,6 +67,13 @@ object RecallBench {
       val (got2, w2) = timed(pairs(ivfpq))
       val r2 = (got2 intersect bf).size.toDouble / bf.size
       println(f"""{"op":"ann_ivf_pq","nlist":$nlist,"nprobe":$np,"k":$k,"recall":$r2%.4f,"cold_sec":$c2%.2f,"warm_sec":$w2%.2f}""")
+
+      def ivfpqr = SimilarityOps.ivfPqRerankTopKCosine(
+        q, e, "vec_id", "embedding", dim, k, nlist, np, shortlist = 10 * k)
+      val (_, c3) = timed(ivfpqr.count())
+      val (got3, w3) = timed(pairs(ivfpqr))
+      val r3 = (got3 intersect bf).size.toDouble / bf.size
+      println(f"""{"op":"ann_ivf_pq_rerank","nlist":$nlist,"nprobe":$np,"k":$k,"shortlist":${10 * k},"recall":$r3%.4f,"cold_sec":$c3%.2f,"warm_sec":$w3%.2f}""")
     }
     spark.stop()
   }

@@ -242,6 +242,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rrRecall >= 0.9, s"clustered re-ranked recall@10 $rrRecall")
   }
 
+  test("clustered fixture: IVF-PQ re-rank restores recall to the IVF ceiling") {
+    // raw 16-bit ADC codes are quantization-bound (~0.01 recall@10 on
+    // uniform growth replicas); the composed IVFPQ+refine contract must
+    // recover recall up to what the probed lists contain
+    val e = clustered
+    val q = e.filter(col("vec_id") % 40 === 0)
+    val bf = SimilarityOps.topKCosine(q, e, "vec_id", "embedding", 16, 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (bf intersect got).size.toDouble / bf.size
+    }
+    for (np <- Seq(4, 8)) {
+      val raw = recallOf(SimilarityOps.ivfPqTopKCosine(
+        q, e, "vec_id", "embedding", 16, 10, nlist = 8, nprobe = np))
+      val rr = recallOf(SimilarityOps.ivfPqRerankTopKCosine(
+        q, e, "vec_id", "embedding", 16, 10, nlist = 8, nprobe = np,
+        shortlist = 64))
+      assert(rr >= raw - 1e-12, s"nprobe=$np rerank $rr below raw $raw")
+      assert(rr >= 0.6, s"nprobe=$np re-ranked recall@10 $rr")
+    }
+  }
+
   test("PQ-ADC is deterministic across partitionings") {
     val e = embeddings
     val q = e.filter(col("vec_id") < 5)
