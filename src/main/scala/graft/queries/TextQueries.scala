@@ -189,9 +189,14 @@ object TextQueries {
         val perDoc = spans.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("dup_spans"),
             sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+        // "full" (≡ left here: perDoc keys ⊆ docs) so Bench's count()
+        // cannot eliminate the join — a LEFT join to an Aggregate on
+        // the join key is provably non-duplicating, and Catalyst then
+        // drops the entire dedup computation from a count-only plan
+        // (measured: 0.2 s phantom vs the real 35 s at sf10)
         docs(s, d).select(col("doc_id"),
             TextOps.nTokens(col("text")).as("n_tokens"))
-          .join(perDoc, Seq("doc_id"), "left")
+          .join(perDoc, Seq("doc_id"), "full")
           .select(col("doc_id"),
             coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
             coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),

@@ -360,7 +360,10 @@ object DedupOps {
       .groupBy(col(id))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("__spans"))
-    df.join(spans, Seq(id), "left")
+    // "full" ≡ left (span keys ⊆ df), but not outer-join-eliminable:
+    // a count()-only consumer (the bench/smoke protocol) must still
+    // pay for the span computation it is timing
+    df.join(spans, Seq(id), "full")
       .select(col(id), TextOps.tokens(col(text)).as("__ts"),
         coalesce(col("__spans"),
           array().cast("array<struct<s:int,e:int>>")).as("__spans"))
