@@ -329,6 +329,12 @@ object DedupOps {
     * tokens — no join ever expands. */
   def exactSubstringSpans(df: DataFrame, id: String, text: String,
                           minRun: Int): DataFrame = {
+    // deliberately NOT cached although the dup-detection aggregate and
+    // the semi-join probe both read it: an A/B at sf10 (27M grams)
+    // measured the cached variant 1.3× SLOWER (40.8–42.7 s vs
+    // 28.2–37.1 warm) — materializing a token-scale table costs more
+    // than re-running the codegen'd kernel over the page-cached scan,
+    // and at 100 TB caching token-scale intermediates is wrong anyway
     val g = posGramTable(df, id, text, minRun)
     val dup = g.groupBy(col("__gh"), col("__gh2"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
