@@ -86,9 +86,10 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY (comma list) restricts the sweep — the
     // curated heavy-query median runs at sf10+ time a subset in the
     // same sorted-order/warm protocol as the full sweep
+    val onlyFilter = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.trim).filter(_.nonEmpty)
     val names = {
       val all = SparkEntry.queries.keys.toSeq.sorted
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.trim).filter(_.nonEmpty) match {
+      onlyFilter match {
         case Some(l) =>
           val want = l.split(",").map(_.trim).filter(_.nonEmpty).toSet
           val missing = want -- all.toSet
@@ -123,8 +124,12 @@ object Bench {
     // sweep (noise-dominated: r11 drifted +24% on frozen code) or a
     // median — compare single sweeps only against BENCH_MEDIANS_* floors
     val basis = if (warmRuns > 1) s"median_of_$warmRuns" else "single_sweep"
+    // a SPARK_GRAFT_BENCH_ONLY subset total must never masquerade as a
+    // full-sweep total: stamp the active filter + query count into the
+    // artifact so a filtered run is self-identifying
+    val onlyStamp = onlyFilter.map(l => s""","only":"$l"""").getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","basis":"$basis","queries":$warmQs,"queries_cold":$coldQs,"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","basis":"$basis","n_queries":${results.size}$onlyStamp,"queries":$warmQs,"queries_cold":$coldQs,"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver captures only the LAST ~2000 chars of sbt output, and the
@@ -136,7 +141,7 @@ object Bench {
     // flush and sleep before returning so the forwarder drains.
     val slowest = results.sortBy(-_._3).take(8).map(r => (r._1, r._3))
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","basis":"$basis","queries":${jmap(slowest)},"n_queries":${results.size},"n_errors":${results.count(_._4 != null)},"total_cold":$totalCold,"sf":"$sfDir","full":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","basis":"$basis","queries":${jmap(slowest)},"n_queries":${results.size}$onlyStamp,"n_errors":${results.count(_._4 != null)},"total_cold":$totalCold,"sf":"$sfDir","full":"$outPath"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath.stripSuffix(".json") + "_compact.json"),
       compact.getBytes(java.nio.charset.StandardCharsets.UTF_8))

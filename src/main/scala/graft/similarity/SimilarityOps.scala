@@ -178,14 +178,23 @@ object SimilarityOps {
     // candidates ≈ O(corpus) and the shuffle join proportionate.
     val vecBytes = corpusRows * (8L + 4L * dim)
     // heap-aware ceiling (the featCacheMaxBytes rule, ml/SGD.scala):
-    // a broadcast relation lives once per executor JVM alongside the
+    // a broadcast relation lives once per EXECUTOR JVM alongside the
     // shuffle/storage pools, and the hashed-relation form costs ~2-3×
     // the raw bytes — a flat 512 MB would be wrong on a 4 GB executor.
-    // maxMemory/16 keeps the expanded relation under ~1/5 of the heap.
+    // heap/16 keeps the expanded relation under ~1/5 of that heap. The
+    // heap that matters is the executor's (spark.executor.memory), not
+    // the driver's — they differ on real clusters; in local mode the
+    // executor IS the driver JVM, so its live maxMemory is the truth
+    // (and spark.executor.memory may be an inert leftover there).
+    val execHeapBytes = {
+      val sc = corpus.sparkSession.sparkContext
+      if (sc.isLocal) Runtime.getRuntime.maxMemory
+      else sc.getConf.getSizeAsBytes("spark.executor.memory",
+        Runtime.getRuntime.maxMemory.toString)
+    }
     val maxBcast = corpus.sparkSession.conf
       .getOption("graft.dedup.broadcastVecBytes").map(_.toLong)
-      .getOrElse(math.min(512L * 1024 * 1024,
-        Runtime.getRuntime.maxMemory / 16))
+      .getOrElse(math.min(512L * 1024 * 1024, execHeapBytes / 16))
     def side(n: String) = {
       val v = corpus.select(col(id).as(n), col(vec).as("__v" + n))
       if (vecBytes <= maxBcast) broadcast(v) else v

@@ -1,19 +1,32 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Embeddings-only growth replica (GenScale's `grow` mode restricted to
-  * the embeddings table): `EmbedScale <srcDir> <dstDir> <k>` writes
-  * k × the source vector count as `<dstDir>/embeddings.parquet`, with
-  * the same hash-keyed fresh-vector + 1/8-exact-duplicate device as
-  * GenScale.growEmbedding. Exists so the near-dup broadcast-ceiling
-  * fallback (r13 ask #1: an id+vector side that STRADDLES the 512 MB
-  * ceiling, ~2M × 64d ≈ 0.53 GB) can be measured without generating the
-  * whole 15 GB table family at k = 1000. */
+  * the embeddings table): `EmbedScale <srcDir> <dstDir> <k> [grow|cluster]
+  * [nCenters] [noisePermille]` writes k × the source vector count as
+  * `<dstDir>/embeddings.parquet`.
+  *
+  *   - `grow` (default): delegates to [[GenScale.growEmbedding]] — the
+  *     SHARED device (same hash keys), so these replicas stay identical
+  *     to the full-table-family replicas they stand in for. Exists so
+  *     the near-dup broadcast-ceiling fallback (r13 ask #1: an id+vector
+  *     side that STRADDLES the 512 MB ceiling, ~2M × 64d ≈ 0.53 GB) can
+  *     be measured without generating the whole 15 GB table family.
+  *   - `cluster`: [[GenScale.clusteredEmbedding]] — every vector is
+  *     center+noise over nCenters hash-drawn well-separated centers
+  *     (r14: the production-guidance recall geometry, vs the uniform
+  *     adversarial case `grow` produces). vec_id offsets still grow the
+  *     corpus ∝ k; the cluster assignment is keyed purely by vec_id.
+  */
 object EmbedScale {
   def main(args: Array[String]): Unit = {
     val src = args(0); val dst = args(1); val k = args(2).toInt
+    val mode = if (args.length > 3) args(3) else "grow"
+    require(mode == "grow" || mode == "cluster", s"unknown mode $mode")
+    val nCenters = if (args.length > 4) args(4).toInt else 256
+    val noisePermille = if (args.length > 5) args(5).toInt else 250
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,29 +35,17 @@ object EmbedScale {
     spark.sparkContext.setLogLevel("WARN")
     val OFF = 100000000L
 
-    def growEmbedding(df: DataFrame, i: Int): DataFrame = {
-      if (i == 0) return df
-      def freshVec(jc: org.apache.spark.sql.Column) =
-        transform(col("embedding"), (_, j) =>
-          ((pmod(xxhash64(lit("growemb"), col("vec_id"), jc, j),
-            lit(2001)).cast("double") - lit(1000.0)) / lit(1000.0))
-            .cast("float"))
-      val isDup =
-        pmod(xxhash64(lit("edupflag"), col("vec_id"), lit(i)), lit(8)) === 0
-      val partner =
-        pmod(xxhash64(lit("eduppick"), col("vec_id"), lit(i)), lit(i))
-      val dupVec = when(partner === 0, col("embedding"))
-        .otherwise(freshVec(partner))
-      df.withColumn("embedding",
-        when(isDup, dupVec).otherwise(freshVec(lit(i))))
-    }
-
     val base = spark.read.parquet(s"$src/embeddings.parquet")
-    val out = (0 until k).map { i =>
-      growEmbedding(base.withColumn("vec_id", col("vec_id") + lit(i * OFF)), i)
+    val shifted = (0 until k).map { i =>
+      val s = base.withColumn("vec_id", col("vec_id") + lit(i * OFF))
+      if (mode == "grow") GenScale.growEmbedding(s, i) else s
     }.reduce(_.unionByName(_))
+    val out =
+      if (mode == "cluster")
+        GenScale.clusteredEmbedding(shifted, nCenters, noisePermille)
+      else shifted
     out.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-    println(s"[embedscale] embeddings: ${out.count()} rows")
+    println(s"[embedscale] embeddings ($mode): ${out.count()} rows")
     spark.stop()
   }
 }

@@ -48,6 +48,59 @@ import org.apache.spark.sql.functions._
   *   Test/runMain graft.GenScale /root/testdata/sf0.1 /tmp/sf1 10 [mutate|grow]
   */
 object GenScale {
+
+  /** Fresh uniform-[−1,1] vector per (vec, replica) — cosine ranking
+    * is scale-invariant, so no normalization is needed. Same 1/8
+    * exact-duplicate device as `growText` for ∝K cosine-near-dup
+    * pair volume. Object-level (not inside `main`) because EmbedScale
+    * replicates embeddings with the SAME hash keys — a drifting copy
+    * there would silently diverge from the full-table-family replicas
+    * it stands in for (r13 ADVICE). */
+  def growEmbedding(df: DataFrame, i: Int): DataFrame = {
+    if (i == 0) return df
+    def freshVec(jc: Column): Column = transform(col("embedding"),
+      (_, j) =>
+        ((pmod(xxhash64(lit("growemb"), col("vec_id"), jc, j),
+          lit(2001)).cast("double") - lit(1000.0)) / lit(1000.0))
+          .cast("float"))
+    val isDup =
+      pmod(xxhash64(lit("edupflag"), col("vec_id"), lit(i)), lit(8)) === 0
+    val partner =
+      pmod(xxhash64(lit("eduppick"), col("vec_id"), lit(i)), lit(i))
+    val dupVec = when(partner === 0, col("embedding"))
+      .otherwise(freshVec(partner))
+    df.withColumn("embedding",
+      when(isDup, dupVec).otherwise(freshVec(lit(i))))
+  }
+
+  /** CLUSTERED corpus device (r13 verdict ask #1): uniform replicas are
+    * the adversarial geometry for IVF (every list boundary cuts true
+    * neighborhoods — Jégou et al., TPAMI 2011 §V report recall on
+    * real/structured corpora, not uniform noise), so the production
+    * guidance "clustered corpora → IVF-PQ+re-rank ≥ 0.9" needs a
+    * generator with real cluster structure at replica scale.
+    *
+    * Every vector is (center + amp·noise), all hash-drawn from vec_id:
+    *   center c = pmod(xxh64("clpick", vec_id), nCenters)
+    *   center[j] = u(xxh64("clcenter", c, j))            ∈ [−1,1]
+    *   noise[j]  = u(xxh64("clnoise", vec_id, j)) · amp, amp = noisePermille/1000
+    * With dim d the center norm ≈ √(d/3) and the noise norm ≈ amp·√(d/3),
+    * so cos(v, center) ≈ 1/√(1+amp²) regardless of d (amp = 0.25 → ≈0.97),
+    * while two random centers have E[cos] = 0 ± 1/√d — well-separated
+    * clusters whose membership Lloyd recovers. Purely keyed by vec_id:
+    * replica splitting does not change any vector. */
+  def clusteredEmbedding(df: DataFrame, nCenters: Int = 256,
+                         noisePermille: Int = 250): DataFrame = {
+    def u(h: Column): Column =
+      (pmod(h, lit(2001)).cast("double") - lit(1000.0)) / lit(1000.0)
+    val cid = pmod(xxhash64(lit("clpick"), col("vec_id")), lit(nCenters))
+    val amp = lit(noisePermille.toDouble / 1000.0)
+    val vec = transform(col("embedding"), (_, j) =>
+      (u(xxhash64(lit("clcenter"), cid, j)) +
+        amp * u(xxhash64(lit("clnoise"), col("vec_id"), j))).cast("float"))
+    df.withColumn("embedding", vec)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0); val dst = args(1); val k = args(2).toInt
     val mode = if (args.length > 3) args(3) else "mutate"
@@ -146,27 +199,6 @@ object GenScale {
       df.withColumn("text",
           when(isDup, dupText).otherwise(freshText(lit(i))))
         .withColumn("n_chars", length(col("text")).cast("long"))
-    }
-
-    /** Fresh uniform-[−1,1] vector per (vec, replica) — cosine ranking
-      * is scale-invariant, so no normalization is needed. Same 1/8
-      * exact-duplicate device as [[growText]] for ∝K cosine-near-dup
-      * pair volume. */
-    def growEmbedding(df: DataFrame, i: Int): DataFrame = {
-      if (i == 0) return df
-      def freshVec(jc: Column): Column = transform(col("embedding"),
-        (_, j) =>
-          ((pmod(xxhash64(lit("growemb"), col("vec_id"), jc, j),
-            lit(2001)).cast("double") - lit(1000.0)) / lit(1000.0))
-            .cast("float"))
-      val isDup =
-        pmod(xxhash64(lit("edupflag"), col("vec_id"), lit(i)), lit(8)) === 0
-      val partner =
-        pmod(xxhash64(lit("eduppick"), col("vec_id"), lit(i)), lit(i))
-      val dupVec = when(partner === 0, col("embedding"))
-        .otherwise(freshVec(partner))
-      df.withColumn("embedding",
-        when(isDup, dupVec).otherwise(freshVec(lit(i))))
     }
 
     keyCols.foreach { case (t, keys) =>

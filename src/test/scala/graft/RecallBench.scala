@@ -10,10 +10,13 @@ import graft.similarity.SimilarityOps
   * (IVF exact-score) and `ann_ivf_pq` (IVF + PQ-ADC) are measured at
   * nprobe ≪ nlist.
   *
-  * Usage: `RecallBench <sfDir> <nQueries> <k> <nlist> <np1,np2,…>`.
+  * Usage: `RecallBench <sfDir> <nQueries> <k> <nlist> <np1,np2,…> [m1,m2,…]`.
   * Emits one JSON line per configuration:
   * `{"op":…,"nlist":…,"nprobe":…,"k":…,"recall":…,"warm_sec":…}` plus
-  * a `bruteforce` baseline row. Timings are the second (warm) run. */
+  * a `bruteforce` baseline row. Timings are the second (warm) run.
+  * The optional m list sweeps the PQ code budget (subvector count) for
+  * the ivf_pq / rerank rows; ann_ivf is m-independent and runs once per
+  * nprobe. */
 object RecallBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -21,6 +24,8 @@ object RecallBench {
     val k = if (args.length > 2) args(2).toInt else 10
     val nlist = if (args.length > 3) args(3).toInt else 64
     val nprobes = (if (args.length > 4) args(4) else "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val ms = (if (args.length > 5) args(5) else "4")
       .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -61,19 +66,22 @@ object RecallBench {
       val r1 = (got intersect bf).size.toDouble / bf.size
       println(f"""{"op":"ann_ivf","nlist":$nlist,"nprobe":$np,"k":$k,"recall":$r1%.4f,"cold_sec":$c1%.2f,"warm_sec":$w1%.2f}""")
 
-      def ivfpq = SimilarityOps.ivfPqTopKCosine(
-        q, e, "vec_id", "embedding", dim, k, nlist, np)
-      val (_, c2) = timed(ivfpq.count())
-      val (got2, w2) = timed(pairs(ivfpq))
-      val r2 = (got2 intersect bf).size.toDouble / bf.size
-      println(f"""{"op":"ann_ivf_pq","nlist":$nlist,"nprobe":$np,"k":$k,"recall":$r2%.4f,"cold_sec":$c2%.2f,"warm_sec":$w2%.2f}""")
+      for (m <- ms) {
+        def ivfpq = SimilarityOps.ivfPqTopKCosine(
+          q, e, "vec_id", "embedding", dim, k, nlist, np, m = m)
+        val (_, c2) = timed(ivfpq.count())
+        val (got2, w2) = timed(pairs(ivfpq))
+        val r2 = (got2 intersect bf).size.toDouble / bf.size
+        println(f"""{"op":"ann_ivf_pq","nlist":$nlist,"nprobe":$np,"m":$m,"k":$k,"recall":$r2%.4f,"cold_sec":$c2%.2f,"warm_sec":$w2%.2f}""")
 
-      def ivfpqr = SimilarityOps.ivfPqRerankTopKCosine(
-        q, e, "vec_id", "embedding", dim, k, nlist, np, shortlist = 10 * k)
-      val (_, c3) = timed(ivfpqr.count())
-      val (got3, w3) = timed(pairs(ivfpqr))
-      val r3 = (got3 intersect bf).size.toDouble / bf.size
-      println(f"""{"op":"ann_ivf_pq_rerank","nlist":$nlist,"nprobe":$np,"k":$k,"shortlist":${10 * k},"recall":$r3%.4f,"cold_sec":$c3%.2f,"warm_sec":$w3%.2f}""")
+        def ivfpqr = SimilarityOps.ivfPqRerankTopKCosine(
+          q, e, "vec_id", "embedding", dim, k, nlist, np,
+          shortlist = 10 * k, m = m)
+        val (_, c3) = timed(ivfpqr.count())
+        val (got3, w3) = timed(pairs(ivfpqr))
+        val r3 = (got3 intersect bf).size.toDouble / bf.size
+        println(f"""{"op":"ann_ivf_pq_rerank","nlist":$nlist,"nprobe":$np,"m":$m,"k":$k,"shortlist":${10 * k},"recall":$r3%.4f,"cold_sec":$c3%.2f,"warm_sec":$w3%.2f}""")
+      }
     }
     spark.stop()
   }

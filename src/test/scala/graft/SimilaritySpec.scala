@@ -242,6 +242,45 @@ class SimilaritySpec extends SparkSpec {
     assert(rrRecall >= 0.9, s"clustered re-ranked recall@10 $rrRecall")
   }
 
+  test("GenScale clustered generator: IVF-PQ re-rank recall@10 ≥ 0.9 at nprobe ≪ nlist") {
+    // pins the production guidance ("clustered corpora → IVF-PQ+re-rank
+    // ≥ 0.9 recall") on the SAME generator the scale replicas use
+    // (GenScale.clusteredEmbedding), not the 320-row arithmetic fixture —
+    // the r13 verdict's missing link between the spec floor and the
+    // sf1g/sf10g BASELINE tables
+    val dim = 32
+    val base = (0L until 4000L).map(id => (id, Seq.fill(dim)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = GenScale.clusteredEmbedding(base, nCenters = 32,
+      noisePermille = 250)
+    val q = e.filter(col("vec_id") % 125 === 0) // 32 queries
+    val bf = SimilarityOps.topKCosine(q, e, "vec_id", "embedding", dim, 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // shortlist sizing rule this fixture exposed: inside a tight cluster
+    // PQ resolution saturates — all ~125 members of a cluster share one
+    // code, so ADC ties and the shortlist samples the cohort arbitrarily.
+    // recall caps at shortlist/cohort (measured 0.79 at shortlist=100 vs
+    // 125-member cohorts; 0.997 at 150). Production rule: shortlist must
+    // exceed the largest ADC-tie cohort the probed lists can contain.
+    val rr = SimilarityOps.ivfPqRerankTopKCosine(q, e, "vec_id",
+        "embedding", dim, k = 10, nlist = 32, nprobe = 4, shortlist = 150)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (bf intersect rr).size.toDouble / bf.size
+    assert(recall >= 0.9,
+      s"generator-clustered IVF-PQ re-rank recall@10 $recall < 0.9")
+    // and the IVF (exact-score) path recovers the generator's clusters
+    // outright: nprobe=2 of 32 lists is already lossless here
+    val ivf = SimilarityOps.ivfTopKCosine(q, e, "vec_id", "embedding",
+        dim, 10, nlist = 32, nprobe = 2)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ivfRecall = (bf intersect ivf).size.toDouble / bf.size
+    assert(ivfRecall >= 0.95,
+      s"generator-clustered IVF recall@10 at nprobe=2 $ivfRecall < 0.95")
+  }
+
   test("clustered fixture: IVF-PQ re-rank restores recall to the IVF ceiling") {
     // raw 16-bit ADC codes are quantization-bound (~0.01 recall@10 on
     // uniform growth replicas); the composed IVFPQ+refine contract must
