@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Tables._
-import graft.text.{TextOps, DedupOps}
+import graft.text.{TextOps, DedupOps, BpeOps}
 import graft.queries.SqlGen._
 
 /** Oracle-verified text-analysis + deduplication queries over the
@@ -1168,6 +1168,57 @@ object TextQueries {
              |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occ
              |FROM prs GROUP BY pair
              |ORDER BY n_occ DESC, pair ASC LIMIT 20""".stripMargin)),
+
+    Q("bpe_train_rounds", // multi-round BPE tokenizer TRAINING (r13
+      // verdict ask #2): the driver loop of merge → re-tokenize →
+      // recount that bpe_merge_candidates is one round of. 4 rounds
+      // here; the oracle replays them as unrolled CTEs with the same
+      // wrapped-symbol string representation, where a greedy
+      // left-to-right merge is a literal replace() in both engines
+      // (graft.text.BpeOps for the device). Scale shape: corpus touched
+      // once (word counts); each round is one pair aggregation over the
+      // distinct-word table + a one-row collect.
+      (s, d) => BpeOps.trainBpe(docs(s, d), "text", 4)
+        .orderBy(col("round")),
+      Some {
+        def roundCtes(r: Int, needMerge: Boolean): String = {
+          val pairs = s"""p$r AS MATERIALIZED (
+            |  SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occ FROM (
+            |    SELECT n, arr[i] || chr(31) || arr[i+1] AS pair FROM (
+            |      SELECT n, arr, unnest(range(1, len(arr))) AS i FROM (
+            |        SELECT n, string_split(trim(syms, chr(31)),
+            |          chr(31) || chr(31)) AS arr FROM s${r - 1})
+            |      WHERE len(arr) >= 2))
+            |  GROUP BY pair),
+            |t$r AS MATERIALIZED (
+            |  SELECT pair, n_occ FROM p$r
+            |  ORDER BY n_occ DESC, pair ASC LIMIT 1)""".stripMargin
+          val merge = s""",
+            |s$r AS MATERIALIZED (
+            |  SELECT n, replace(syms,
+            |    chr(31) || string_split(pair, chr(31))[1] || chr(31) ||
+            |      chr(31) || string_split(pair, chr(31))[2] || chr(31),
+            |    chr(31) || replace(pair, chr(31), '') || chr(31)) AS syms
+            |  FROM s${r - 1}, t$r)""".stripMargin
+          if (needMerge) pairs + merge else pairs
+        }
+        val emit = (1 to 4).map(r =>
+          s"""SELECT CAST($r AS INT) AS round,
+             |  string_split(pair, chr(31))[1] AS pair_a,
+             |  string_split(pair, chr(31))[2] AS pair_b,
+             |  replace(pair, chr(31), '') AS merged, n_occ FROM t$r"""
+            .stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH words AS MATERIALIZED (
+           |  SELECT w, COUNT(*) AS n FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  GROUP BY w),
+           |s0 AS MATERIALIZED (
+           |  SELECT n, regexp_replace(w, '(.)',
+           |    chr(31) || '\\1' || chr(31), 'g') AS syms FROM words),
+           |${(1 to 4).map(r => roundCtes(r, needMerge = r < 4)).mkString(",\n")}
+           |$emit
+           |ORDER BY round""".stripMargin
+      }),
 
     Q("doc_chunk_overlap", // fixed token-window chunking with stride
       // (window=32, stride=24 → 8-token overlap) — the RAG/pretraining

@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-round BPE tokenizer training (Sennrich et al. 2016) — the
+  * composition the single-round `bpe_merge_candidates` query feeds: a
+  * driver loop of merge → re-tokenize → recount, each round ONE
+  * aggregation over the distinct-word table (≪ corpus — the corpus is
+  * touched once, to build word counts).
+  *
+  * Symbol-sequence representation: a word's symbols are kept as ONE
+  * string with every symbol wrapped in U+001F separators —
+  * `"ab", "c"` ⇒ `␟ab␟␟c␟`. That makes a BPE merge round a literal
+  * (codegen'd, left-to-right, non-overlapping) string replace:
+  *
+  *   merge (a, b):  replace(syms, "␟a␟␟b␟", "␟ab␟")
+  *
+  * which is exactly greedy BPE application — the wrap guarantees the
+  * pattern only matches at symbol boundaries (symbols never contain the
+  * separator, so `␟a␟` cannot match inside `␟xa␟` or `␟ab␟`), and
+  * adjacent occurrences chain correctly because the scan resumes after
+  * the consumed source region (`␟a␟␟b␟␟a␟␟b␟` → `␟ab␟␟ab␟`). No
+  * higher-order-function lambdas touch the merge path (those run
+  * interpreted, one frame per element), and DuckDB's `replace` has
+  * identical semantics, so the oracle can replay rounds as unrolled
+  * CTEs bit-exactly.
+  *
+  * Pair stats count every adjacent position (in `aaa` the pair `aa`
+  * counts twice), weighted by word frequency; the merge winner is
+  * (count desc, pair asc) — both orders binary-collated in Spark and
+  * DuckDB.
+  *
+  * Scale shape: one corpus shuffle (word counts, map-side combined) up
+  * front; per round one pair aggregation + a top-1 collect (bounded: one
+  * row) + one projection over the distinct-word table. The word table is
+  * re-persisted per round and the predecessor dropped once its successor
+  * is materialized; every 32 rounds the plan lineage is truncated with
+  * localCheckpoint so a 30k-round production run keeps O(1) plan depth.
+  * Reference semantics: biolab/orange3 has no tokenizer trainer; this is
+  * the standard LLM-pipeline extension (SURVEY §2 additive text family).
+  */
+object BpeOps {
+  private val SEP = "\u001f"
+
+  /** Distinct corpus words with counts; `syms` initialized to the
+    * per-character wrapped form via one global regex. */
+  def bpeWordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        regexp_replace(col("w"), "(.)", SEP + "$1" + SEP).as("syms"))
+
+  /** Adjacent-pair frequencies over the current symbol table. The split
+    * array is projected into a real column BEFORE the transform lambda
+    * reads it (HOFs run interpreted and re-evaluate un-projected
+    * expressions per element — the round-8 O(tokens²) trap). */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.select(col("n"),
+        split(trim(col("syms"), SEP), SEP + SEP).as("arr"))
+      // sequence(1, 0) would generate DESCENDING [1, 0]: guard 1-symbol
+      // words out before building index sequences
+      .filter(size(col("arr")) >= 2)
+      .select(col("n"), explode(transform(
+        sequence(lit(1), size(col("arr")) - 1),
+        i => concat(element_at(col("arr"), i), lit(SEP),
+          element_at(col("arr"), i + 1)))).as("pair"))
+      .groupBy("pair").agg(sum(col("n")).as("n_occ"))
+
+  /** Train `rounds` BPE merges; returns the merge table
+    * (round, pair_a, pair_b, merged, n_occ) in merge order — the
+    * artifact a tokenizer ships. Stops early if no pair remains. */
+  def trainBpe(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var words = bpeWordTable(docs, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(col("n_occ").desc, col("pair").asc).limit(1).collect()
+      // the collect materialized `words` into its cache — the previous
+      // round's table is no longer reachable and can be dropped now
+      if (prev != null) { prev.unpersist(false); prev = null }
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val nOcc = top(0).getLong(1)
+        val (a, b) = pair.splitAt(pair.indexOf(SEP)) match {
+          case (x, y) => (x, y.substring(1))
+        }
+        merges += ((r, a, b, a + b, nOcc))
+        var next = words.withColumn("syms",
+          replace(col("syms"), lit(SEP + a + SEP + SEP + b + SEP),
+            lit(SEP + a + b + SEP)))
+        // lineage truncation: withColumn-per-round grows the analyzed
+        // plan linearly; at tokenizer-production round counts (30k+)
+        // analysis alone would dominate. O(1) plan depth via periodic
+        // localCheckpoint of the (small) word table.
+        if (r % 32 == 0) next = next.localCheckpoint()
+        prev = words
+        words = next.persist(StorageLevel.MEMORY_AND_DISK)
+        r += 1
+      }
+    }
+    words.unpersist(false)
+    if (prev != null) prev.unpersist(false)
+    spark.createDataFrame(merges.toSeq)
+      .toDF("round", "pair_a", "pair_b", "merged", "n_occ")
+  }
+}

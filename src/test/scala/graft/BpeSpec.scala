@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.BpeOps
+
+/** BPE trainer semantics: hand-checkable merge sequences, greedy
+  * left-to-right application, frequency weighting, early exhaustion. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("merge sequence on a hand corpus: counts, tie order, early stop") {
+    // words: aaab ×2, ab ×1
+    // r1: pairs aa=4 (two per aaab), ab=3 (one per word) → merge (a,a)
+    // r2: aaab=[aa,a,b]: (aa,a)=2, (a,b)=2; ab: (a,b)=1 → (a,b)=3
+    // r3: aaab=[aa,ab]: (aa,ab)=2; ab whole → merge (aa,ab)
+    // r4: no multi-symbol word remains → early stop at 3 merges
+    val m = BpeOps.trainBpe(corpus("aaab aaab ab"), "text", rounds = 10)
+      .orderBy("round")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("greedy left-to-right: adjacent occurrences both merge, overlaps don't") {
+    // "abab": r1 (a,b)=2 beats (b,a)=1 → [ab, ab]; r2 merges the rest.
+    // "aaa" under (a,a): greedy gives [aa, a], NOT [a, aa] — the round-2
+    // count of (aa, a) must therefore be 1, not 0 or 2.
+    val m1 = BpeOps.trainBpe(corpus("abab"), "text", 2)
+      .orderBy("round")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m1 == Seq((1, "a", "b", "ab", 2L), (2, "ab", "ab", "abab", 1L)))
+
+    val m2 = BpeOps.trainBpe(corpus("aaa"), "text", 2)
+      .orderBy("round")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m2 == Seq((1, "a", "a", "aa", 2L), (2, "aa", "a", "aaa", 1L)))
+  }
+
+  test("word-frequency weighting drives the winner") {
+    // "xy" appears 3× as a word, "zz" twice — (x,y)=3 beats (z,z)=2
+    val m = BpeOps.trainBpe(corpus("xy xy", "xy zz zz"), "text", 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m == Seq((1, "x", "y", "xy", 3L)))
+  }
+
+  test("merged symbols never leak the separator and survive re-splitting") {
+    val m = BpeOps.trainBpe(corpus("hello hello world"), "text", 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(m.nonEmpty)
+    assert(m.forall { case (_, a, b, ab, n) =>
+      !a.contains("\u001f") && !b.contains("\u001f") &&
+        ab == a + b && n >= 1 })
+  }
+}

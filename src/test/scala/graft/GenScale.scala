@@ -105,6 +105,11 @@ object GenScale {
     val src = args(0); val dst = args(1); val k = args(2).toInt
     val mode = if (args.length > 3) args(3) else "mutate"
     require(mode == "mutate" || mode == "grow", s"unknown mode $mode")
+    // optional 5th arg: comma-list of tables to emit (e.g. "documents")
+    // — a docs-only ×1000 replica shouldn't pay for 600M lineitem rows
+    val only: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(",").map(_.trim).toSet)
+      else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -201,7 +206,8 @@ object GenScale {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
 
-    keyCols.foreach { case (t, keys) =>
+    keyCols.filter(kv => only.forall(_.contains(kv._1)))
+      .foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$src/$t.parquet")
       val out: DataFrame =
         if (keys.isEmpty) base // dimension tables stay single-copy
