@@ -16,6 +16,22 @@ import org.apache.spark.sql.SparkSession
   * whether a value is a single sweep or a median.
   */
 object Bench {
+  /** The bench consumer: materialize EVERY operator of the plan.
+    *
+    * `df.count()` is the WRONG consumer for timing an operator:
+    * Catalyst legally rewrites count-only plans — it eliminated the
+    * final docs⟕stats join of `dedup_exact_substring` (provably unique
+    * right ⇒ non-duplicating ⇒ unreferenced ⇒ dropped) and timed a
+    * 0.2 s scan as the ~35 s operator (r13), and a whole-deck audit
+    * found it drops EVERY join of `pipeline_corpus_curation` and
+    * `dedup_incremental_batch` and prunes aggregate branches from the
+    * score_* family. The noop v2 sink accepts all columns, so nothing
+    * is pruned, no join or sort is eliminable, and the timing covers
+    * the full operator set the user's query runs — closing the hazard
+    * as a class (BenchFidelitySpec pins the canary shape). */
+  def consume(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,7 +66,7 @@ object Bench {
       // mid-bench) is self-diagnosing from BENCH.json alone instead of
       // needing the judge to re-time suspects in isolation
       val err =
-        try { fn(spark, sfDir).count(); null }
+        try { Bench.consume(fn(spark, sfDir)); null }
         catch { case t: Throwable =>
           (Option(t.getMessage).getOrElse(t.getClass.getName))
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160) }

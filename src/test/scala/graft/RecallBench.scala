@@ -27,6 +27,9 @@ object RecallBench {
       .split(",").map(_.trim.toInt).toSeq
     val ms = (if (args.length > 5) args(5) else "4")
       .split(",").map(_.trim.toInt).toSeq
+    // shortlist must exceed the largest ADC-tie cohort (≈ corpus/nlist
+    // on tightly clustered corpora — SimilaritySpec's generator pin)
+    val shortlist = if (args.length > 6) args(6).toInt else 10 * k
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -76,11 +79,11 @@ object RecallBench {
 
         def ivfpqr = SimilarityOps.ivfPqRerankTopKCosine(
           q, e, "vec_id", "embedding", dim, k, nlist, np,
-          shortlist = 10 * k, m = m)
+          shortlist = shortlist, m = m)
         val (_, c3) = timed(ivfpqr.count())
         val (got3, w3) = timed(pairs(ivfpqr))
         val r3 = (got3 intersect bf).size.toDouble / bf.size
-        println(f"""{"op":"ann_ivf_pq_rerank","nlist":$nlist,"nprobe":$np,"m":$m,"k":$k,"shortlist":${10 * k},"recall":$r3%.4f,"cold_sec":$c3%.2f,"warm_sec":$w3%.2f}""")
+        println(f"""{"op":"ann_ivf_pq_rerank","nlist":$nlist,"nprobe":$np,"m":$m,"k":$k,"shortlist":$shortlist,"recall":$r3%.4f,"cold_sec":$c3%.2f,"warm_sec":$w3%.2f}""")
       }
     }
     spark.stop()
