@@ -253,10 +253,18 @@ object SimilarityOps {
     *
     * With nprobe = nlist the result equals brute force exactly
     * (spec-pinned); smaller nprobe trades recall for scan volume. */
-  def ivfTopKCosine(queries: DataFrame, corpus: DataFrame, id: String,
-                    vec: String, dim: Int, k: Int, nlist: Int,
-                    nprobe: Int, lloyd: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Deterministic coarse-quantizer training shared by the whole IVF
+    * family: seeds = the nlist smallest-id vectors, then `lloyd` rounds
+    * of exact per-dimension DECIMAL means over cosine assignments. The
+    * IVF and IVF-PQ paths MUST route through the SAME centroids — until
+    * r14 the PQ path routed on the raw seeds (no Lloyd refinement) and
+    * measured recall@10 0.758 vs the IVF path's 0.952 at nprobe = 1 on
+    * the clustered growth replica: same probes, different lists. With
+    * nprobe = nlist (every oracle config) routing is a no-op, so this
+    * unification is output-identical for all oracle queries. */
+  private[graft] def coarseCentroids(corpus: DataFrame, id: String,
+                                     vec: String, dim: Int, nlist: Int,
+                                     lloyd: Int): Seq[(Long, Seq[Double])] = {
     val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
     // seed centroids: nlist smallest ids (deterministic at any partitioning)
     var centroids = c.orderBy(col("cid")).limit(nlist)
@@ -265,6 +273,27 @@ object SimilarityOps {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
       .sortBy(_._1).zipWithIndex
       .map { case ((_, v), i) => (i.toLong, v) }
+    // Lloyd refinement: exact per-dimension means of each list
+    for (_ <- 1 to lloyd) {
+      val assigned = assignTopR(c, centroids,
+        col("cv").cast("array<double>"),
+        graft.functions.CentroidSelect.Cos, asc = false, 1, "list_id")
+      val dims = (1 to dim).map(i => graft.core.Tables.exactMean(
+        element_at(col("cv"), i).cast("double")).as(s"d$i"))
+      centroids = assigned.groupBy(col("list_id"))
+        .agg(dims.head, dims.tail: _*).collect()
+        .map(r => (r.getLong(0), (1 to dim).map(i =>
+          r.getDouble(i)).toSeq)).toSeq.sortBy(_._1)
+    }
+    centroids
+  }
+
+  def ivfTopKCosine(queries: DataFrame, corpus: DataFrame, id: String,
+                    vec: String, dim: Int, k: Int, nlist: Int,
+                    nprobe: Int, lloyd: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    val centroids = coarseCentroids(corpus, id, vec, dim, nlist, lloyd)
     import spark.implicits._
     def assign(df: DataFrame, vcol: String, rank: Int): DataFrame =
       // zero-expansion argmax kernel (assignTopR) over the driver-held
@@ -272,17 +301,6 @@ object SimilarityOps {
       // so every assignment is bit-unchanged
       assignTopR(df, centroids, col(vcol).cast("array<double>"),
         graft.functions.CentroidSelect.Cos, asc = false, rank, "list_id")
-    // Lloyd refinement: exact per-dimension means of each list
-    for (_ <- 1 to lloyd) {
-      val assigned = assign(c, "cv", 1)
-      val dims = (1 to dim).map(i => graft.core.Tables.exactMean(
-        element_at(col("cv"), i).cast("double")).as(s"d$i"))
-      val upd = assigned.groupBy(col("list_id"))
-        .agg(dims.head, dims.tail: _*).collect()
-        .map(r => (r.getLong(0), (1 to dim).map(i =>
-          r.getDouble(i)).toSeq)).toSeq.sortBy(_._1)
-      centroids = upd
-    }
     val invlists = assign(c, "cv", 1)
       .select(col("list_id"), col("cid").as("neighbor_id"), col("cv").as("__cv"))
     val probes = assign(
@@ -437,11 +455,10 @@ object SimilarityOps {
                       lloyd: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // coarse centroids: the nlist smallest-id vectors (deterministic)
-    val cents = corpus.orderBy(col(id)).limit(nlist)
-      .select(col(vec).cast("array<double>").as("cent"))
-      .collect().map(_.getSeq[Double](0)).toSeq
-      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    // coarse centroids: SAME Lloyd-refined quantizer as ivfTopKCosine
+    // (r14 — routing on raw seeds lost 0.19 recall@10 at nprobe=1 on
+    // clustered corpora; see coarseCentroids)
+    val cents = coarseCentroids(corpus, id, vec, dim, nlist, lloyd)
     def route(df: DataFrame, rank: Int): DataFrame =
       // zero-expansion coarse routing (assignTopR): same cosine, same
       // (cos desc, list_id asc) order as the old crossJoin+window
