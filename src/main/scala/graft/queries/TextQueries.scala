@@ -25,6 +25,46 @@ object TextQueries {
 
   private val enList = TextOps.StopwordsEn.map(w => s"'$w'").mkString(", ")
 
+  /** Unrolled-CTE replay of `rounds` BPE merge rounds over the
+    * documents word table — the DuckDB twin of BpeOps.trainLoop's
+    * wrapped-symbol device (chr(31) = the U+001F wrap; a greedy
+    * left-to-right merge is a literal replace() in both engines).
+    * Defines `words`, `s0`, and per-round `p_r` (pair counts), `t_r`
+    * (winning merge); the post-merge table `s_r` is emitted for rounds
+    * ≤ mergeThrough (the trainer's last round never needs its merged
+    * table, the encoder needs all of them). */
+  private def bpeSqlCtes(rounds: Int, mergeThrough: Int): String = {
+    def roundCtes(r: Int, needMerge: Boolean): String = {
+      val pairs = s"""p$r AS MATERIALIZED (
+        |  SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occ FROM (
+        |    SELECT n, arr[i] || chr(31) || arr[i+1] AS pair FROM (
+        |      SELECT n, arr, unnest(range(1, len(arr))) AS i FROM (
+        |        SELECT n, string_split(trim(syms, chr(31)),
+        |          chr(31) || chr(31)) AS arr FROM s${r - 1})
+        |      WHERE len(arr) >= 2))
+        |  GROUP BY pair),
+        |t$r AS MATERIALIZED (
+        |  SELECT pair, n_occ FROM p$r
+        |  ORDER BY n_occ DESC, pair ASC LIMIT 1)""".stripMargin
+      val merge = s""",
+        |s$r AS MATERIALIZED (
+        |  SELECT n, replace(syms,
+        |    chr(31) || string_split(pair, chr(31))[1] || chr(31) ||
+        |      chr(31) || string_split(pair, chr(31))[2] || chr(31),
+        |    chr(31) || replace(pair, chr(31), '') || chr(31)) AS syms
+        |  FROM s${r - 1}, t$r)""".stripMargin
+      if (needMerge) pairs + merge else pairs
+    }
+    s"""words AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT n, regexp_replace(w, '(.)',
+       |    chr(31) || '\\1' || chr(31), 'g') AS syms FROM words),
+       |${(1 to rounds).map(r => roundCtes(r, needMerge = r <= mergeThrough)).mkString(",\n")}""".stripMargin
+  }
+
   /** DuckDB twin of DedupOps.posGramTable at minRun = 10 (string grams
     * where Spark carries the 128-bit hash pair — equality is over the
     * identical "t1 … t10" join either way): `toks` = (doc_id, tok,
@@ -1181,44 +1221,33 @@ object TextQueries {
       (s, d) => BpeOps.trainBpe(docs(s, d), "text", 4)
         .orderBy(col("round")),
       Some {
-        def roundCtes(r: Int, needMerge: Boolean): String = {
-          val pairs = s"""p$r AS MATERIALIZED (
-            |  SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occ FROM (
-            |    SELECT n, arr[i] || chr(31) || arr[i+1] AS pair FROM (
-            |      SELECT n, arr, unnest(range(1, len(arr))) AS i FROM (
-            |        SELECT n, string_split(trim(syms, chr(31)),
-            |          chr(31) || chr(31)) AS arr FROM s${r - 1})
-            |      WHERE len(arr) >= 2))
-            |  GROUP BY pair),
-            |t$r AS MATERIALIZED (
-            |  SELECT pair, n_occ FROM p$r
-            |  ORDER BY n_occ DESC, pair ASC LIMIT 1)""".stripMargin
-          val merge = s""",
-            |s$r AS MATERIALIZED (
-            |  SELECT n, replace(syms,
-            |    chr(31) || string_split(pair, chr(31))[1] || chr(31) ||
-            |      chr(31) || string_split(pair, chr(31))[2] || chr(31),
-            |    chr(31) || replace(pair, chr(31), '') || chr(31)) AS syms
-            |  FROM s${r - 1}, t$r)""".stripMargin
-          if (needMerge) pairs + merge else pairs
-        }
         val emit = (1 to 4).map(r =>
           s"""SELECT CAST($r AS INT) AS round,
              |  string_split(pair, chr(31))[1] AS pair_a,
              |  string_split(pair, chr(31))[2] AS pair_b,
              |  replace(pair, chr(31), '') AS merged, n_occ FROM t$r"""
             .stripMargin).mkString("\nUNION ALL\n")
-        s"""WITH words AS MATERIALIZED (
-           |  SELECT w, COUNT(*) AS n FROM (
-           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           |  GROUP BY w),
-           |s0 AS MATERIALIZED (
-           |  SELECT n, regexp_replace(w, '(.)',
-           |    chr(31) || '\\1' || chr(31), 'g') AS syms FROM words),
-           |${(1 to 4).map(r => roundCtes(r, needMerge = r < 4)).mkString(",\n")}
+        s"""WITH ${bpeSqlCtes(4, mergeThrough = 3)}
            |$emit
            |ORDER BY round""".stripMargin
       }),
+
+    Q("bpe_encode_tokens", // tokenizer APPLICATION, fused with training
+      // (train → encode → count, the full tokenizer lifecycle): corpus
+      // token frequencies after 4 learned merges. The distinct-word
+      // symbol table after the last merge round IS the greedy encoding
+      // of every word, so application costs zero corpus passes beyond
+      // the word-count scan; top-50 by (count desc, token asc).
+      (s, d) => BpeOps.encodeBpe(docs(s, d), "text", 4)
+        .orderBy(col("n_occ").desc, col("token"))
+        .limit(50),
+      Some(s"""WITH ${bpeSqlCtes(4, mergeThrough = 4)}
+              |SELECT token, CAST(SUM(n) AS BIGINT) AS n_occ FROM (
+              |  SELECT n, unnest(string_split(trim(syms, chr(31)),
+              |    chr(31) || chr(31))) AS token FROM s4)
+              |WHERE token <> ''
+              |GROUP BY token
+              |ORDER BY n_occ DESC, token ASC LIMIT 50""".stripMargin)),
 
     Q("doc_chunk_overlap", // fixed token-window chunking with stride
       // (window=32, stride=24 → 8-token overlap) — the RAG/pretraining

@@ -73,6 +73,38 @@ object BpeOps {
     * artifact a tokenizer ships. Stops early if no pair remains. */
   def trainBpe(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
+    val (merges, words) = trainLoop(docs, textCol, rounds)
+    words.unpersist(false)
+    spark.createDataFrame(merges)
+      .toDF("round", "pair_a", "pair_b", "merged", "n_occ")
+  }
+
+  /** Encode the corpus with `rounds` freshly-learned merges and return
+    * the corpus token-frequency table (token, n_occ) — the vocabulary
+    * the trained tokenizer actually emits, with every token weighted by
+    * how often the tokenizer would produce it over this corpus. This is
+    * train + apply fused: application never touches the corpus again
+    * (the per-word symbol table after the last merge round IS the
+    * greedy encoding of every distinct word; corpus frequencies were
+    * collected in the single up-front word-count scan).
+    *
+    * The returned frame aggregates over the loop's final persisted word
+    * table; the cache is released by the caller's session cache clear
+    * (it is registered in the shared CacheManager) or recomputed
+    * through lineage if already dropped. */
+  def encodeBpe(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val (_, words) = trainLoop(docs, textCol, rounds)
+    words.select(col("n"),
+        explode(split(trim(col("syms"), SEP), SEP + SEP)).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(sum(col("n")).as("n_occ"))
+  }
+
+  /** The shared merge loop: learns up to `rounds` merges and returns
+    * them with the final (still persisted) word table — `trainBpe`
+    * ships the merges, `encodeBpe` ships the table. */
+  private def trainLoop(docs: DataFrame, textCol: String, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var words = bpeWordTable(docs, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: DataFrame = null
@@ -107,9 +139,7 @@ object BpeOps {
         r += 1
       }
     }
-    words.unpersist(false)
     if (prev != null) prev.unpersist(false)
-    spark.createDataFrame(merges.toSeq)
-      .toDF("round", "pair_a", "pair_b", "merged", "n_occ")
+    (merges.toSeq, words)
   }
 }

@@ -49,6 +49,24 @@ class BpeSpec extends SparkSpec {
     assert(m == Seq((1, "x", "y", "xy", 3L)))
   }
 
+  test("encodeBpe: token table is the greedy encoding, frequency-weighted") {
+    // corpus "aaab aaab ab": merges (a,a),(a,b),(aa,ab) — after round 3
+    // aaab is one token (×2 words), ab is one token (×1). With only 2
+    // rounds: aaab = [aa, ab] (×2), ab = [ab] (×1) → aa:2, ab:3.
+    val full = BpeOps.encodeBpe(corpus("aaab aaab ab"), "text", rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(full == Map("aaab" -> 2L, "ab" -> 1L))
+
+    val partial = BpeOps.encodeBpe(corpus("aaab aaab ab"), "text", rounds = 2)
+      .as[(String, Long)].collect().toMap
+    assert(partial == Map("aa" -> 2L, "ab" -> 3L))
+
+    // zero rounds = plain character tokenization, weighted by word count
+    val chars = BpeOps.encodeBpe(corpus("aaab aaab ab"), "text", rounds = 0)
+      .as[(String, Long)].collect().toMap
+    assert(chars == Map("a" -> 7L, "b" -> 3L))
+  }
+
   test("merged symbols never leak the separator and survive re-splitting") {
     val m = BpeOps.trainBpe(corpus("hello hello world"), "text", 5)
       .as[(Int, String, String, String, Long)].collect().toSeq
