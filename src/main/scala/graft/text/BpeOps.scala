@@ -2,7 +2,6 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Multi-round BPE tokenizer training (Sennrich et al. 2016) — the
   * composition the single-round `bpe_merge_candidates` query feeds: a
@@ -34,10 +33,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape: one corpus shuffle (word counts, map-side combined) up
   * front; per round one pair aggregation + a top-1 collect (bounded: one
-  * row) + one projection over the distinct-word table. The word table is
-  * re-persisted per round and the predecessor dropped once its successor
-  * is materialized; every 32 rounds the plan lineage is truncated with
-  * localCheckpoint so a 30k-round production run keeps O(1) plan depth.
+  * row) + one projection over the distinct-word table. The word table's
+  * lineage is truncated EVERY round with an eager localCheckpoint so a
+  * 30k-round production run keeps O(1) plan depth and O(1) plan-string
+  * size (see trainLoop for why persist-per-round is a 2^r trap).
   * Reference semantics: biolab/orange3 has no tokenizer trainer; this is
   * the standard LLM-pipeline extension (SURVEY §2 additive text family).
   */
@@ -73,8 +72,7 @@ object BpeOps {
     * artifact a tokenizer ships. Stops early if no pair remains. */
   def trainBpe(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
-    val (merges, words) = trainLoop(docs, textCol, rounds)
-    words.unpersist(false)
+    val (merges, _) = trainLoop(docs, textCol, rounds)
     spark.createDataFrame(merges)
       .toDF("round", "pair_a", "pair_b", "merged", "n_occ")
   }
@@ -88,10 +86,9 @@ object BpeOps {
     * greedy encoding of every distinct word; corpus frequencies were
     * collected in the single up-front word-count scan).
     *
-    * The returned frame aggregates over the loop's final persisted word
-    * table; the cache is released by the caller's session cache clear
-    * (it is registered in the shared CacheManager) or recomputed
-    * through lineage if already dropped. */
+    * The returned frame aggregates over the loop's final checkpointed
+    * word table (a flat LogicalRDD); its blocks are reclaimed by the
+    * ContextCleaner once the frame becomes unreachable. */
   def encodeBpe(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val (_, words) = trainLoop(docs, textCol, rounds)
     words.select(col("n"),
@@ -105,9 +102,19 @@ object BpeOps {
     * ships the merges, `encodeBpe` ships the table. */
   private def trainLoop(docs: DataFrame, textCol: String, rounds: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    var words = bpeWordTable(docs, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var prev: DataFrame = null
+    // EVERY round truncates lineage with an eager localCheckpoint: the
+    // word table becomes a flat LogicalRDD, so round r's plan never
+    // embeds round r−1's. The obvious alternative — persist() per round
+    // with occasional checkpoints — is a 2^r trap: each round's
+    // InMemoryRelation nests the previous round's IMR inside its
+    // (adaptive) physical plan, AQE nodes render BOTH their initial and
+    // current plan, and the per-action physicalPlanDescription then
+    // doubles per round (measured: the r14 ladder froze the driver in
+    // generateTreeString for hours at 20-odd rounds — on 31 rows).
+    // Checkpoint cost is one tiny job per round over the distinct-word
+    // table (≪ corpus); at 30k production rounds both plan depth and
+    // description size stay O(1).
+    var words = bpeWordTable(docs, textCol).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var r = 1
@@ -115,9 +122,6 @@ object BpeOps {
     while (r <= rounds && !exhausted) {
       val top = pairCounts(words)
         .orderBy(col("n_occ").desc, col("pair").asc).limit(1).collect()
-      // the collect materialized `words` into its cache — the previous
-      // round's table is no longer reachable and can be dropped now
-      if (prev != null) { prev.unpersist(false); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val pair = top(0).getString(0)
@@ -126,20 +130,13 @@ object BpeOps {
           case (x, y) => (x, y.substring(1))
         }
         merges += ((r, a, b, a + b, nOcc))
-        var next = words.withColumn("syms",
+        words = words.withColumn("syms",
           replace(col("syms"), lit(SEP + a + SEP + SEP + b + SEP),
             lit(SEP + a + b + SEP)))
-        // lineage truncation: withColumn-per-round grows the analyzed
-        // plan linearly; at tokenizer-production round counts (30k+)
-        // analysis alone would dominate. O(1) plan depth via periodic
-        // localCheckpoint of the (small) word table.
-        if (r % 32 == 0) next = next.localCheckpoint()
-        prev = words
-        words = next.persist(StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint()
         r += 1
       }
     }
-    if (prev != null) prev.unpersist(false)
     (merges.toSeq, words)
   }
 }
