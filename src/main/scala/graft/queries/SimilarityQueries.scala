@@ -57,6 +57,71 @@ object SimilarityQueries {
        |  SELECT v0 AS u, u0 AS v FROM edges)""".stripMargin
   }
 
+  /** DuckDB twin of SimilarityOps.semanticDedup: the coarse-quantizer
+    * trajectory unrolled round by round (seeds = nlist smallest ids →
+    * window-argmax cosine assignment, ties by list_id → per-dimension
+    * sqlMean update), final assignment with ROUND(cos, 6) to centroid,
+    * within-cluster duplicate pairs at `eps`, recursive-CTE connected
+    * components (label = min id), and the keep-least-central window. */
+  private def semanticDedupSql(nlist: Int, eps: Double, lloyd: Int): String = {
+    def dims(src: String) = (1 to Dim).map(i =>
+      s"CAST($src[$i] AS DOUBLE) AS d$i").mkString(",\n    ")
+    // cosine(vector, centroid columns of alias c) — ascending chains
+    def cosC(e: String): String = {
+      val dot = (1 to Dim).map(i =>
+        s"CAST($e[$i] AS DOUBLE) * c.d$i").mkString("(", " + ", ")")
+      val cn = "SQRT(" + (1 to Dim).map(i => s"c.d$i * c.d$i")
+        .mkString("(", " + ", ")") + ")"
+      s"$dot / (${sqlNorm(e)} * $cn)"
+    }
+    def assignCte(name: String, from: String, extraInner: String,
+                  extraOuter: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, embedding, list_id$extraOuter FROM (
+         |    SELECT e.vec_id, e.embedding, c.list_id$extraInner,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosC("e.embedding")} DESC, c.list_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN $from c) WHERE rn = 1)"""
+        .stripMargin
+    val rounds = (1 to lloyd).map { r =>
+      val means = (1 to Dim).map(i =>
+        s"${SqlGen.sqlMean(s"CAST(embedding[$i] AS DOUBLE)")} AS d$i")
+        .mkString(",\n    ")
+      s"""${assignCte(s"a$r", s"c${r - 1}", "", "")},
+         |c$r AS MATERIALIZED (
+         |  SELECT list_id, $means FROM a$r GROUP BY list_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |seeds AS (SELECT vec_id, embedding FROM embeddings
+       |          ORDER BY vec_id LIMIT $nlist),
+       |c0 AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id,
+       |    ${dims("embedding")}
+       |  FROM seeds),
+       |$rounds,
+       |${assignCte("af0", s"c$lloyd",
+            s", ROUND(${cosC("e.embedding")}, 6) AS cent_sim",
+            ", cent_sim")},
+       |p AS MATERIALIZED (
+       |  SELECT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM af0 x JOIN af0 y
+       |    ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+       |  WHERE ${sqlCos("x.embedding", "y.embedding")} >= $eps),
+       |edges AS (SELECT id1 AS u, id2 AS v FROM p
+       |          UNION SELECT id2, id1 FROM p),
+       |reach(node, label) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+       |grp AS (SELECT node, MIN(label) AS group_id FROM reach GROUP BY node)
+       |SELECT af0.vec_id, af0.list_id, af0.cent_sim, grp.group_id,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY grp.group_id
+       |      ORDER BY af0.cent_sim ASC, af0.vec_id ASC) = 1
+       |    THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM af0 JOIN grp ON grp.node = af0.vec_id
+       |ORDER BY af0.vec_id""".stripMargin
+  }
+
   /** WITH-body prefix replaying the PQ training + ADC scan of
     * SimilarityOps.pqEncode/pqTopKCosine: corpus unit vectors → m
     * subspace tables → smallest-id-seeded codebook → `lloyd` exact-mean
@@ -414,6 +479,20 @@ object SimilarityQueries {
            |  JOIN embeddings e2 ON e2.vec_id = c.id_b)
            |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
       }),
+
+    Q("dedup_semantic", // SemDeDup (Abbas et al. 2023): k-means-cluster
+      // the embedding space (the shared IVF coarse quantizer — smallest-
+      // id seeds + exact-DECIMAL-mean Lloyd), call within-cluster pairs
+      // with cosine >= 0.4 semantic duplicates, connect into groups,
+      // keep the member LEAST similar to its centroid (the paper's
+      // "low" policy; ties -> smallest id). Oracle replays the full
+      // trajectory: seeded centroids, per-round window-argmax cosine
+      // assignment + exact-mean update, the within-cluster pair join,
+      // recursive-CTE components, and the identical keep window.
+      (s, d) => SimilarityOps.semanticDedup(
+          emb(s, d), "vec_id", "embedding", Dim, nlist = 8, eps = 0.4)
+        .orderBy(col("vec_id")),
+      Some(semanticDedupSql(nlist = 8, eps = 0.4, lloyd = 2))),
 
     Q("graph_pagerank", // link-graph authority scoring (the corpus
       // quality-weighting shape): 10 PageRank rounds over the same

@@ -543,6 +543,97 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication for web-scale corpora: k-means-cluster the embedding
+    * space, call any WITHIN-cluster pair with cosine ≥ `eps` a semantic
+    * duplicate, connect duplicates into groups, and keep exactly one
+    * member per group — the paper's "low" policy: the member LEAST
+    * similar to its cluster centroid (it retains the most marginal
+    * example; ties → smallest id). Complements the LSH near-dup pass
+    * (`cosineNearDupPairs` finds lexical twins via random hyperplanes;
+    * SemDeDup prunes REGIONS of embedding space, the form of redundancy
+    * LAION/CC-scale curation removes).
+    *
+    * Scale shape: the quantizer is the shared IVF `coarseCentroids`
+    * (driver-held, nlist ≪ corpus); assignment is the Exchange-free
+    * CentroidArgTop kernel; the only corpus shuffles are the pair
+    * equi-join ON list_id (pair volume = Σ c·(c−1)/2 over cluster
+    * occupancies, guarded by the same fail-fast estimate as the other
+    * quadratic-risk dedups — `graft.dedup.maxSemanticPairs`) and the
+    * CC rounds over the (sparse) duplicate edges. At 100 TB one raises
+    * nlist so corpus/nlist stays executor-sized; the estimate is one
+    * aggregation and refuses loudly before any blowup.
+    *
+    * Returns (id, list_id, cent_sim, group_id, keep): cluster, rounded
+    * cosine-to-centroid, duplicate-group label (= min member id;
+    * singletons label themselves), and the keep flag. */
+  def semanticDedup(corpus: DataFrame, id: String, vec: String, dim: Int,
+                    nlist: Int, eps: Double, lloyd: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = coarseCentroids(corpus, id, vec, dim, nlist, lloyd)
+    val assigned = assignTopR(
+      corpus.select(col(id).as("__sid"), col(vec).as("__sv")),
+      cents, col("__sv").cast("array<double>"),
+      graft.functions.CentroidSelect.Cos, asc = false, 1, "list_id")
+    val centDf = {
+      import spark.implicits._
+      broadcast(cents.toDF("list_id", "__cent"))
+    }
+    // cosine-to-own-centroid as fixed left-to-right chains (the
+    // embedding_centroid_by_label device — identical doubles in the
+    // SQL twin), rounded BEFORE ranking on both engines
+    val centDot = (1 to dim).map(i =>
+      element_at(col("__sv"), i).cast("double") *
+        element_at(col("__cent"), i)).reduce(_ + _)
+    val centNorm = sqrt((1 to dim).map(i =>
+      element_at(col("__cent"), i) * element_at(col("__cent"), i))
+      .reduce(_ + _))
+    val scored = assigned.join(centDf, Seq("list_id"))
+      .withColumn("cent_sim",
+        round(centDot / (norm2Fixed(col("__sv"), dim) * centNorm), 6))
+      .drop("__cent")
+      .localCheckpoint(eager = true)
+    // fail-fast pair-volume guard (decimal-safe, one aggregation)
+    val maxPairs = spark.conf
+      .getOption("graft.dedup.maxSemanticPairs").map(_.toLong)
+      .getOrElse(2000000000L)
+    val occ = scored.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("__c"))
+    val est = {
+      val c = col("__c").cast("decimal(19,0)")
+      Option(occ.agg(sum((c * (c - 1) / 2).cast("decimal(38,0)")).as("p"))
+          .head.getDecimal(0))
+        .map(_.toBigInteger).getOrElse(java.math.BigInteger.ZERO)
+    }
+    if (est.compareTo(java.math.BigInteger.valueOf(maxPairs)) > 0) {
+      val hot = occ.orderBy(col("__c").desc).head
+      throw new IllegalStateException(
+        s"semanticDedup would score ~$est within-cluster pairs " +
+        s"(> $maxPairs, graft.dedup.maxSemanticPairs): cluster " +
+        s"${hot.getLong(0)} alone holds ${hot.getLong(1)} vectors. " +
+        "Raise nlist so corpus/nlist shrinks per-cluster volume, or " +
+        "raise graft.dedup.maxSemanticPairs explicitly.")
+    }
+    val a = scored.select(col("list_id"), col("__sid").as("__id1"),
+      col("__sv").as("__v1"))
+    val b = scored.select(col("list_id"), col("__sid").as("__id2"),
+      col("__sv").as("__v2"))
+    val pairs = a.join(b, Seq("list_id"))
+      .filter(col("__id1") < col("__id2"))
+      .filter(cosineFixed(col("__v1"), col("__v2"), dim) >= eps)
+      .select(col("__id1"), col("__id2"))
+    val labels = graft.ml.Clustering.connectedComponentsLSS(
+      pairs.select(col("__id1").as("u"), col("__id2").as("v")))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("cent_sim").asc, col("__sid").asc)
+    scored
+      .join(labels.withColumnRenamed("node", "__sid"), Seq("__sid"), "left")
+      .withColumn("group_id", coalesce(col("label"), col("__sid")))
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .select(col("__sid").as(id), col("list_id"), col("cent_sim"),
+        col("group_id"), col("keep"))
+  }
+
   /** Distance-matrix transformation (widgets/unsupervised/
     * owdistancetransformation.py:30-41, applied normalize-then-invert
     * per commit() at :70-75) over long-format distances. Normalization:

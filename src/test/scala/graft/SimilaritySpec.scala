@@ -306,6 +306,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: groups are within-cluster, labels are min ids, keep = least central") {
+    val e = embeddings
+    val got = SimilarityOps.semanticDedup(e, "vec_id", "embedding", 64,
+        nlist = 8, eps = 0.4)
+      .as[(Long, Long, Double, Long, Int)].collect().toSeq
+    assert(got.length == e.count())
+    val byGroup = got.groupBy(_._4)
+    // exactly one keep per duplicate group, and it is the member with
+    // the smallest (cent_sim, id)
+    byGroup.foreach { case (g, ms) =>
+      assert(ms.count(_._5 == 1) == 1, s"group $g keeps != 1")
+      val kept = ms.find(_._5 == 1).get
+      val best = ms.minBy(m => (m._3, m._1))
+      assert(kept._1 == best._1, s"group $g kept ${kept._1}, want ${best._1}")
+      assert(g == ms.map(_._1).min, s"group $g label is not the min id")
+      assert(ms.map(_._2).distinct.length == 1,
+        s"group $g spans clusters ${ms.map(_._2).distinct}")
+    }
+    // every within-cluster pair above eps landed in one group
+    val lists = got.map(m => m._1 -> m._2).toMap
+    val groups = got.map(m => m._1 -> m._4).toMap
+    val dupEdges = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb")),
+        col("ida") < col("idb"))
+      .withColumn("c", SimilarityOps.cosineFixed(col("ea"), col("eb"), 64))
+      .filter(col("c") >= 0.4)
+      .select("ida", "idb").as[(Long, Long)].collect()
+      .filter { case (x, y) => lists(x) == lists(y) }
+    assert(dupEdges.nonEmpty, "fixture produced no semantic duplicates")
+    dupEdges.foreach { case (x, y) =>
+      assert(groups(x) == groups(y), s"edge ($x,$y) split across groups")
+    }
+  }
+
+  test("semanticDedup guard refuses hot-cluster pair blowups by estimate") {
+    val e = embeddings
+    try {
+      spark.conf.set("graft.dedup.maxSemanticPairs", "10")
+      val ex = intercept[IllegalStateException] {
+        SimilarityOps.semanticDedup(e, "vec_id", "embedding", 64,
+          nlist = 2, eps = 0.4).count()
+      }
+      assert(ex.getMessage.contains("maxSemanticPairs"))
+      assert(ex.getMessage.contains("nlist"),
+        "message must name the scale alternative")
+    } finally spark.conf.unset("graft.dedup.maxSemanticPairs")
+  }
+
   test("PQ-ADC is deterministic across partitionings") {
     val e = embeddings
     val q = e.filter(col("vec_id") < 5)
