@@ -181,8 +181,14 @@ object TextQueries {
              |GROUP BY shingle ORDER BY n DESC, shingle ASC LIMIT 20""".stripMargin)),
 
     Q("text_langid", // marker-stopword language ID vs the labeled column
-      (s, d) => docs(s, d).select(col("doc_id"), col("lang"),
-          TextOps.langId(col("text")).as("predicted"))
+      // (tokens → one-pass score struct → argmax, each stage projected)
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokens(col("text")).as("__ts"))
+        .select(col("doc_id"), col("lang"),
+          TextOps.langScoresFromTokens(col("__ts")).as("__ls"))
+        .select(col("doc_id"), col("lang"),
+          TextOps.langIdFromScores(col("__ls")).as("predicted"))
         .orderBy(col("doc_id")),
       Some {
         val scores = TextOps.LangMarkers.map { case (code, ms) =>
@@ -461,14 +467,34 @@ object TextQueries {
       (s, d) => {
         val base = docs(s, d).select(col("doc_id"),
           TextOps.tokens(col("text")).as("ts"))
+        // top-gram mass = max multiplicity / n. Max multiplicity is the
+        // longest equal-run in the SORTED gram array: a native O(n log n)
+        // array_sort + ONE O(n) interpreted fold — the first cut counted
+        // each distinct gram with a nested filter-inside-transform
+        // lambda, O(distinct·n) interpreted string compares per doc,
+        // which honest (noop-sink) timing exposed as 54 s of the sf1m
+        // sweep on mutated long docs.
         val withG = base.select(col("doc_id"),
-          TextOps.shinglesFromTokens(col("ts"), 2).as("g2"),
-          TextOps.shinglesFromTokens(col("ts"), 3).as("g3"),
+          array_sort(TextOps.shinglesFromTokens(col("ts"), 2)).as("g2"),
+          array_sort(TextOps.shinglesFromTokens(col("ts"), 3)).as("g3"),
           TextOps.shinglesFromTokens(col("ts"), 5).as("g5"))
-        def topFrac(g: Column): Column = when(size(g) > 0,
-          array_max(transform(array_distinct(g),
-            d2 => size(filter(g, x => x === d2)))).cast("double") / size(g))
-          .otherwise(0.0)
+        def topFrac(g: Column): Column = {
+          val run = aggregate(
+            sequence(lit(2), size(g)),
+            struct(lit(1).as("cur"), lit(1).as("best")),
+            (acc, i) => {
+              val cur = when(
+                element_at(g, i.cast("int")) ===
+                  element_at(g, (i - 1).cast("int")),
+                acc.getField("cur") + 1).otherwise(lit(1))
+              struct(cur.as("cur"),
+                greatest(acc.getField("best"), cur).as("best"))
+            },
+            acc => acc.getField("best"))
+          when(size(g) === 0, 0.0)
+            .when(size(g) === 1, 1.0)
+            .otherwise(run.cast("double") / size(g))
+        }
         def dupFrac(g: Column): Column = when(size(g) > 0,
           (size(g) - size(array_distinct(g))).cast("double") / size(g))
           .otherwise(0.0)
