@@ -33,7 +33,8 @@ object TextQueries {
     * (winning merge); the post-merge table `s_r` is emitted for rounds
     * ≤ mergeThrough (the trainer's last round never needs its merged
     * table, the encoder needs all of them). */
-  private def bpeSqlCtes(rounds: Int, mergeThrough: Int): String = {
+  private def bpeSqlCtes(rounds: Int, mergeThrough: Int,
+                         where: String = ""): String = {
     def roundCtes(r: Int, needMerge: Boolean): String = {
       val pairs = s"""p$r AS MATERIALIZED (
         |  SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occ FROM (
@@ -57,7 +58,7 @@ object TextQueries {
     }
     s"""words AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS n FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents$where)
        |  GROUP BY w),
        |s0 AS MATERIALIZED (
        |  SELECT n, regexp_replace(w, '(.)',
@@ -1274,6 +1275,50 @@ object TextQueries {
               |WHERE token <> ''
               |GROUP BY token
               |ORDER BY n_occ DESC, token ASC LIMIT 50""".stripMargin)),
+
+    Q("bpe_tokenize_heldout", // tokenizer DEPLOYMENT: train the merge
+      // table on the even-doc_id split, tokenize the odd-doc_id split
+      // the trainer never saw — a shipped tokenizer IS its merge table,
+      // and encoding new text replays the greedy wrapped-symbol replace
+      // chain in merge order (BpeOps.applyBpe: batched replaces over the
+      // held-out distinct-word table, lineage checkpoint per batch).
+      // Oracle: training CTEs over the even split (t1..t4 winners), then
+      // h0..h4 replay each merge as the identical replace() over the odd
+      // split's word table. Top-50 by (count desc, token asc).
+      (s, d) => {
+        val dd = docs(s, d)
+        BpeOps.tokenizeWith(
+            dd.filter(col("doc_id") % 2 === 0),
+            dd.filter(col("doc_id") % 2 === 1), "text", 4)
+          .orderBy(col("n_occ").desc, col("token"))
+          .limit(50)
+      },
+      Some {
+        val applyRounds = (1 to 4).map { r =>
+          s"""h$r AS MATERIALIZED (
+             |  SELECT n, replace(syms,
+             |    chr(31) || string_split(pair, chr(31))[1] || chr(31) ||
+             |      chr(31) || string_split(pair, chr(31))[2] || chr(31),
+             |    chr(31) || replace(pair, chr(31), '') || chr(31)) AS syms
+             |  FROM h${r - 1}, t$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${bpeSqlCtes(4, mergeThrough = 3,
+                where = " WHERE doc_id % 2 = 0")},
+           |h0 AS MATERIALIZED (
+           |  SELECT n, regexp_replace(w, '(.)',
+           |    chr(31) || '\\1' || chr(31), 'g') AS syms FROM (
+           |    SELECT w, COUNT(*) AS n FROM (
+           |      SELECT unnest(string_split(text, ' ')) AS w
+           |      FROM documents WHERE doc_id % 2 = 1)
+           |    GROUP BY w)),
+           |$applyRounds
+           |SELECT token, CAST(SUM(n) AS BIGINT) AS n_occ FROM (
+           |  SELECT n, unnest(string_split(trim(syms, chr(31)),
+           |    chr(31) || chr(31))) AS token FROM h4)
+           |WHERE token <> ''
+           |GROUP BY token
+           |ORDER BY n_occ DESC, token ASC LIMIT 50""".stripMargin
+      }),
 
     Q("doc_chunk_overlap", // fixed token-window chunking with stride
       // (window=32, stride=24 → 8-token overlap) — the RAG/pretraining

@@ -97,6 +97,42 @@ object BpeOps {
       .groupBy("token").agg(sum(col("n")).as("n_occ"))
   }
 
+  /** Apply an ALREADY-LEARNED merge list (in rank order) to a corpus
+    * the trainer never saw — the production tokenize step: a shipped
+    * tokenizer is its merge table, and encoding any text is the same
+    * greedy wrapped-symbol replace chain the trainer used, replayed in
+    * merge order. Returns the corpus token-frequency table
+    * (token, n_occ). One corpus scan (word counts); the merge chain
+    * runs over the distinct-word table only, batched 64 replaces per
+    * projection with a lineage checkpoint between batches so a 30k-merge
+    * production vocabulary keeps both plan depth and expression depth
+    * bounded. */
+  def applyBpe(docs: DataFrame, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    var words = bpeWordTable(docs, textCol)
+    merges.grouped(64).foreach { grp =>
+      val chained = grp.foldLeft(col("syms")) { case (c, (a, b)) =>
+        replace(c, lit(SEP + a + SEP + SEP + b + SEP),
+          lit(SEP + a + b + SEP))
+      }
+      words = words.select(col("n"), chained.as("syms"))
+        .localCheckpoint()
+    }
+    words.select(col("n"),
+        explode(split(trim(col("syms"), SEP), SEP + SEP)).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(sum(col("n")).as("n_occ"))
+  }
+
+  /** Train on one corpus, tokenize another (the held-out split shape):
+    * learns `rounds` merges from `train` and applies them to `apply`
+    * with [[applyBpe]]. */
+  def tokenizeWith(train: DataFrame, apply: DataFrame, textCol: String,
+                   rounds: Int): DataFrame = {
+    val (merges, _) = trainLoop(train, textCol, rounds)
+    applyBpe(apply, textCol, merges.map(m => (m._2, m._3)))
+  }
+
   /** The shared merge loop: learns up to `rounds` merges and returns
     * them with the final (still persisted) word table — `trainBpe`
     * ships the merges, `encodeBpe` ships the table. */

@@ -67,6 +67,22 @@ class BpeSpec extends SparkSpec {
     assert(chars == Map("a" -> 7L, "b" -> 3L))
   }
 
+  test("tokenizeWith: shipped merges encode unseen text greedily in rank order") {
+    // train "aaab aaab ab": merges (a,a) n=4, (a,b) n=3, (aa,ab) n=2,
+    // then exhaustion (rounds=4 requested, 3 learnable). Held-out
+    // "aab aab b": aab -> m1 gives [aa, b]; m2 (a,b) no longer matches
+    // (the greedy m1 consumed the a); m3 never matches -> aa:2, b:3.
+    val got = BpeOps.tokenizeWith(
+        corpus("aaab aaab ab"), corpus("aab aab b"), "text", rounds = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("aa" -> 2L, "b" -> 3L))
+
+    // zero merges = character tokenization of the held-out corpus
+    val chars = BpeOps.applyBpe(corpus("ab b"), "text", Seq.empty)
+      .as[(String, Long)].collect().toMap
+    assert(chars == Map("a" -> 1L, "b" -> 2L))
+  }
+
   test("merged symbols never leak the separator and survive re-splitting") {
     val m = BpeOps.trainBpe(corpus("hello hello world"), "text", 5)
       .as[(Int, String, String, String, Long)].collect().toSeq
