@@ -80,6 +80,15 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("semantic dedup pair table is a cluster equi-join (no theta join)") {
+    // the within-cluster pair stage must join ON list_id (volume =
+    // Σ c·(c−1)/2, linear when nlist ∝ corpus) — a theta/cross shape
+    // here would be corpus² at any nlist
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("LOF pair table is rank-window bounded (no theta join)") {
     val p = plan("outliers_lof")
     assert(!p.contains("CartesianProduct") &&
