@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.SqlBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -194,4 +194,107 @@ object CentroidSelect {
              asc: Boolean, rank: Int): Column =
     SqlBridge.column(CentroidArgTop(SqlBridge.expression(v),
       cents.map(_._2), cents.map(_._1), mode, asc, rank))
+
+  /** Score one row vector against an ArrayData centroid — the exact
+    * loops of [[score]] re-stated over a runtime (non-literal) centroid:
+    * ascending left-to-right dot, same Cos/L2/D2 shapes. */
+  private def scoreAD(v: ArrayData, c: ArrayData, nv: Double,
+                      nc: Double, mode: Int): Double = mode match {
+    case Cos =>
+      val d = math.min(v.numElements(), c.numElements())
+      var dot = 0.0; var i = 0
+      while (i < d) { dot += v.getDouble(i) * c.getDouble(i); i += 1 }
+      dot / (nv * nc)
+    case L2 =>
+      val d = math.min(v.numElements(), c.numElements())
+      var dot = 0.0; var i = 0
+      while (i < d) { dot += v.getDouble(i) * c.getDouble(i); i += 1 }
+      (nv * nv + nc * nc) - 2.0 * dot
+    case _ =>
+      val d = math.min(v.numElements(), c.numElements())
+      var s = 0.0; var i = 0
+      while (i < d) {
+        val t = v.getDouble(i) - c.getDouble(i); s += t * t; i += 1
+      }
+      s
+  }
+
+  /** Best child id under (score asc|desc, id asc) over a RUNTIME children
+    * array — kids is array<struct<id: long, cent: array<double>,
+    * norm: double>>, typically one broadcast-joined cell of a two-level
+    * coarse quantizer (the IMI device, Jégou TPAMI'11 §V). Unlike
+    * [[topId]] the centroids are per-row data, not plan literals, so
+    * norms arrive precomputed in the struct (computed once per child in
+    * the centroid table, with the same sqrt(Σx²) ascending loop).
+    * Tie-break compares ids, NOT array order — collect_list packing
+    * order never matters. */
+  def bestChild(v: ArrayData, kids: ArrayData, mode: Int,
+                asc: Boolean): Long = {
+    val n = kids.numElements()
+    var nv = 0.0
+    if (mode != D2) {
+      var s = 0.0; var i = 0; val d = v.numElements()
+      while (i < d) { val x = v.getDouble(i); s += x * x; i += 1 }
+      nv = math.sqrt(s)
+    }
+    var bestId = Long.MinValue
+    var bestScore = 0.0
+    var first = true
+    var k = 0
+    while (k < n) {
+      val row = kids.getStruct(k, 3)
+      val cid = row.getLong(0)
+      val s = scoreAD(v, row.getArray(1), nv, row.getDouble(2), mode)
+      if (first) { bestId = cid; bestScore = s; first = false }
+      else {
+        val cmp = java.lang.Double.compare(s, bestScore)
+        val better = if (asc) cmp < 0 else cmp > 0
+        // exact ties keep the SMALLER id regardless of packing order —
+        // the same `(score, id asc)` window contract as CentroidArgTop
+        if (better || (cmp == 0 && cid < bestId)) {
+          bestId = cid; bestScore = s
+        }
+      }
+      k += 1
+    }
+    bestId
+  }
+
+  /** Argmin/argmax over a runtime children array (one quantizer cell) —
+    * rank-1 only; the two-level assignment's second stage. Null on a
+    * null/empty cell (callers join cells by construction non-empty). */
+  case class ChildArgTop(vec: Expression, kids: Expression, mode: Int,
+                         asc: Boolean)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def left: Expression = vec
+    override def right: Expression = kids
+    override def inputTypes = Seq(ArrayType(DoubleType), ArrayType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_child_argtop"
+
+    override protected def nullSafeEval(v: Any, k: Any): Any = {
+      val kids = k.asInstanceOf[ArrayData]
+      if (kids.numElements() == 0) null
+      else bestChild(v.asInstanceOf[ArrayData], kids, mode, asc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, k) =>
+        s"""if ($k.numElements() == 0) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  graft.functions.CentroidSelect.bestChild($v, $k, $mode, $asc); }
+           |""".stripMargin)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(vec = newLeft, kids = newRight)
+  }
+
+  /** Column wrapper: best child within a runtime cell. `kids` must be
+    * array<struct<list_id: long, cent: array<double>, norm: double>>. */
+  def childArg(v: Column, kids: Column, mode: Int, asc: Boolean): Column =
+    SqlBridge.column(ChildArgTop(SqlBridge.expression(v),
+      SqlBridge.expression(kids), mode, asc))
 }

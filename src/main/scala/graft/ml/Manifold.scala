@@ -692,6 +692,510 @@ object Manifold {
       .unionByName(nonLm)
   }
 
+  // ---- manifold trio: Isomap / LLE / SpectralEmbedding -----------------
+  // Reference Orange/projection/manifold.py:167-203 (sklearn-wrapped
+  // Isomap / LocallyLinearEmbedding / SpectralEmbedding, defaults
+  // n_neighbors=5, n_components=2), exercised by
+  // Orange/tests/test_manifold.py:86-124. Same sampled-projection
+  // contract as [[mdsSampledExact]]: deterministic first-n-by-id
+  // sample, grid-rounded decimal-exact driver algebra, full CTE replay
+  // in DuckDB. The reference's own contract is in-memory on the whole
+  // table; the scale story here is the bounded sample + the
+  // [[extendByLandmarks]] device if out-of-sample placement is wanted.
+
+  /** Deterministic sample: first `n` rows by id, `dims` leading
+    * coordinates. */
+  private def sampleX(df: DataFrame, idCol: String, arrayCol: String,
+                      dims: Int, n: Int): (Array[Long], Array[Array[Double]]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("long"),
+        col(arrayCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(n)
+      .as[(Long, Seq[Double])].collect()
+    (rows.map(_._1), rows.map(_._2.take(dims).toArray))
+  }
+
+  /** Grid-exact squared-distance matrix — the [[mdsSampledExact]]
+    * shape: per-dimension squared differences rounded to 1e-12, summed
+    * as decimals. */
+  private def d2Grid(x: Array[Array[Double]], dims: Int): Array[Array[Double]] = {
+    val m = x.length
+    Array.tabulate(m, m) { (i, j) =>
+      decSum((0 until dims).map { k =>
+        val d = x(i)(k) - x(j)(k); r12(d * d)
+      })
+    }
+  }
+
+  /** Deflated power iteration over a grid-rounded symmetric matrix —
+    * `comps` (eigenvalue, vector) pairs, the [[mdsSampledExact]]
+    * trajectory generalized: same alternating start vector, decimal
+    * matvec/norm/Rayleigh sums, 1e-8 eigenvalue grid, rank-1 deflation
+    * between components. */
+  private def powerCompsGrid(b0: Array[Array[Double]], iters: Int,
+                             comps: Int): Seq[(Double, Array[Double])] = {
+    val m = b0.length; val md = m.toDouble
+    var b = b0.map(_.clone())
+    def v0 = Array.tabulate(m)(i =>
+      r12((if (i % 2 == 0) 1.0 else -1.0) * (1.0 + i.toDouble / md) /
+        math.sqrt(md)))
+    (1 to comps).map { comp =>
+      var v = v0
+      for (_ <- 1 to iters) {
+        val u = Array.tabulate(m)(i =>
+          decSum((0 until m).map(j => r12(b(i)(j) * v(j)))))
+        val nrm = math.sqrt(decSum(u.map(ui => r12(ui * ui))))
+        v = u.map(ui => r12(ui / nrm))
+      }
+      val w = Array.tabulate(m)(i =>
+        decSum((0 until m).map(j => r12(b(i)(j) * v(j)))))
+      val lam = rAway(decSum((0 until m).map(i => r12(v(i) * w(i)))), 1e8)
+      if (comp < comps)
+        b = Array.tabulate(m, m)((i, j) => r12(b(i)(j) - lam * v(i) * v(j)))
+      (lam, v)
+    }
+  }
+
+  /** Torgerson double-centering of a grid d² matrix into B/m — the
+    * [[mdsSampledExact]] scaling (eigenvalues rescale by m at output). */
+  private def torgersonB(d2: Array[Array[Double]]): Array[Array[Double]] = {
+    val m = d2.length; val md = m.toDouble
+    val rm = Array.tabulate(m)(i => r12(decSum(d2(i)) / md))
+    val grand = r12(decSum(rm) / md)
+    Array.tabulate(m, m)((i, j) =>
+      r12(-0.5 * (d2(i)(j) - rm(i) - rm(j) + grand) / md))
+  }
+
+  /** kNN index sets: per row the `k` nearest others by (distance asc,
+    * id asc) — the SQL window's exact order. */
+  private def knnSets(d: Array[Array[Double]], k: Int): Array[Seq[Int]] = {
+    val m = d.length
+    Array.tabulate(m)(i =>
+      (0 until m).filter(_ != i)
+        .sortBy(j => (d(i)(j), j)).take(k).toSeq)
+  }
+
+  /** Isomap (manifold.py:169 wrapping sklearn Isomap, defaults
+    * n_neighbors=5): symmetric kNN graph with Euclidean edge weights →
+    * all-pairs geodesics by min-plus path doubling (`hops` rounds reach
+    * paths of 2^hops edges — choose 2^hops ≥ n−1 for full closure) →
+    * classical Torgerson scaling of the squared geodesic matrix. Every
+    * distance/matvec is grid-rounded + decimal-summed, so the whole
+    * trajectory replays in [[isomapSampledExactSql]]. Throws if the
+    * kNN graph is disconnected (sklearn errors there too) — raise
+    * `kNei`. */
+  def isomapSampledExact(df: DataFrame, idCol: String, arrayCol: String,
+                         dims: Int, n: Int, kNei: Int, hops: Int,
+                         iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ids, x) = sampleX(df, idCol, arrayCol, dims, n)
+    val m = ids.length; val md = m.toDouble
+    val dE = {
+      val d2 = d2Grid(x, dims)
+      Array.tabulate(m, m)((i, j) => r12(math.sqrt(d2(i)(j))))
+    }
+    val knn = knnSets(dE, kNei)
+    var g = Array.fill(m, m)(Double.PositiveInfinity)
+    for (i <- 0 until m) {
+      g(i)(i) = 0.0
+      knn(i).foreach { j =>
+        if (dE(i)(j) < g(i)(j)) { g(i)(j) = dE(i)(j); g(j)(i) = dE(i)(j) }
+      }
+    }
+    for (_ <- 1 to hops) {
+      val ng = Array.tabulate(m, m) { (i, j) =>
+        var best = Double.PositiveInfinity; var k = 0
+        while (k < m) {
+          val s = g(i)(k) + g(k)(j); if (s < best) best = s; k += 1
+        }
+        if (best.isFinite) r12(best) else best
+      }
+      g = ng
+    }
+    require(g.forall(_.forall(_ < Double.PositiveInfinity)),
+      s"isomap: kNN graph disconnected at k=$kNei — raise kNei")
+    val d2g = Array.tabulate(m, m)((i, j) => r12(g(i)(j) * g(i)(j)))
+    val comps = powerCompsGrid(torgersonB(d2g), iters, 2)
+    val c1 = math.sqrt(math.max(comps(0)._1 * md, 0.0))
+    val c2 = math.sqrt(math.max(comps(1)._1 * md, 0.0))
+    ids.indices.map(i =>
+      (ids(i), r6d(r12(comps(0)._2(i) * c1)), r6d(r12(comps(1)._2(i) * c2))))
+      .toDF(idCol, "iso1", "iso2")
+  }
+
+  /** SpectralEmbedding (manifold.py:196 wrapping sklearn
+    * SpectralEmbedding, affinity='nearest_neighbors'): kNN connectivity
+    * affinity W = (A + Aᵀ)/2, Laplacian eigenmap via the normalized
+    * adjacency N = D^{-1/2} W D^{-1/2} — the constant-direction
+    * dominant eigenpair (λ=1, v ∝ √dᵢ) is deflated ANALYTICALLY, the
+    * next two eigenvectors come from the shared grid power iteration,
+    * and coordinates are the eigenmap scaling vᵢ/√dᵢ. */
+  def spectralSampledExact(df: DataFrame, idCol: String, arrayCol: String,
+                           dims: Int, n: Int, kNei: Int,
+                           iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ids, x) = sampleX(df, idCol, arrayCol, dims, n)
+    val m = ids.length
+    val d2 = d2Grid(x, dims)
+    val knn = knnSets(d2, kNei)
+    val w = Array.ofDim[Double](m, m)
+    for (i <- 0 until m; j <- knn(i)) { w(i)(j) += 0.5; w(j)(i) += 0.5 }
+    val deg = Array.tabulate(m)(i => decSum(w(i)))
+    require(deg.forall(_ > 0), "spectral: isolated vertex in kNN graph")
+    val sq = deg.map(d => r12(math.sqrt(d)))
+    val total = decSum(deg)
+    val v1 = Array.tabulate(m)(i => r12(sq(i) / math.sqrt(total)))
+    val b0 = Array.tabulate(m, m)((i, j) =>
+      r12((if (w(i)(j) > 0) r12(w(i)(j) / (sq(i) * sq(j))) else 0.0) -
+        v1(i) * v1(j)))
+    val comps = powerCompsGrid(b0, iters, 2)
+    ids.indices.map(i =>
+      (ids(i), r6d(r12(comps(0)._2(i) / sq(i))),
+               r6d(r12(comps(1)._2(i) / sq(i)))))
+      .toDF(idCol, "spec1", "spec2")
+  }
+
+  /** LocallyLinearEmbedding, standard method (manifold.py:182 wrapping
+    * sklearn LLE, defaults n_neighbors=5, reg=1e-3): per-point
+    * barycentric weights minimize ‖xᵢ − Σⱼ wⱼ xⱼ‖² with Σw = 1 over the
+    * kNN, via the local Gram C = (xᵢ−xⱼ)·(xᵢ−xₗ) regularized by
+    * reg·tr(C) (sklearn's barycenter_weights rule) — solved here by
+    * `wIters` projected-gradient steps (step 1/tr(C_reg) ≤ 1/λmax, the
+    * affine Σw=1 projection each step), a trajectory that replays as
+    * CTE rounds where a closed-form solve would not. Embedding = the
+    * two smallest non-null eigenvectors of M = (I−W)ᵀ(I−W), obtained by
+    * power iteration on σI − M (σ = Gershgorin row bound) with the
+    * constant direction deflated analytically. */
+  def lleSampledExact(df: DataFrame, idCol: String, arrayCol: String,
+                      dims: Int, n: Int, kNei: Int, reg: Double,
+                      wIters: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ids, x) = sampleX(df, idCol, arrayCol, dims, n)
+    val m = ids.length; val md = m.toDouble
+    val d2 = d2Grid(x, dims)
+    val knn = knnSets(d2, kNei)
+    val k = kNei
+    // per-point regularized local Gram + PGD weights
+    val wMat = Array.ofDim[Double](m, m)
+    for (i <- 0 until m) {
+      val nb = knn(i)
+      val c = Array.tabulate(k, k) { (a, b) =>
+        decSum((0 until dims).map(f =>
+          r12((x(i)(f) - x(nb(a))(f)) * (x(i)(f) - x(nb(b))(f)))))
+      }
+      val tr = decSum((0 until k).map(a => c(a)(a)))
+      val rr = if (tr > 0) r12(reg * tr) else reg
+      for (a <- 0 until k) c(a)(a) = r12(c(a)(a) + rr)
+      val trReg = r12(tr + k * rr)
+      val eta = r12(1.0 / trReg)
+      var wv = Array.fill(k)(r12(1.0 / k))
+      for (_ <- 1 to wIters) {
+        val mv = Array.tabulate(k)(a =>
+          decSum((0 until k).map(b => r12(c(a)(b) * wv(b)))))
+        val st = Array.tabulate(k)(a => r12(wv(a) - eta * mv(a)))
+        val s = decSum(st)
+        wv = st.map(v => r12(v + (1.0 - s) / k))
+      }
+      for (a <- 0 until k) wMat(i)(nb(a)) = wv(a)
+    }
+    // M = (I − W)ᵀ(I − W); sums of weight products through decimals
+    val bigM = Array.tabulate(m, m) { (a, b) =>
+      val s = decSum((0 until m).map(i => r12(wMat(i)(a) * wMat(i)(b))))
+      r12((if (a == b) 1.0 else 0.0) - wMat(a)(b) - wMat(b)(a) + s)
+    }
+    val sigma = r12((0 until m).map(a =>
+      decSum((0 until m).map(b => r12(math.abs(bigM(a)(b)))))).max)
+    val b0 = Array.tabulate(m, m)((a, b) =>
+      r12((if (a == b) sigma else 0.0) - bigM(a)(b) - sigma / md))
+    val comps = powerCompsGrid(b0, iters, 2)
+    ids.indices.map(i =>
+      (ids(i), r6d(comps(0)._2(i)), r6d(comps(1)._2(i))))
+      .toDF(idCol, "lle1", "lle2")
+  }
+
+  // ---- SQL twins of the manifold trio ----------------------------------
+
+  private def detS(t: String) =
+    s"CAST(SUM(CAST(($t) AS DECIMAL(38,14))) AS DOUBLE)"
+
+  /** samp + mm CTEs — the [[mdsSampledExactSql]] sample head. */
+  private def sampCtes(table: String, idSql: String,
+                       arraySql: Int => String, dims: Int, n: Int): String = {
+    val xCols = (0 until dims).map(k =>
+      s"CAST(${arraySql(k)} AS DOUBLE) AS x_$k").mkString(",\n    ")
+    s"""samp AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS i, id,
+       |    ${(0 until dims).map(k => s"x_$k").mkString(", ")}
+       |  FROM (SELECT $idSql AS id,
+       |    $xCols
+       |  FROM $table ORDER BY 1 LIMIT $n) t),
+       |mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS md FROM samp)""".stripMargin
+  }
+
+  /** pairs(i, j, d2) — grid squared distances over the sample. */
+  private def d2PairsCte(dims: Int): String = {
+    val terms = (0 until dims).map(k =>
+      s"CAST(ROUND((a.x_$k - b.x_$k) * (a.x_$k - b.x_$k), 12) " +
+        "AS DECIMAL(38,14))").mkString(" + ")
+    s"""pairs AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, CAST($terms AS DOUBLE) AS d2
+       |  FROM samp a CROSS JOIN samp b)""".stripMargin
+  }
+
+  private val vinitCte: String =
+    """vinit AS MATERIALIZED (
+      |  SELECT i, ROUND((CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END) *
+      |    (1.0 + CAST(i AS DOUBLE) / mm.md) / SQRT(mm.md), 12) AS v
+      |  FROM samp CROSS JOIN mm)""".stripMargin
+
+  /** The [[powerCompsGrid]] replay: deflated power iteration over a CTE
+    * `b0(i, j, v)` with start `vinit` — emits pw{c}_t / lam{c} / b{c}
+    * chains (the [[mdsSampledExactSql]] eigensolver, comps
+    * generalized). */
+  private def eigenCtes(comps: Int, iters: Int): String =
+    (1 to comps).flatMap { comp =>
+      val bT = s"b${comp - 1}"
+      val pv0 = s"pw${comp}_0 AS (SELECT i, v FROM vinit)"
+      val steps = (1 to iters).flatMap { t =>
+        val prev = s"pw${comp}_${t - 1}"
+        Seq(
+          s"""u${comp}_$t AS MATERIALIZED (
+             |  SELECT b.i,
+             |    ${detS(s"ROUND(b.v * vv.v, 12)")} AS u
+             |  FROM $bT b JOIN $prev vv ON b.j = vv.i
+             |  GROUP BY b.i)""".stripMargin,
+          s"""n${comp}_$t AS (SELECT
+             |  SQRT(${detS(s"ROUND(u * u, 12)")}) AS nrm
+             |  FROM u${comp}_$t)""".stripMargin,
+          s"""pw${comp}_$t AS MATERIALIZED (
+             |  SELECT i, ROUND(u / nrm, 12) AS v
+             |  FROM u${comp}_$t CROSS JOIN n${comp}_$t)""".stripMargin)
+      }
+      val pl = s"pw${comp}_$iters"
+      val lamCte =
+        s"""lam$comp AS MATERIALIZED (
+           |  SELECT ROUND(${detS("ROUND(w.u * vv.v, 12)")}, 8) AS lam
+           |  FROM (SELECT b.i, ${detS("ROUND(b.v * vv.v, 12)")} AS u
+           |        FROM $bT b JOIN $pl vv ON b.j = vv.i
+           |        GROUP BY b.i) w
+           |  JOIN $pl vv ON w.i = vv.i)""".stripMargin
+      val defl =
+        if (comp == comps) Nil
+        else Seq(
+          s"""b$comp AS MATERIALIZED (
+             |  SELECT b.i, b.j,
+             |    ROUND(b.v - l.lam * vi.v * vj.v, 12) AS v
+             |  FROM $bT b
+             |  JOIN $pl vi ON vi.i = b.i
+             |  JOIN $pl vj ON vj.i = b.j
+             |  CROSS JOIN lam$comp l)""".stripMargin)
+      Seq(pv0) ++ steps ++ Seq(lamCte) ++ defl
+    }.mkString(",\n")
+
+  /** rm / gg / b0 — the Torgerson double-centering chain over a
+    * `pairs(i, j, d2)` CTE (the [[torgersonB]] replay, B/m scaling). */
+  private def torgersonCtes: String =
+    s"""rm AS MATERIALIZED (
+       |  SELECT i, ROUND(${detS("d2")} / mm.md, 12) AS rm
+       |  FROM pairs CROSS JOIN mm GROUP BY i, mm.md),
+       |gg AS (SELECT ROUND(${detS("rm")} / mm.md, 12) AS g
+       |  FROM rm CROSS JOIN mm GROUP BY mm.md),
+       |b0 AS MATERIALIZED (
+       |  SELECT p.i, p.j,
+       |    ROUND(-0.5 * (p.d2 - ri.rm - rj.rm + gg.g) / mm.md, 12) AS v
+       |  FROM pairs p
+       |  JOIN rm ri ON ri.i = p.i
+       |  JOIN rm rj ON rj.i = p.j
+       |  CROSS JOIN gg CROSS JOIN mm)""".stripMargin
+
+  /** DuckDB twin of [[isomapSampledExact]]: Euclidean kNN graph →
+    * min-plus path doubling (`hops` rounds) → Torgerson chain →
+    * deflated power iteration, all on the shared grids. */
+  def isomapSampledExactSql(table: String, idSql: String,
+                            arraySql: Int => String, dims: Int, n: Int,
+                            kNei: Int, hops: Int, iters: Int): String = {
+    val dTerms = (0 until dims).map(k =>
+      s"CAST(ROUND((a.x_$k - b.x_$k) * (a.x_$k - b.x_$k), 12) " +
+        "AS DECIMAL(38,14))").mkString(" + ")
+    val hopCtes = (1 to hops).map { r =>
+      s"""g$r AS MATERIALIZED (
+         |  SELECT a.i, b.j, ROUND(MIN(a.d + b.d), 12) AS d
+         |  FROM g${r - 1} a JOIN g${r - 1} b ON a.j = b.i
+         |  GROUP BY a.i, b.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${sampCtes(table, idSql, arraySql, dims, n)},
+       |pe AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j,
+       |    ROUND(SQRT(CAST($dTerms AS DOUBLE)), 12) AS d
+       |  FROM samp a CROSS JOIN samp b),
+       |knn AS MATERIALIZED (
+       |  SELECT i, j, d FROM (
+       |    SELECT i, j, d, ROW_NUMBER() OVER (PARTITION BY i
+       |      ORDER BY d ASC, j ASC) AS rk
+       |    FROM pe WHERE i <> j) WHERE rk <= $kNei),
+       |g0 AS MATERIALIZED (
+       |  SELECT i, j, MIN(d) AS d FROM (
+       |    SELECT i, j, d FROM knn
+       |    UNION ALL SELECT j AS i, i AS j, d FROM knn
+       |    UNION ALL SELECT i, i AS j, 0.0 AS d FROM samp) u
+       |  GROUP BY i, j),
+       |$hopCtes,
+       |pairs AS MATERIALIZED (
+       |  SELECT i, j, ROUND(d * d, 12) AS d2 FROM g$hops),
+       |$torgersonCtes,
+       |$vinitCte,
+       |${eigenCtes(2, iters)}
+       |SELECT s.id AS vec_id,
+       |  ROUND(ROUND(v1.v * SQRT(GREATEST(l1.lam * mm.md, 0.0)), 12), 6) AS iso1,
+       |  ROUND(ROUND(v2.v * SQRT(GREATEST(l2.lam * mm.md, 0.0)), 12), 6) AS iso2
+       |FROM samp s
+       |JOIN pw1_$iters v1 ON v1.i = s.i
+       |JOIN pw2_$iters v2 ON v2.i = s.i
+       |CROSS JOIN lam1 l1 CROSS JOIN lam2 l2 CROSS JOIN mm
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[spectralSampledExact]]: kNN connectivity
+    * affinity, normalized adjacency with the analytic √d deflation,
+    * deflated power iteration, eigenmap v/√d scaling. */
+  def spectralSampledExactSql(table: String, idSql: String,
+                              arraySql: Int => String, dims: Int, n: Int,
+                              kNei: Int, iters: Int): String = {
+    s"""WITH ${sampCtes(table, idSql, arraySql, dims, n)},
+       |${d2PairsCte(dims)},
+       |knn AS MATERIALIZED (
+       |  SELECT i, j FROM (
+       |    SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i
+       |      ORDER BY d2 ASC, j ASC) AS rk
+       |    FROM pairs WHERE i <> j) WHERE rk <= $kNei),
+       |ww AS MATERIALIZED (
+       |  SELECT i, j, 0.5 * COUNT(*) AS w FROM (
+       |    SELECT i, j FROM knn
+       |    UNION ALL SELECT j AS i, i AS j FROM knn) u
+       |  GROUP BY i, j),
+       |deg AS MATERIALIZED (
+       |  SELECT i, ${detS("w")} AS deg FROM ww GROUP BY i),
+       |tot AS (SELECT ${detS("deg")} AS total FROM deg),
+       |sq AS MATERIALIZED (
+       |  SELECT i, ROUND(SQRT(deg), 12) AS sq FROM deg),
+       |vone AS MATERIALIZED (
+       |  SELECT s.i, s.sq, ROUND(s.sq / SQRT(t.total), 12) AS v1
+       |  FROM sq s CROSS JOIN tot t),
+       |b0 AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j,
+       |    ROUND(COALESCE(ROUND(w.w / (a.sq * b.sq), 12), 0.0)
+       |      - a.v1 * b.v1, 12) AS v
+       |  FROM vone a CROSS JOIN vone b
+       |  LEFT JOIN ww w ON w.i = a.i AND w.j = b.i),
+       |$vinitCte,
+       |${eigenCtes(2, iters)}
+       |SELECT s.id AS vec_id,
+       |  ROUND(ROUND(v1.v / q.sq, 12), 6) AS spec1,
+       |  ROUND(ROUND(v2.v / q.sq, 12), 6) AS spec2
+       |FROM samp s
+       |JOIN pw1_$iters v1 ON v1.i = s.i
+       |JOIN pw2_$iters v2 ON v2.i = s.i
+       |JOIN sq q ON q.i = s.i
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[lleSampledExact]]: local regularized Grams, the
+    * `wIters` projected-gradient weight rounds, M = (I−W)ᵀ(I−W), the
+    * Gershgorin shift + analytic constant deflation, deflated power
+    * iteration. */
+  def lleSampledExactSql(table: String, idSql: String,
+                         arraySql: Int => String, dims: Int, n: Int,
+                         kNei: Int, reg: Double, wIters: Int,
+                         iters: Int): String = {
+    val k = kNei
+    val cTerms = (0 until dims).map(f =>
+      s"CAST(ROUND((si.x_$f - sa.x_$f) * (si.x_$f - sb.x_$f), 12) " +
+        "AS DECIMAL(38,14))").mkString(" + ")
+    val wRounds = (1 to wIters).map { t =>
+      val prev = s"wt${t - 1}"
+      s"""mv$t AS MATERIALIZED (
+         |  SELECT c.i, c.a AS j, ${detS("ROUND(c.c * w.w, 12)")} AS mv
+         |  FROM creg c JOIN $prev w ON w.i = c.i AND w.j = c.b
+         |  GROUP BY c.i, c.a),
+         |st$t AS MATERIALIZED (
+         |  SELECT m.i, m.j, ROUND(w.w - e.eta * m.mv, 12) AS w
+         |  FROM mv$t m
+         |  JOIN $prev w ON w.i = m.i AND w.j = m.j
+         |  JOIN eta e ON e.i = m.i),
+         |ss$t AS (SELECT i, ${detS("w")} AS s FROM st$t GROUP BY i),
+         |wt$t AS MATERIALIZED (
+         |  SELECT st.i, st.j, ROUND(st.w + (1.0 - ss.s) / $k, 12) AS w
+         |  FROM st$t st JOIN ss$t ss ON ss.i = st.i)""".stripMargin
+    }.mkString(",\n")
+    val wT = s"wt$wIters"
+    s"""WITH ${sampCtes(table, idSql, arraySql, dims, n)},
+       |${d2PairsCte(dims)},
+       |knn AS MATERIALIZED (
+       |  SELECT i, j FROM (
+       |    SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i
+       |      ORDER BY d2 ASC, j ASC) AS rk
+       |    FROM pairs WHERE i <> j) WHERE rk <= $k),
+       |cg AS MATERIALIZED (
+       |  SELECT k1.i, k1.j AS a, k2.j AS b,
+       |    CAST($cTerms AS DOUBLE) AS c
+       |  FROM knn k1 JOIN knn k2 ON k1.i = k2.i
+       |  JOIN samp si ON si.i = k1.i
+       |  JOIN samp sa ON sa.i = k1.j
+       |  JOIN samp sb ON sb.i = k2.j),
+       |tr AS MATERIALIZED (
+       |  SELECT i, ${detS("c")} AS tr FROM cg WHERE a = b GROUP BY i),
+       |rr AS MATERIALIZED (
+       |  SELECT i, tr, CASE WHEN tr > 0
+       |    THEN ROUND(CAST($reg AS DOUBLE) * tr, 12)
+       |    ELSE CAST($reg AS DOUBLE) END AS rr
+       |  FROM tr),
+       |creg AS MATERIALIZED (
+       |  SELECT g.i, g.a, g.b,
+       |    CASE WHEN g.a = g.b THEN ROUND(g.c + r.rr, 12) ELSE g.c END AS c
+       |  FROM cg g JOIN rr r ON r.i = g.i),
+       |eta AS MATERIALIZED (
+       |  SELECT i, ROUND(1.0 / ROUND(tr + $k * rr, 12), 12) AS eta
+       |  FROM rr),
+       |wt0 AS MATERIALIZED (
+       |  SELECT i, j, ROUND(1.0 / $k, 12) AS w FROM knn),
+       |$wRounds,
+       |sm AS MATERIALIZED (
+       |  SELECT w1.j AS a, w2.j AS b,
+       |    ${detS("ROUND(w1.w * w2.w, 12)")} AS s
+       |  FROM $wT w1 JOIN $wT w2 ON w1.i = w2.i
+       |  GROUP BY w1.j, w2.j),
+       |mM AS MATERIALIZED (
+       |  SELECT a.i AS a, b.i AS b,
+       |    ROUND((CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END)
+       |      - COALESCE(wab.w, 0.0) - COALESCE(wba.w, 0.0)
+       |      + COALESCE(s.s, 0.0), 12) AS v
+       |  FROM samp a CROSS JOIN samp b
+       |  LEFT JOIN $wT wab ON wab.i = a.i AND wab.j = b.i
+       |  LEFT JOIN $wT wba ON wba.i = b.i AND wba.j = a.i
+       |  LEFT JOIN sm s ON s.a = a.i AND s.b = b.i),
+       |sg AS (SELECT ROUND(MAX(rs), 12) AS sigma FROM (
+       |  SELECT a, ${detS("ROUND(ABS(v), 12)")} AS rs
+       |  FROM mM GROUP BY a) t),
+       |b0 AS MATERIALIZED (
+       |  SELECT m.a AS i, m.b AS j,
+       |    ROUND((CASE WHEN m.a = m.b THEN sg.sigma ELSE 0.0 END)
+       |      - m.v - sg.sigma / mm.md, 12) AS v
+       |  FROM mM m CROSS JOIN sg CROSS JOIN mm),
+       |$vinitCte,
+       |${eigenCtes(2, iters)}
+       |SELECT s.id AS vec_id,
+       |  ROUND(v1.v, 6) AS lle1,
+       |  ROUND(v2.v, 6) AS lle2
+       |FROM samp s
+       |JOIN pw1_$iters v1 ON v1.i = s.i
+       |JOIN pw2_$iters v2 ON v2.i = s.i
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** CUR column selection: rank embedding dimensions by PCA leverage
     * scores over the top-k components. */
   def curLeverage(df: DataFrame, arrayCol: String, k: Int): DataFrame = {

@@ -122,6 +122,98 @@ object SimilarityQueries {
        |ORDER BY af0.vec_id""".stripMargin
   }
 
+  /** DuckDB twin of the TWO-LEVEL (IMI-style) quantizer path of
+    * SimilarityOps.semanticDedup (ntop forced): tops = the `ntop`
+    * smallest-seed centroids, FIXED across rounds; per round the
+    * children route to their nearest top (cos desc, top_id asc), each
+    * row routes to its nearest SURVIVING top and then argmaxes only
+    * within that cell's children (cos desc, list_id asc — exactly the
+    * ChildArgTop contract), and the per-dimension exact means update
+    * the children. Pairs / components / keep replay as in the flat
+    * twin. */
+  private def semanticDedupHierSql(nlist: Int, ntop: Int, eps: Double,
+                                   lloyd: Int): String = {
+    def dims(src: String) = (1 to Dim).map(i =>
+      s"CAST($src[$i] AS DOUBLE) AS d$i").mkString(",\n    ")
+    def cNorm(a: String) = "SQRT(" + (1 to Dim).map(i => s"$a.d$i * $a.d$i")
+      .mkString("(", " + ", ")") + ")"
+    def cosCC(a: String, b: String) = {
+      val dot = (1 to Dim).map(i => s"$a.d$i * $b.d$i")
+        .mkString("(", " + ", ")")
+      s"$dot / (${cNorm(a)} * ${cNorm(b)})"
+    }
+    def cosEC(e: String, c: String) = {
+      val dot = (1 to Dim).map(i => s"CAST($e[$i] AS DOUBLE) * $c.d$i")
+        .mkString("(", " + ", ")")
+      s"$dot / (${sqlNorm(e)} * ${cNorm(c)})"
+    }
+    // one two-stage assignment block over children table `prev`:
+    // ct$tag child→top, rt$tag row→surviving top, a$tag row→best child
+    def stage(tag: String, prev: String, simSel: String,
+              simOuter: String) =
+      s"""ct$tag AS MATERIALIZED (
+         |  SELECT list_id, top_id FROM (
+         |    SELECT ch.list_id, tt.top_id,
+         |      ROW_NUMBER() OVER (PARTITION BY ch.list_id
+         |        ORDER BY ${cosCC("ch", "tt")} DESC, tt.top_id ASC) AS rn
+         |    FROM $prev ch CROSS JOIN t tt) WHERE rn = 1),
+         |rt$tag AS MATERIALIZED (
+         |  SELECT vec_id, embedding, top_id FROM (
+         |    SELECT e.vec_id, e.embedding, tt.top_id,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosEC("e.embedding", "tt")} DESC, tt.top_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN (SELECT * FROM t
+         |      WHERE top_id IN (SELECT DISTINCT top_id FROM ct$tag)) tt)
+         |  WHERE rn = 1),
+         |a$tag AS MATERIALIZED (
+         |  SELECT vec_id, embedding, list_id$simOuter FROM (
+         |    SELECT r0.vec_id, r0.embedding, ch.list_id$simSel,
+         |      ROW_NUMBER() OVER (PARTITION BY r0.vec_id
+         |        ORDER BY ${cosEC("r0.embedding", "ch")} DESC, ch.list_id ASC) AS rn
+         |    FROM rt$tag r0 JOIN ct$tag m ON m.top_id = r0.top_id
+         |    JOIN $prev ch ON ch.list_id = m.list_id) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to lloyd).map { r =>
+      val means = (1 to Dim).map(i =>
+        s"${SqlGen.sqlMean(s"CAST(embedding[$i] AS DOUBLE)")} AS d$i")
+        .mkString(",\n    ")
+      s"""${stage(r.toString, s"c${r - 1}", "", "")},
+         |c$r AS MATERIALIZED (
+         |  SELECT list_id, $means FROM a$r GROUP BY list_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |seeds AS (SELECT vec_id, embedding FROM embeddings
+       |          ORDER BY vec_id LIMIT $nlist),
+       |c0 AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id,
+       |    ${dims("embedding")}
+       |  FROM seeds),
+       |t AS MATERIALIZED (
+       |  SELECT list_id AS top_id, ${(1 to Dim).map(i => s"d$i").mkString(", ")}
+       |  FROM c0 WHERE list_id < $ntop),
+       |$rounds,
+       |${stage("F", s"c$lloyd",
+            s",\n      ROUND(${cosEC("r0.embedding", "ch")}, 6) AS cent_sim",
+            ", cent_sim")},
+       |p AS MATERIALIZED (
+       |  SELECT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM aF x JOIN aF y
+       |    ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+       |  WHERE ${sqlCos("x.embedding", "y.embedding")} >= $eps),
+       |edges AS (SELECT id1 AS u, id2 AS v FROM p
+       |          UNION SELECT id2, id1 FROM p),
+       |reach(node, label) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+       |grp AS (SELECT node, MIN(label) AS group_id FROM reach GROUP BY node)
+       |SELECT aF.vec_id, aF.list_id, aF.cent_sim, grp.group_id,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY grp.group_id
+       |      ORDER BY aF.cent_sim ASC, aF.vec_id ASC) = 1
+       |    THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM aF JOIN grp ON grp.node = aF.vec_id
+       |ORDER BY aF.vec_id""".stripMargin
+  }
+
   /** WITH-body prefix replaying the PQ training + ADC scan of
     * SimilarityOps.pqEncode/pqTopKCosine: corpus unit vectors → m
     * subspace tables → smallest-id-seeded codebook → `lloyd` exact-mean
@@ -493,6 +585,47 @@ object SimilarityQueries {
           emb(s, d), "vec_id", "embedding", Dim, nlist = 8, eps = 0.4)
         .orderBy(col("vec_id")),
       Some(semanticDedupSql(nlist = 8, eps = 0.4, lloyd = 2))),
+
+    Q("dedup_semantic_2level", // SemDeDup through the TWO-LEVEL (IMI-
+      // style, Jégou TPAMI'11 §V) coarse quantizer — the 100 TB path:
+      // SemDeDup's own scale protocol grows nlist ∝ corpus (flat
+      // cluster occupancy), which makes flat argmax assignment
+      // O(corpus²); two-level keeps √nlist top cells driver-held and
+      // argmaxes only within the matched cell's children, so per-row
+      // cost and driver state are O(√nlist). ntop is forced small here
+      // so the oracle exercises the hierarchy at fixture scale; the
+      // full deterministic trajectory (fixed tops, per-round child
+      // routing, two-stage row assignment, exact-mean updates) replays
+      // as CTEs.
+      (s, d) => SimilarityOps.semanticDedup(
+          emb(s, d), "vec_id", "embedding", Dim, nlist = 8, eps = 0.4,
+          ntop = 3)
+        .orderBy(col("vec_id")),
+      Some(semanticDedupHierSql(nlist = 8, ntop = 3, eps = 0.4,
+        lloyd = 2))),
+
+    Q("ann_ivf_2level", // IVF ANN through the two-level quantizer at
+      // nprobe = nlist: every (surviving) list is probed, so whatever
+      // the hierarchical router assigned, the scan covers the corpus
+      // and the result provably equals brute force — the same
+      // invariance device as ann_ivf's oracle. SimilaritySpec covers
+      // recall at nprobe < nlist.
+      (s, d) => SimilarityOps.ivfTopKCosine(
+          emb(s, d).filter(col("vec_id") < 20), emb(s, d),
+          "vec_id", "embedding", Dim, 3, nlist = 8, nprobe = 8,
+          ntop = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    ${sqlCos("q.embedding", "c.embedding")} AS cosine,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC,
+              |               c.vec_id ASC) AS rank
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 20)
+              |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
     Q("graph_pagerank", // link-graph authority scoring (the corpus
       // quality-weighting shape): 10 PageRank rounds over the same

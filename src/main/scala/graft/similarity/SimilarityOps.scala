@@ -288,28 +288,157 @@ object SimilarityOps {
     centroids
   }
 
+  /** Above this nlist the coarse quantizer goes TWO-LEVEL (the FAISS
+    * IMI shape, Jégou TPAMI'11 §V): a flat argmax over nlist driver-held
+    * centroids costs corpus × nlist × dim flops and O(nlist) driver
+    * state — fine at the conventional nlist ≈ √corpus, but SemDeDup's
+    * own scale protocol grows nlist ∝ corpus (flat cluster occupancy),
+    * which makes flat assignment O(corpus²). The two-level path keeps
+    * ~√nlist top cells driver-held and probes only the matched cell's
+    * children, so per-row cost and driver state are O(√nlist).
+    * Overridable via `graft.ann.flatNlistMax`. */
+  val DefaultFlatNlistMax: Int = 4096
+
+  private def flatNlistMax(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("graft.ann.flatNlistMax")
+      .map(_.toInt).getOrElse(DefaultFlatNlistMax)
+
+  /** Two-level coarse quantizer: `tops` — the FIXED top-level cells
+    * (driver-held, ~√nlist of them); `children` — ALL nlist centroids
+    * as a DataFrame (top_id, list_id, cent: array<double>, __cn: L2
+    * norm), each child routed to its nearest top cell. The driver never
+    * holds the full centroid list and Lloyd's per-round reduction stays
+    * a distributed groupBy — the two O(nlist) driver terms of the flat
+    * path are gone. */
+  private[graft] final case class HierQuantizer(
+      tops: Seq[(Long, Seq[Double])], children: DataFrame)
+
+  /** Two-level row assignment (rank 1): stage 1 routes each row to its
+    * nearest SURVIVING top cell (CentroidArgTop over the ~√nlist
+    * driver-held tops — Exchange-free, codegen'd); stage 2
+    * broadcast-joins the packed per-cell children (1:1, no expansion)
+    * and picks the best child inside the row with the ChildArgTop
+    * kernel (ties → smallest list_id, packing-order-independent).
+    * Surviving = cells with ≥1 child — Lloyd can empty a cell, and a
+    * row routed to an empty cell would otherwise drop on the join. */
+  private[graft] def hierAssign1(rows: DataFrame,
+                                 tops: Seq[(Long, Seq[Double])],
+                                 children: DataFrame, vcol: Column,
+                                 out: String): DataFrame = {
+    val packed = children.groupBy(col("top_id"))
+      .agg(collect_list(struct(col("list_id"), col("cent"), col("__cn")))
+        .as("__kids"))
+    val surv = packed.select(col("top_id")).collect()
+      .map(_.getLong(0)).toSet
+    val survTops = tops.filter(t => surv(t._1))
+    assignTopR(rows, survTops, vcol,
+        graft.functions.CentroidSelect.Cos, asc = false, 1, "__top")
+      .join(broadcast(packed.withColumnRenamed("top_id", "__top")),
+        Seq("__top"))
+      .withColumn(out, graft.functions.CentroidSelect.childArg(
+        vcol, col("__kids"), graft.functions.CentroidSelect.Cos,
+        asc = false))
+      .drop("__top", "__kids")
+  }
+
+  /** Trains the two-level quantizer. Determinism mirrors
+    * [[coarseCentroids]] exactly where shared: seeds = the nlist
+    * smallest-id vectors (list_id = 0-based rank), Lloyd update = exact
+    * per-dimension DECIMAL means. The hierarchy: tops = the `ntop`
+    * smallest-list_id SEED centroids, FIXED across rounds (the FAISS
+    * practice — the quantizer's quantizer doesn't retrain); each round
+    * re-routes the (moving) children to their nearest top (cos desc,
+    * top_id asc) and assigns rows two-stage. All ties break by id, so
+    * the full trajectory replays as SQL CTEs in the DuckDB oracle. */
+  private[graft] def hierCentroids(corpus: DataFrame, id: String,
+                                   vec: String, dim: Int, nlist: Int,
+                                   ntop: Int, lloyd: Int): HierQuantizer = {
+    require(ntop >= 1 && ntop <= nlist, s"ntop $ntop out of [1, $nlist]")
+    val c = corpus.select(col(id).as("cid"),
+      col(vec).cast("array<double>").as("cv"))
+    // seeds: one-partition window over nlist rows only (nlist ≪ corpus)
+    val w = Window.orderBy(col("cid"))
+    var children = c.orderBy(col("cid")).limit(nlist)
+      .select((row_number().over(w) - 1).cast("long").as("list_id"),
+        col("cv").as("cent"))
+      .localCheckpoint(eager = true)
+    val tops = children.filter(col("list_id") < ntop)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .toSeq.sortBy(_._1)
+    // child L2 norm — same ascending sqrt(Σx²) chain as the kernels
+    def cn = sqrt((1 to dim).map(i =>
+      element_at(col("cent"), i) * element_at(col("cent"), i))
+      .reduce(_ + _))
+    def routed(ch: DataFrame): DataFrame =
+      assignTopR(ch, tops, col("cent"),
+        graft.functions.CentroidSelect.Cos, asc = false, 1, "top_id")
+        .withColumn("__cn", cn)
+    for (_ <- 1 to lloyd) {
+      val assigned = hierAssign1(c, tops, routed(children),
+        col("cv"), "list_id")
+      val dims = (1 to dim).map(i => graft.core.Tables.exactMean(
+        element_at(col("cv"), i)).as(s"d$i"))
+      children = assigned.groupBy(col("list_id"))
+        .agg(dims.head, dims.tail: _*)
+        .select(col("list_id"),
+          array((1 to dim).map(i => col(s"d$i")): _*).as("cent"))
+        .localCheckpoint(eager = true)
+    }
+    HierQuantizer(tops, routed(children).localCheckpoint(eager = true))
+  }
+
+  /** Coarse routing shared by the whole IVF family: (corpus rows +
+    * `list_id` at rank 1, query rows with ONE ROW PER PROBED LIST).
+    * Flat below the nlist ceiling — the Exchange-free CentroidArgTop
+    * kernel over the driver-held centroid list, bit-unchanged vs the
+    * old crossJoin+window. Two-level (IMI) above it or when `ntop` is
+    * forced: corpus assignment is the O(√nlist)-per-row two-stage;
+    * query probes rank ALL children per query via a broadcast join +
+    * window — queries are the small side by contract, and this is the
+    * one place top-nprobe across CELLS is needed (same
+    * (cos desc, list_id asc) order as the flat kernel). */
+  private[graft] def coarseRoute(queries: DataFrame, corpus: DataFrame,
+                                 id: String, vec: String, dim: Int,
+                                 nlist: Int, nprobe: Int, lloyd: Int,
+                                 ntop: Int): (DataFrame, DataFrame) = {
+    if (ntop == 0 && nlist <= flatNlistMax(corpus)) {
+      val centroids = coarseCentroids(corpus, id, vec, dim, nlist, lloyd)
+      def assign(df: DataFrame, rank: Int): DataFrame =
+        assignTopR(df, centroids, col(vec).cast("array<double>"),
+          graft.functions.CentroidSelect.Cos, asc = false, rank, "list_id")
+      (assign(corpus, 1), assign(queries, nprobe))
+    } else {
+      val q = hierCentroids(corpus, id, vec, dim, nlist,
+        if (ntop > 0) ntop else math.ceil(math.sqrt(nlist)).toInt, lloyd)
+      val pw = Window.partitionBy(col(id))
+        .orderBy(col("__pc").desc, col("list_id").asc)
+      val qv = col(vec).cast("array<double>")
+      val probeCos = graft.functions.VectorExprs.dotD(qv, col("cent")) /
+        (graft.functions.VectorExprs.norm2D(qv) * col("__cn"))
+      (hierAssign1(corpus, q.tops, q.children,
+         col(vec).cast("array<double>"), "list_id"),
+       queries
+         .crossJoin(broadcast(q.children.select(
+           col("list_id"), col("cent"), col("__cn"))))
+         .withColumn("__pc", probeCos)
+         .withColumn("__pr", row_number().over(pw))
+         .filter(col("__pr") <= nprobe)
+         .drop("cent", "__cn", "__pc", "__pr"))
+    }
+  }
+
   def ivfTopKCosine(queries: DataFrame, corpus: DataFrame, id: String,
                     vec: String, dim: Int, k: Int, nlist: Int,
-                    nprobe: Int, lloyd: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
-    val centroids = coarseCentroids(corpus, id, vec, dim, nlist, lloyd)
-    import spark.implicits._
-    def assign(df: DataFrame, vcol: String, rank: Int): DataFrame =
-      // zero-expansion argmax kernel (assignTopR) over the driver-held
-      // centroid list — the identical cosine the old window ordered by,
-      // so every assignment is bit-unchanged
-      assignTopR(df, centroids, col(vcol).cast("array<double>"),
-        graft.functions.CentroidSelect.Cos, asc = false, rank, "list_id")
-    val invlists = assign(c, "cv", 1)
-      .select(col("list_id"), col("cid").as("neighbor_id"), col("cv").as("__cv"))
-    val probes = assign(
-      queries.select(col(id).as("query_id"), col(vec).as("qv")),
-      "qv", nprobe)
-      .select(col("query_id"), col("qv").as("__qv"), col("list_id"))
+                    nprobe: Int, lloyd: Int = 2, ntop: Int = 0): DataFrame = {
+    val (invlists, probes) = coarseRoute(queries, corpus, id, vec, dim,
+      nlist, nprobe, lloyd, ntop)
+    val inv = invlists
+      .select(col("list_id"), col(id).as("neighbor_id"), col(vec).as("__cv"))
+    val prb = probes
+      .select(col(id).as("query_id"), col(vec).as("__qv"), col("list_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probes.join(invlists, Seq("list_id"))
+    prb.join(inv, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineFixed(col("__qv"), col("__cv"), dim))
       .withColumn("rank", row_number().over(w))
@@ -452,22 +581,15 @@ object SimilarityOps {
   def ivfPqTopKCosine(queries: DataFrame, corpus: DataFrame, id: String,
                       vec: String, dim: Int, k: Int, nlist: Int,
                       nprobe: Int, m: Int = 4, ksub: Int = 16,
-                      lloyd: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // coarse centroids: SAME Lloyd-refined quantizer as ivfTopKCosine
-    // (r14 — routing on raw seeds lost 0.19 recall@10 at nprobe=1 on
-    // clustered corpora; see coarseCentroids)
-    val cents = coarseCentroids(corpus, id, vec, dim, nlist, lloyd)
-    def route(df: DataFrame, rank: Int): DataFrame =
-      // zero-expansion coarse routing (assignTopR): same cosine, same
-      // (cos desc, list_id asc) order as the old crossJoin+window
-      assignTopR(df, cents, col(vec).cast("array<double>"),
-        graft.functions.CentroidSelect.Cos, asc = false, rank, "list_id")
-    val corpusLists = route(corpus, 1)
-      .select(col(id).as("cid"), col("list_id"))
-    val probed = route(queries, nprobe)
-      .select(col(id).as("query_id"), col("list_id"))
+                      lloyd: Int = 2, ntop: Int = 0): DataFrame = {
+    // coarse routing: SAME Lloyd-refined quantizer family as
+    // ivfTopKCosine (r14 — routing on raw seeds lost 0.19 recall@10 at
+    // nprobe=1 on clustered corpora), flat or two-level by the shared
+    // coarseRoute rule
+    val (corpusAssigned, probedRows) = coarseRoute(queries, corpus, id,
+      vec, dim, nlist, nprobe, lloyd, ntop)
+    val corpusLists = corpusAssigned.select(col(id).as("cid"), col("list_id"))
+    val probed = probedRows.select(col(id).as("query_id"), col("list_id"))
     // candidate pairs = corpus vectors in probed lists only; ADC work
     // below is proportional to candidates, not the corpus
     val candidates = corpusLists.join(probed, Seq("list_id"))
@@ -526,9 +648,9 @@ object SimilarityOps {
                             id: String, vec: String, dim: Int, k: Int,
                             nlist: Int, nprobe: Int, shortlist: Int,
                             m: Int = 4, ksub: Int = 16,
-                            lloyd: Int = 2): DataFrame = {
+                            lloyd: Int = 2, ntop: Int = 0): DataFrame = {
     val cand = ivfPqTopKCosine(queries, corpus, id, vec, dim, shortlist,
-      nlist, nprobe, m, ksub, lloyd)
+      nlist, nprobe, m, ksub, lloyd, ntop)
       .select(col("query_id"), col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -554,31 +676,47 @@ object SimilarityOps {
     * SemDeDup prunes REGIONS of embedding space, the form of redundancy
     * LAION/CC-scale curation removes).
     *
-    * Scale shape: the quantizer is the shared IVF `coarseCentroids`
-    * (driver-held, nlist ≪ corpus); assignment is the Exchange-free
-    * CentroidArgTop kernel; the only corpus shuffles are the pair
-    * equi-join ON list_id (pair volume = Σ c·(c−1)/2 over cluster
-    * occupancies, guarded by the same fail-fast estimate as the other
+    * Scale shape: below `graft.ann.flatNlistMax` the quantizer is the
+    * shared flat `coarseCentroids` (driver-held) with the Exchange-free
+    * CentroidArgTop kernel; ABOVE it — and SemDeDup's own protocol
+    * grows nlist ∝ corpus to keep cluster occupancy flat, which would
+    * make flat assignment O(corpus²) — it switches to the two-level
+    * [[hierCentroids]] quantizer (O(√nlist) per-row cost and driver
+    * state). The only corpus shuffles are the pair equi-join ON
+    * list_id (pair volume = Σ c·(c−1)/2 over cluster occupancies,
+    * guarded by the same fail-fast estimate as the other
     * quadratic-risk dedups — `graft.dedup.maxSemanticPairs`) and the
-    * CC rounds over the (sparse) duplicate edges. At 100 TB one raises
-    * nlist so corpus/nlist stays executor-sized; the estimate is one
+    * CC rounds over the (sparse) duplicate edges; the estimate is one
     * aggregation and refuses loudly before any blowup.
     *
     * Returns (id, list_id, cent_sim, group_id, keep): cluster, rounded
     * cosine-to-centroid, duplicate-group label (= min member id;
     * singletons label themselves), and the keep flag. */
   def semanticDedup(corpus: DataFrame, id: String, vec: String, dim: Int,
-                    nlist: Int, eps: Double, lloyd: Int = 2): DataFrame = {
+                    nlist: Int, eps: Double, lloyd: Int = 2,
+                    ntop: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = coarseCentroids(corpus, id, vec, dim, nlist, lloyd)
-    val assigned = assignTopR(
-      corpus.select(col(id).as("__sid"), col(vec).as("__sv")),
-      cents, col("__sv").cast("array<double>"),
-      graft.functions.CentroidSelect.Cos, asc = false, 1, "list_id")
-    val centDf = {
-      import spark.implicits._
-      broadcast(cents.toDF("list_id", "__cent"))
-    }
+    val rows = corpus.select(col(id).as("__sid"), col(vec).as("__sv"))
+    // quantizer choice: flat below the ceiling (O(nlist) driver state,
+    // corpus × nlist per-row work — fine at conventional nlist), the
+    // two-level IMI shape above it or when `ntop` is forced — REQUIRED
+    // here because SemDeDup's own scale protocol grows nlist ∝ corpus,
+    // which turns the flat assignment term O(corpus²)
+    val (assigned, centDf) =
+      if (ntop == 0 && nlist <= flatNlistMax(corpus)) {
+        val cents = coarseCentroids(corpus, id, vec, dim, nlist, lloyd)
+        import spark.implicits._
+        (assignTopR(rows, cents, col("__sv").cast("array<double>"),
+           graft.functions.CentroidSelect.Cos, asc = false, 1, "list_id"),
+         broadcast(cents.toDF("list_id", "__cent")))
+      } else {
+        val q = hierCentroids(corpus, id, vec, dim, nlist,
+          if (ntop > 0) ntop else math.ceil(math.sqrt(nlist)).toInt, lloyd)
+        (hierAssign1(rows, q.tops, q.children,
+           col("__sv").cast("array<double>"), "list_id"),
+         broadcast(q.children.select(col("list_id"),
+           col("cent").as("__cent"))))
+      }
     // cosine-to-own-centroid as fixed left-to-right chains (the
     // embedding_centroid_by_label device — identical doubles in the
     // SQL twin), rounded BEFORE ranking on both engines
@@ -597,20 +735,24 @@ object SimilarityOps {
     val maxPairs = spark.conf
       .getOption("graft.dedup.maxSemanticPairs").map(_.toLong)
       .getOrElse(2000000000L)
-    val occ = scored.groupBy(col("list_id"))
+    // single-job guard: pair estimate AND the hot-cluster diagnostic
+    // come from ONE aggregation (struct max = (count, list_id) lexmax),
+    // so the refusal path costs no second scan
+    val g = scored.groupBy(col("list_id"))
       .agg(count(lit(1)).as("__c"))
-    val est = {
-      val c = col("__c").cast("decimal(19,0)")
-      Option(occ.agg(sum((c * (c - 1) / 2).cast("decimal(38,0)")).as("p"))
-          .head.getDecimal(0))
-        .map(_.toBigInteger).getOrElse(java.math.BigInteger.ZERO)
-    }
+      .agg({
+        val c = col("__c").cast("decimal(19,0)")
+        sum((c * (c - 1) / 2).cast("decimal(38,0)")).as("p")
+      }, max(struct(col("__c"), col("list_id"))).as("hot"))
+      .head
+    val est = Option(g.getDecimal(0)).map(_.toBigInteger)
+      .getOrElse(java.math.BigInteger.ZERO)
     if (est.compareTo(java.math.BigInteger.valueOf(maxPairs)) > 0) {
-      val hot = occ.orderBy(col("__c").desc).head
+      val hot = g.getStruct(1)
       throw new IllegalStateException(
         s"semanticDedup would score ~$est within-cluster pairs " +
         s"(> $maxPairs, graft.dedup.maxSemanticPairs): cluster " +
-        s"${hot.getLong(0)} alone holds ${hot.getLong(1)} vectors. " +
+        s"${hot.getLong(1)} alone holds ${hot.getLong(0)} vectors. " +
         "Raise nlist so corpus/nlist shrinks per-cluster volume, or " +
         "raise graft.dedup.maxSemanticPairs explicitly.")
     }

@@ -354,6 +354,92 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("graft.dedup.maxSemanticPairs")
   }
 
+  test("two-level IVF at nprobe = nlist equals brute force exactly") {
+    // at full probe the routing is a no-op (every list is scanned), so
+    // the hierarchical quantizer must be output-identical to brute
+    // force even though its list ASSIGNMENTS differ from the flat path
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val bf = SimilarityOps.topKCosine(q, e, "vec_id", "embedding", 64, 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val hier = SimilarityOps.ivfTopKCosine(q, e, "vec_id", "embedding", 64,
+        3, nlist = 8, nprobe = 8, ntop = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hier == bf)
+  }
+
+  test("two-level IVF at small nprobe keeps reasonable recall") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val bf = SimilarityOps.topKCosine(q, e, "vec_id", "embedding", 64, 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val hier = SimilarityOps.ivfTopKCosine(q, e, "vec_id", "embedding", 64,
+        3, nlist = 8, nprobe = 3, ntop = 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (hier intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("two-level semanticDedup holds the flat invariants and is partition-stable") {
+    val e = embeddings
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.semanticDedup(df, "vec_id", "embedding", 64,
+          nlist = 8, eps = 0.4, ntop = 3)
+        .orderBy("vec_id")
+        .as[(Long, Long, Double, Long, Int)].collect().toSeq
+    val got = run(e)
+    assert(got.length == e.count())
+    val byGroup = got.groupBy(_._4)
+    byGroup.foreach { case (g, ms) =>
+      assert(ms.count(_._5 == 1) == 1, s"group $g keeps != 1")
+      val best = ms.minBy(m => (m._3, m._1))
+      assert(ms.find(_._5 == 1).get._1 == best._1, s"group $g wrong keep")
+      assert(g == ms.map(_._1).min, s"group $g label is not the min id")
+      assert(ms.map(_._2).distinct.length == 1, s"group $g spans clusters")
+    }
+    // every within-cluster pair above eps landed in one group
+    val lists = got.map(m => m._1 -> m._2).toMap
+    val groups = got.map(m => m._1 -> m._4).toMap
+    e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("idb"), col("embedding").as("eb")),
+        col("ida") < col("idb"))
+      .withColumn("c", SimilarityOps.cosineFixed(col("ea"), col("eb"), 64))
+      .filter(col("c") >= 0.4)
+      .select("ida", "idb").as[(Long, Long)].collect()
+      .filter { case (x, y) => lists(x) == lists(y) }
+      .foreach { case (x, y) =>
+        assert(groups(x) == groups(y), s"edge ($x,$y) split across groups")
+      }
+    assert(run(e.repartition(13)) == got, "partitioning changed the result")
+  }
+
+  test("ChildArgTop: tie-break by id, independent of cell packing order") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val kidT = ArrayType(StructType(Seq(
+      StructField("list_id", LongType), StructField("cent", ArrayType(DoubleType)),
+      StructField("norm", DoubleType))))
+    val schema = StructType(Seq(StructField("v", ArrayType(DoubleType)),
+      StructField("kids", kidT)))
+    // two children with IDENTICAL centroids (exact score tie) plus a
+    // worse third; both packings must return the smaller id 3
+    val c = Seq(1.0, 0.0)
+    val kids = Seq(Row(7L, c, 1.0), Row(3L, c, 1.0),
+      Row(9L, Seq(0.0, 1.0), 1.0))
+    for (perm <- kids.permutations) {
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(Row(Seq(1.0, 0.0), perm)), schema)
+      val out = df.select(graft.functions.CentroidSelect.childArg(
+        col("v"), col("kids"), graft.functions.CentroidSelect.Cos,
+        asc = false).as("best")).head.getLong(0)
+      assert(out == 3L, s"packing $perm picked $out")
+    }
+  }
+
   test("PQ-ADC is deterministic across partitionings") {
     val e = embeddings
     val q = e.filter(col("vec_id") < 5)
