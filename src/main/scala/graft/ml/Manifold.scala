@@ -1168,7 +1168,7 @@ object Manifold {
        |    ${detS("ROUND(w1.w * w2.w, 12)")} AS s
        |  FROM $wT w1 JOIN $wT w2 ON w1.i = w2.i
        |  GROUP BY w1.j, w2.j),
-       |mM AS MATERIALIZED (
+       |bigm AS MATERIALIZED (
        |  SELECT a.i AS a, b.i AS b,
        |    ROUND((CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END)
        |      - COALESCE(wab.w, 0.0) - COALESCE(wba.w, 0.0)
@@ -1179,12 +1179,12 @@ object Manifold {
        |  LEFT JOIN sm s ON s.a = a.i AND s.b = b.i),
        |sg AS (SELECT ROUND(MAX(rs), 12) AS sigma FROM (
        |  SELECT a, ${detS("ROUND(ABS(v), 12)")} AS rs
-       |  FROM mM GROUP BY a) t),
+       |  FROM bigm GROUP BY a) t),
        |b0 AS MATERIALIZED (
        |  SELECT m.a AS i, m.b AS j,
        |    ROUND((CASE WHEN m.a = m.b THEN sg.sigma ELSE 0.0 END)
        |      - m.v - sg.sigma / mm.md, 12) AS v
-       |  FROM mM m CROSS JOIN sg CROSS JOIN mm),
+       |  FROM bigm m CROSS JOIN sg CROSS JOIN mm),
        |$vinitCte,
        |${eigenCtes(2, iters)}
        |SELECT s.id AS vec_id,

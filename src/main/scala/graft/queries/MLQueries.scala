@@ -1199,6 +1199,50 @@ object MLQueries {
         "embeddings", "vec_id", k => s"embedding[${k + 1}]",
         dims = 16, n = 200, iters = 40))),
 
+    Q("ml_isomap", // projection/manifold.py:169 Isomap (sklearn-wrapped,
+      // n_neighbors default 5; tests test_manifold.py:80-88): symmetric
+      // kNN graph with Euclidean weights → all-pairs geodesics by
+      // min-plus path doubling (2^7 ≥ n−1 hops = full closure) →
+      // Torgerson scaling of squared geodesics. Same sampled-projection
+      // contract + grid-rounded trajectory replay as ml_mds_sampled.
+      (s, d) => graft.ml.Manifold.isomapSampledExact(
+        emb(s, d), "vec_id", "embedding", dims = 16, n = 128,
+        kNei = 6, hops = 7, iters = 40),
+      Some(graft.ml.Manifold.isomapSampledExactSql(
+        "embeddings", "vec_id", k => s"embedding[${k + 1}]",
+        dims = 16, n = 128, kNei = 6, hops = 7, iters = 40))),
+
+    Q("ml_spectral_embedding", // projection/manifold.py:196
+      // SpectralEmbedding (sklearn-wrapped, affinity =
+      // 'nearest_neighbors'; tests test_manifold.py:118-124): kNN
+      // connectivity affinity (A+Aᵀ)/2, normalized-adjacency Laplacian
+      // eigenmap with the constant direction (λ=1, v ∝ √dᵢ) deflated
+      // analytically, coordinates vᵢ/√dᵢ — grid power iteration, full
+      // CTE replay.
+      (s, d) => graft.ml.Manifold.spectralSampledExact(
+        emb(s, d), "vec_id", "embedding", dims = 16, n = 200,
+        kNei = 8, iters = 40),
+      Some(graft.ml.Manifold.spectralSampledExactSql(
+        "embeddings", "vec_id", k => s"embedding[${k + 1}]",
+        dims = 16, n = 200, kNei = 8, iters = 40))),
+
+    Q("ml_lle", // projection/manifold.py:182 LocallyLinearEmbedding
+      // (standard method, n_neighbors=5, reg=1e-3 — the sklearn
+      // barycenter_weights regularization rule; tests
+      // test_manifold.py:90-116): per-point barycentric weights by
+      // projected-gradient rounds on the regularized local Gram (a
+      // trajectory that replays as CTEs where a closed-form solve
+      // would not), embedding = smallest non-null eigenvectors of
+      // (I−W)ᵀ(I−W) via Gershgorin shift + analytic constant
+      // deflation.
+      (s, d) => graft.ml.Manifold.lleSampledExact(
+        emb(s, d), "vec_id", "embedding", dims = 16, n = 128,
+        kNei = 5, reg = 0.001, wIters = 48, iters = 40),
+      Some(graft.ml.Manifold.lleSampledExactSql(
+        "embeddings", "vec_id", k => s"embedding[${k + 1}]",
+        dims = 16, n = 128, kNei = 5, reg = 0.001, wIters = 48,
+        iters = 40))),
+
     Q("ml_freeviz", // projection/freeviz.py:241-383 — force-optimized
       // linear projection: anchors fitted on a deterministic 200-point
       // sample (radial init inlined as literals, same-class attract /

@@ -51,6 +51,69 @@ class ManifoldSpec extends SparkSpec {
     }
   }
 
+  test("isomap refuses a disconnected kNN graph, separates blobs once bridged") {
+    // at k=5 each blob's kNN stays inside the blob → no geodesic exists
+    // between components and the operator must refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      Manifold.isomapSampledExact(blobs, "id", "vec", dims = 8, n = 60,
+        kNei = 5, hops = 6, iters = 30).collect()
+    }
+    assert(ex.getMessage.contains("disconnected"))
+    // k=31 forces ≥1 cross-blob edge → connected; geodesic MDS then
+    // separates the blobs in the leading plane
+    val out = Manifold.isomapSampledExact(blobs, "id", "vec", dims = 8,
+        n = 60, kNei = 31, hops = 6, iters = 30)
+      .as[(Long, Double, Double)].collect()
+    assert(out.length == 60)
+    val (ga, gb) = out.partition(_._1 <= 30)
+    def centroid(g: Array[(Long, Double, Double)]) =
+      (g.map(_._2).sum / g.length, g.map(_._3).sum / g.length)
+    def spread(g: Array[(Long, Double, Double)], c: (Double, Double)) =
+      g.map(p => math.hypot(p._2 - c._1, p._3 - c._2)).max
+    val (ca, cb) = (centroid(ga), centroid(gb))
+    val gap = math.hypot(ca._1 - cb._1, ca._2 - cb._2)
+    assert(gap > math.max(spread(ga, ca), spread(gb, cb)),
+      s"gap $gap vs spreads ${spread(ga, ca)} / ${spread(gb, cb)}")
+  }
+
+  test("spectral embedding's leading coordinate sign-splits disconnected blobs") {
+    // two components ⇒ the λ=1 eigenspace of D^{-1/2}WD^{-1/2} is
+    // 2-dimensional; deflating the global √d direction leaves the
+    // blockwise ± vector, so spec1 must separate the blobs by sign
+    val out = Manifold.spectralSampledExact(blobs, "id", "vec", dims = 8,
+        n = 60, kNei = 5, iters = 40)
+      .as[(Long, Double, Double)].collect()
+    assert(out.length == 60)
+    val a = out.filter(_._1 <= 30).map(_._2)
+    val b = out.filter(_._1 > 30).map(_._2)
+    assert(a.forall(_ > 0) != b.forall(_ > 0) ||
+           a.forall(_ < 0) != b.forall(_ < 0))
+    assert(a.forall(v => b.forall(w => math.signum(v) != math.signum(w))),
+      "spec1 does not sign-split the two components")
+  }
+
+  test("LLE embedding is near-null for M, centered, and partition-stable") {
+    // the power iteration on σI − M (constant deflated) returns
+    // near-null directions of M = (I−W)ᵀ(I−W): unit-norm coordinates,
+    // ≈orthogonal to the constant, deterministic under repartitioning.
+    // (A hard block-sign split is NOT guaranteed at finite iterations —
+    // M's spectrum near zero is almost degenerate between the block
+    // indicator and within-block smooth modes.)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Manifold.lleSampledExact(df, "id", "vec", dims = 8, n = 60,
+          kNei = 5, reg = 0.001, wIters = 32, iters = 40)
+        .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    val out = run(blobs)
+    assert(out.length == 60)
+    val c1 = out.map(_._2); val c2 = out.map(_._3)
+    // unit-ish norm (power iteration normalizes), not collapsed
+    assert(math.abs(math.sqrt(c1.map(v => v * v).sum) - 1.0) < 1e-3)
+    assert(c1.distinct.length > 10 && c2.distinct.length > 10)
+    // ≈orthogonal to the deflated constant direction
+    assert(math.abs(c1.sum) < 0.15, s"lle1 mean ${c1.sum / 60}")
+    assert(run(blobs.repartition(7)) == out)
+  }
+
   test("deterministic across partitionings") {
     val a = Manifold.tsneSampled(blobs, "id", "vec", 40, 10.0, 100)
       .orderBy("id").as[(Long, Double, Double)].collect().toSeq
