@@ -1199,6 +1199,20 @@ object MLQueries {
         "embeddings", "vec_id", k => s"embedding[${k + 1}]",
         dims = 16, n = 200, iters = 40))),
 
+    Q("ml_permutation_test", // widgets/evaluate/owpermutationplot.py:62-94
+      // permutation(): N label shuffles, each scored on-train + k-fold
+      // CV (N_FOLD = 7) against |spearman(y, y_perm)|·100, with the
+      // two-point linregress slopes — the classic overfitting check.
+      // Learner = simple linear regression scored by R² (the reference
+      // picks R2 for continuous targets); shuffles are the md5-order
+      // device, all reductions exact-DECIMAL.
+      (s, d) => graft.ml.PermutationTest.permutationDiag(
+        emb(s, d).filter(col("vec_id") < 300), "vec_id",
+        element_at(col("embedding"), 1), element_at(col("embedding"), 2),
+        nPerm = 8, folds = 7),
+      Some(graft.ml.PermutationTest.permutationDiagSql(
+        "vec_id < 300", xIdx = 1, yIdx = 2, nPerm = 8, folds = 7))),
+
     Q("ml_isomap", // projection/manifold.py:169 Isomap (sklearn-wrapped,
       // n_neighbors default 5; tests test_manifold.py:80-88): symmetric
       // kNN graph with Euclidean weights → all-pairs geodesics by

@@ -47,13 +47,19 @@ object TextQueries {
         |t$r AS MATERIALIZED (
         |  SELECT pair, n_occ FROM p$r
         |  ORDER BY n_occ DESC, pair ASC LIMIT 1)""".stripMargin
+      // LEFT JOIN + CASE: an exhausted round (empty t_r) must be a
+      // no-op — the Scala trainer stops early and applyBpe applies
+      // only the learned merges, so a bare cross join would wrongly
+      // empty every later table
       val merge = s""",
         |s$r AS MATERIALIZED (
-        |  SELECT n, replace(syms,
-        |    chr(31) || string_split(pair, chr(31))[1] || chr(31) ||
-        |      chr(31) || string_split(pair, chr(31))[2] || chr(31),
-        |    chr(31) || replace(pair, chr(31), '') || chr(31)) AS syms
-        |  FROM s${r - 1}, t$r)""".stripMargin
+        |  SELECT s.n, CASE WHEN t.pair IS NULL THEN s.syms
+        |    ELSE replace(s.syms,
+        |      chr(31) || string_split(t.pair, chr(31))[1] || chr(31) ||
+        |        chr(31) || string_split(t.pair, chr(31))[2] || chr(31),
+        |      chr(31) || replace(t.pair, chr(31), '') || chr(31))
+        |    END AS syms
+        |  FROM s${r - 1} s LEFT JOIN t$r t ON TRUE)""".stripMargin
       if (needMerge) pairs + merge else pairs
     }
     s"""words AS MATERIALIZED (
@@ -492,9 +498,11 @@ object TextQueries {
                 greatest(acc.getField("best"), cur).as("best"))
             },
             acc => acc.getField("best"))
-          when(size(g) === 0, 0.0)
+          // size(null) is null, so a NULL gram array (null text) falls
+          // through every `when` — coalesce to the oracle's 0.0
+          coalesce(when(size(g) === 0, 0.0)
             .when(size(g) === 1, 1.0)
-            .otherwise(run.cast("double") / size(g))
+            .otherwise(run.cast("double") / size(g)), lit(0.0))
         }
         def dupFrac(g: Column): Column = when(size(g) > 0,
           (size(g) - size(array_distinct(g))).cast("double") / size(g))
@@ -1294,13 +1302,17 @@ object TextQueries {
           .limit(50)
       },
       Some {
+        // LEFT JOIN + CASE — same exhaustion tolerance as s_r: a round
+        // the trainer never learned must leave the held-out table as-is
         val applyRounds = (1 to 4).map { r =>
           s"""h$r AS MATERIALIZED (
-             |  SELECT n, replace(syms,
-             |    chr(31) || string_split(pair, chr(31))[1] || chr(31) ||
-             |      chr(31) || string_split(pair, chr(31))[2] || chr(31),
-             |    chr(31) || replace(pair, chr(31), '') || chr(31)) AS syms
-             |  FROM h${r - 1}, t$r)""".stripMargin
+             |  SELECT h.n, CASE WHEN t.pair IS NULL THEN h.syms
+             |    ELSE replace(h.syms,
+             |      chr(31) || string_split(t.pair, chr(31))[1] || chr(31) ||
+             |        chr(31) || string_split(t.pair, chr(31))[2] || chr(31),
+             |      chr(31) || replace(t.pair, chr(31), '') || chr(31))
+             |    END AS syms
+             |  FROM h${r - 1} h LEFT JOIN t$r t ON TRUE)""".stripMargin
         }.mkString(",\n")
         s"""WITH ${bpeSqlCtes(4, mergeThrough = 3,
                 where = " WHERE doc_id % 2 = 0")},

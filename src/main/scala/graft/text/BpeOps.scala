@@ -32,11 +32,14 @@ import org.apache.spark.sql.functions._
   * DuckDB.
   *
   * Scale shape: one corpus shuffle (word counts, map-side combined) up
-  * front; per round one pair aggregation + a top-1 collect (bounded: one
-  * row) + one projection over the distinct-word table. The word table's
-  * lineage is truncated EVERY round with an eager localCheckpoint so a
-  * 30k-round production run keeps O(1) plan depth and O(1) plan-string
-  * size (see trainLoop for why persist-per-round is a 2^r trap).
+  * front and ONE full pair count; per round a top-1 collect off the
+  * persisted counts table (bounded: one row), a delta recount over ONLY
+  * the words containing the winning pair (Sennrich §3 incremental
+  * statistics — see trainLoop), and one replace projection over the
+  * distinct-word table. Word and counts lineage is truncated EVERY
+  * round with an eager localCheckpoint so a 30k-round production run
+  * keeps O(1) plan depth and O(1) plan-string size (see trainLoop for
+  * why persist-per-round is a 2^r trap).
   * Reference semantics: biolab/orange3 has no tokenizer trainer; this is
   * the standard LLM-pipeline extension (SURVEY §2 additive text family).
   */
@@ -133,10 +136,24 @@ object BpeOps {
     applyBpe(apply, textCol, merges.map(m => (m._2, m._3)))
   }
 
+  /** Dev-only instrumented trainer (BpeVocabScale): same loop, plus
+    * per-round (round, affectedWords, nanos) — affected is counted
+    * OUTSIDE the timed region so the measurement doesn't distort the
+    * production path it measures. */
+  private[graft] def trainBpeWithStats(docs: DataFrame, textCol: String,
+                                       rounds: Int)
+      : (Seq[(Int, String, String, String, Long)],
+         Seq[(Int, Long, Long)]) = {
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val (merges, _) = trainLoop(docs, textCol, rounds, stats)
+    (merges, stats.toSeq)
+  }
+
   /** The shared merge loop: learns up to `rounds` merges and returns
     * them with the final (still persisted) word table — `trainBpe`
     * ships the merges, `encodeBpe` ships the table. */
-  private def trainLoop(docs: DataFrame, textCol: String, rounds: Int)
+  private def trainLoop(docs: DataFrame, textCol: String, rounds: Int,
+      stats: scala.collection.mutable.ArrayBuffer[(Int, Long, Long)] = null)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     // EVERY round truncates lineage with an eager localCheckpoint: the
     // word table becomes a flat LogicalRDD, so round r's plan never
@@ -151,12 +168,25 @@ object BpeOps {
     // table (≪ corpus); at 30k production rounds both plan depth and
     // description size stay O(1).
     var words = bpeWordTable(docs, textCol).localCheckpoint()
+    // Incremental pair statistics (Sennrich et al. 2016 §3): ONE full
+    // pair count up front, then per round only the words CONTAINING
+    // the winning pair are recounted — their pre/post-merge pair
+    // deltas merge into the persisted counts table by a full-outer
+    // hash join. Equality with a full recount is exact: pairs in
+    // unaffected words are untouched by the merge, so
+    //   recount(p) = counts(p) − old_in_affected(p) + new_in_affected(p)
+    // for every p (the consumed pair's own count goes to 0 and is
+    // filtered). On a realistic vocabulary (100k+ distinct words,
+    // 1k+ rounds) a round's affected slice is tiny, so per-round cost
+    // tracks |affected words| plus a hash merge over the (much
+    // smaller) distinct-pair table — not a full-table recount.
+    var counts = pairCounts(words).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val top = pairCounts(words)
+      val top = counts
         .orderBy(col("n_occ").desc, col("pair").asc).limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
@@ -166,10 +196,28 @@ object BpeOps {
           case (x, y) => (x, y.substring(1))
         }
         merges += ((r, a, b, a + b, nOcc))
-        words = words.withColumn("syms",
-          replace(col("syms"), lit(SEP + a + SEP + SEP + b + SEP),
-            lit(SEP + a + b + SEP)))
+        val pat = lit(SEP + a + SEP + SEP + b + SEP)
+        val mergedSym = lit(SEP + a + b + SEP)
+        val affected = words.filter(col("syms").contains(pat))
+        val affN = if (stats != null) affected.count() else 0L
+        val t0 = if (stats != null) System.nanoTime else 0L
+        val oldP = pairCounts(affected)
+        val newP = pairCounts(
+          affected.withColumn("syms", replace(col("syms"), pat, mergedSym)))
+        val delta = newP.select(col("pair"), col("n_occ").as("__nn"))
+          .join(oldP.select(col("pair"), col("n_occ").as("__no")),
+            Seq("pair"), "full")
+          .select(col("pair"), (coalesce(col("__nn"), lit(0L)) -
+            coalesce(col("__no"), lit(0L))).as("__d"))
+        counts = counts.join(delta, Seq("pair"), "full")
+          .select(col("pair"), (coalesce(col("n_occ"), lit(0L)) +
+            coalesce(col("__d"), lit(0L))).as("n_occ"))
+          .filter(col("n_occ") > 0)
           .localCheckpoint()
+        words = words.withColumn("syms",
+          replace(col("syms"), pat, mergedSym))
+          .localCheckpoint()
+        if (stats != null) stats += ((r, affN, System.nanoTime - t0))
         r += 1
       }
     }

@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   * per-round profile makes constant. Each `trainBpe` call pays the
   * corpus word-count scan once up front (the only corpus touch);
   * everything after is per-round aggregations over the distinct-word
-  * table, so t(b) − t(a) isolates (b − a) pure rounds. Ladder rungs
-  * past 32 also cross the localCheckpoint lineage-truncation boundary.
+  * table, so t(b) − t(a) isolates (b − a) pure rounds. (Lineage is
+  * truncated by an every-round eager localCheckpoint — there is no
+  * round-count boundary to cross.)
   *
   * Usage:
   *   java -cp … graft.BpeScale <docsDir> 8,16,32,48 <runs>

@@ -83,6 +83,21 @@ class BpeSpec extends SparkSpec {
     assert(chars == Map("a" -> 1L, "b" -> 2L))
   }
 
+  test("incremental pair statistics: long runs extend short runs exactly") {
+    // the delta-recount keeps the counts table equal to a full recount
+    // at every round, so training r rounds must be a strict prefix of
+    // training R > r rounds — any drift in the merged deltas (winner,
+    // count, or tie order) breaks this
+    val c = corpus("the cat sat on the mat", "the cat ate the rat",
+      "a rat sat on a cat", "the bat and the cat", "rat mat bat sat")
+    def train(r: Int) = BpeOps.trainBpe(c, "text", r).orderBy("round")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val long = train(16)
+    assert(long.size >= 10, s"fixture exhausted early at ${long.size}")
+    assert(train(4) == long.take(4))
+    assert(train(10) == long.take(10))
+  }
+
   test("merged symbols never leak the separator and survive re-splitting") {
     val m = BpeOps.trainBpe(corpus("hello hello world"), "text", 5)
       .as[(Int, String, String, String, Long)].collect().toSeq
