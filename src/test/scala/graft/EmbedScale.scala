@@ -36,16 +36,23 @@ object EmbedScale {
     val OFF = 100000000L
 
     val base = spark.read.parquet(s"$src/embeddings.parquet")
-    val shifted = (0 until k).map { i =>
-      val s = base.withColumn("vec_id", col("vec_id") + lit(i * OFF))
-      if (mode == "grow") GenScale.growEmbedding(s, i) else s
-    }.reduce(_.unionByName(_))
-    val out =
-      if (mode == "cluster")
-        GenScale.clusteredEmbedding(shifted, nCenters, noisePermille)
-      else shifted
-    out.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-    println(s"[embedscale] embeddings ($mode): ${out.count()} rows")
+    // chunked append writes: a k=10000 single unionByName would build a
+    // 10000-leg plan (each leg a 64-element transform tree) — chunk the
+    // union at 250 replicas and append, identical rows either way
+    (0 until k).grouped(250).foreach { chunk =>
+      val shifted = chunk.map { i =>
+        val s = base.withColumn("vec_id", col("vec_id") + lit(i * OFF))
+        if (mode == "grow") GenScale.growEmbedding(s, i) else s
+      }.reduce(_.unionByName(_))
+      val out =
+        if (mode == "cluster")
+          GenScale.clusteredEmbedding(shifted, nCenters, noisePermille)
+        else shifted
+      out.write.mode(if (chunk.head == 0) "overwrite" else "append")
+        .parquet(s"$dst/embeddings.parquet")
+    }
+    println(s"[embedscale] embeddings ($mode): " +
+      s"${spark.read.parquet(s"$dst/embeddings.parquet").count()} rows")
     spark.stop()
   }
 }
