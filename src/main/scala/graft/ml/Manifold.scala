@@ -1196,6 +1196,352 @@ object Manifold {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---- LLE variants: LTSA + Hessian (manifold.py:182 method=) --------
+
+  /** Per-neighborhood geometry shared by the LLE variants: kNN rank
+    * sets, per-point grid means, centered coords and the k×k local
+    * Gram G = Yc·Ycᵀ — every entry decimal-summed from 1e-12-grid
+    * products so [[powerCompsGrid]] applied per point replays in SQL. */
+  private def localGrams(x: Array[Array[Double]], knn: Array[Seq[Int]],
+                         dims: Int, k: Int): Array[Array[Array[Double]]] = {
+    val kd = k.toDouble
+    Array.tabulate(x.length) { i =>
+      val nb = knn(i)
+      val mean = Array.tabulate(dims)(f =>
+        r12(decSum(nb.map(j => x(j)(f))) / kd))
+      val yc = Array.tabulate(k, dims)((a, f) => r12(x(nb(a))(f) - mean(f)))
+      Array.tabulate(k, k)((a, b) =>
+        decSum((0 until dims).map(f => r12(yc(a)(f) * yc(b)(f)))))
+    }
+  }
+
+  /** The shared null-space tail of the LLE family: Gershgorin shift
+    * σI − M with the constant direction deflated analytically, top-2 of
+    * the shifted matrix by [[powerCompsGrid]] → the two smallest
+    * non-null eigenvectors of M (sklearn null_space k_skip=1). */
+  private def nullSpace2(bigM: Array[Array[Double]],
+                         iters: Int): Seq[(Double, Array[Double])] = {
+    val m = bigM.length; val md = m.toDouble
+    val sigma = r12((0 until m).map(a =>
+      decSum((0 until m).map(b => r12(math.abs(bigM(a)(b)))))).max)
+    val b0 = Array.tabulate(m, m)((a, b) =>
+      r12((if (a == b) sigma else 0.0) - bigM(a)(b) - sigma / md))
+    powerCompsGrid(b0, iters, 2)
+  }
+
+  /** LocallyLinearEmbedding method='ltsa' (manifold.py:182 wrapping
+    * sklearn LLE; variant exercised at tests/test_manifold.py:99-102):
+    * Local Tangent Space Alignment (Zhang & Zha 2004). Per point the
+    * d=2 tangent basis is the top-2 eigenvectors of the CENTERED local
+    * Gram (the k×k twin of the local SVD sklearn takes), computed by
+    * the same grid power iteration used everywhere else; the alignment
+    * matrix accumulates M[Nᵢ,Nᵢ] += I − GᵢGᵢᵀ with
+    * Gᵢ = [1/√k, g₁, g₂], and the embedding is the two smallest
+    * non-null eigenvectors of M — ones is (grid-)null by construction
+    * because Gᵢ's first column reproduces it exactly. Every reduction
+    * is decimal-summed on the 1e-12 grid → [[ltsaSampledExactSql]]
+    * replays the full trajectory CTE-for-CTE. */
+  def ltsaSampledExact(df: DataFrame, idCol: String, arrayCol: String,
+                       dims: Int, n: Int, kNei: Int, locIters: Int,
+                       iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ids, x) = sampleX(df, idCol, arrayCol, dims, n)
+    val m = ids.length
+    val k = kNei; val kd = k.toDouble
+    val knn = knnSets(d2Grid(x, dims), k)
+    val grams = localGrams(x, knn, dims, k)
+    val acc = Array.fill(m, m)(List.empty[Double])
+    for (i <- 0 until m) {
+      val nb = knn(i)
+      val comps = powerCompsGrid(grams(i), locIters, 2)
+      val g1 = comps(0)._2; val g2 = comps(1)._2
+      for (a <- 0 until k; b <- 0 until k) {
+        val ggt = r12(1.0 / kd + g1(a) * g1(b) + g2(a) * g2(b))
+        val v = r12((if (a == b) 1.0 else 0.0) - ggt)
+        acc(nb(a))(nb(b)) ::= v
+      }
+    }
+    val bigM = Array.tabulate(m, m)((p, q) => decSum(acc(p)(q)))
+    val comps = nullSpace2(bigM, iters)
+    ids.indices.map(i =>
+      (ids(i), r6d(comps(0)._2(i)), r6d(comps(1)._2(i))))
+      .toDF(idCol, "ltsa1", "ltsa2")
+  }
+
+  /** LocallyLinearEmbedding method='hessian' (manifold.py:182;
+    * tests/test_manifold.py:104-107): Hessian eigenmaps (Donoho &
+    * Grimes 2003). Per point: tangent coords = top-2 eigenvectors of
+    * the centered local Gram (shared device), design matrix
+    * Yᵢ = [1, t₁, t₂, t₁², t₁t₂, t₂²], modified Gram-Schmidt on the
+    * fixed column order (the qr() sklearn takes — replayable because
+    * each of the 15 projection steps is a grid inner product), Hessian
+    * estimator w = last 3 columns, per-column sum normalization with
+    * the hessian_tol guard (≈no-op: those columns are ⊥ ones by
+    * construction), M[Nᵢ,Nᵢ] += wwᵀ. Embedding = two smallest
+    * non-null eigenvectors of M. */
+  def hessianSampledExact(df: DataFrame, idCol: String, arrayCol: String,
+                          dims: Int, n: Int, kNei: Int, locIters: Int,
+                          iters: Int, hessTol: Double = 1e-4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ids, x) = sampleX(df, idCol, arrayCol, dims, n)
+    val m = ids.length
+    val k = kNei
+    val knn = knnSets(d2Grid(x, dims), k)
+    val grams = localGrams(x, knn, dims, k)
+    val acc = Array.fill(m, m)(List.empty[Double])
+    for (i <- 0 until m) {
+      val nb = knn(i)
+      val comps = powerCompsGrid(grams(i), locIters, 2)
+      val u1 = comps(0)._2; val u2 = comps(1)._2
+      val yi = Array.tabulate(k, 6)((a, c) => c match {
+        case 0 => 1.0
+        case 1 => u1(a)
+        case 2 => u2(a)
+        case 3 => r12(u1(a) * u1(a))
+        case 4 => r12(u1(a) * u2(a))
+        case 5 => r12(u2(a) * u2(a))
+      })
+      val q = Array.ofDim[Double](6, k)
+      for (c <- 0 until 6) {
+        var r = Array.tabulate(k)(a => yi(a)(c))
+        for (p <- 0 until c) {
+          val dot = decSum((0 until k).map(a => r12(q(p)(a) * r(a))))
+          r = Array.tabulate(k)(a => r12(r(a) - dot * q(p)(a)))
+        }
+        val nrm = math.sqrt(decSum(r.map(v => r12(v * v))))
+        q(c) = r.map(v => r12(v / nrm))
+      }
+      for (c <- 3 to 5) {
+        val s0 = decSum(q(c))
+        val s = if (math.abs(s0) < hessTol) 1.0 else s0
+        q(c) = q(c).map(v => r12(v / s))
+      }
+      for (a <- 0 until k; b <- 0 until k) {
+        val v = r12(r12(q(3)(a) * q(3)(b)) + r12(q(4)(a) * q(4)(b)) +
+          r12(q(5)(a) * q(5)(b)))
+        acc(nb(a))(nb(b)) ::= v
+      }
+    }
+    val bigM = Array.tabulate(m, m)((p, q) => decSum(acc(p)(q)))
+    val comps = nullSpace2(bigM, iters)
+    ids.indices.map(i =>
+      (ids(i), r6d(comps(0)._2(i)), r6d(comps(1)._2(i))))
+      .toDF(idCol, "hes1", "hes2")
+  }
+
+  // ---- SQL twins of the LLE variants -----------------------------------
+
+  /** knn(i, j, a) with the LOCAL RANK a = 0..k−1 (the [[knnSets]]
+    * order), over a `pairs(i, j, d2)` CTE. */
+  private def knnRankCte(k: Int): String =
+    s"""knn AS MATERIALIZED (
+       |  SELECT i, j, rk - 1 AS a FROM (
+       |    SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i
+       |      ORDER BY d2 ASC, j ASC) AS rk
+       |    FROM pairs WHERE i <> j) WHERE rk <= $k)""".stripMargin
+
+  /** cen / yc / lg0 — the [[localGrams]] replay: per-point grid means,
+    * centered neighbor coords, k×k local Gram keyed (i, a, b). */
+  private def localGramCtes(dims: Int, kdS: String): String = {
+    val means = (0 until dims).map(f =>
+      s"ROUND(${detS(s"s.x_$f")} / $kdS, 12) AS m_$f").mkString(",\n    ")
+    val ycs = (0 until dims).map(f =>
+      s"ROUND(s.x_$f - c.m_$f, 12) AS y_$f").mkString(", ")
+    val gTerms = (0 until dims).map(f =>
+      s"CAST(ROUND(ya.y_$f * yb.y_$f, 12) AS DECIMAL(38,14))")
+      .mkString(" + ")
+    s"""cen AS MATERIALIZED (
+       |  SELECT kk.i,
+       |    $means
+       |  FROM knn kk JOIN samp s ON s.i = kk.j GROUP BY kk.i),
+       |yc AS MATERIALIZED (
+       |  SELECT kk.i, kk.a, $ycs
+       |  FROM knn kk JOIN samp s ON s.i = kk.j JOIN cen c ON c.i = kk.i),
+       |lg0 AS MATERIALIZED (
+       |  SELECT ya.i, ya.a AS a, yb.a AS b, CAST($gTerms AS DOUBLE) AS c
+       |  FROM yc ya JOIN yc yb ON ya.i = yb.i)""".stripMargin
+  }
+
+  /** Per-point deflated power iteration over `lg0` — the
+    * [[powerCompsGrid]] trajectory vectorized across points by GROUP BY
+    * i: emits le{c}_t / llam{c} / lg{c} chains; final vectors at
+    * le1_`locIters` and le2_`locIters`. */
+  private def localEigCtes(kdS: String, locIters: Int,
+                           comps: Int): String =
+    (1 to comps).flatMap { c =>
+      val gT = s"lg${c - 1}"
+      val init =
+        s"""le${c}_0 AS (SELECT i, a,
+           |  ROUND((CASE WHEN a % 2 = 0 THEN 1.0 ELSE -1.0 END) *
+           |    (1.0 + CAST(a AS DOUBLE) / $kdS) / SQRT($kdS), 12) AS v
+           |  FROM knn)""".stripMargin
+      val steps = (1 to locIters).flatMap { t =>
+        Seq(
+          s"""lu${c}_$t AS MATERIALIZED (
+             |  SELECT g.i, g.a, ${detS("ROUND(g.c * v.v, 12)")} AS u
+             |  FROM $gT g JOIN le${c}_${t - 1} v
+             |    ON v.i = g.i AND v.a = g.b
+             |  GROUP BY g.i, g.a)""".stripMargin,
+          s"""ln${c}_$t AS (SELECT i,
+             |  SQRT(${detS("ROUND(u * u, 12)")}) AS nrm
+             |  FROM lu${c}_$t GROUP BY i)""".stripMargin,
+          s"""le${c}_$t AS MATERIALIZED (
+             |  SELECT u.i, u.a, ROUND(u.u / n.nrm, 12) AS v
+             |  FROM lu${c}_$t u JOIN ln${c}_$t n ON n.i = u.i)""".stripMargin)
+      }
+      val L = s"le${c}_$locIters"
+      val lam = Seq(
+        s"""lfw$c AS MATERIALIZED (
+           |  SELECT g.i, g.a, ${detS("ROUND(g.c * v.v, 12)")} AS u
+           |  FROM $gT g JOIN $L v ON v.i = g.i AND v.a = g.b
+           |  GROUP BY g.i, g.a)""".stripMargin,
+        s"""llam$c AS MATERIALIZED (
+           |  SELECT w.i, ROUND(${detS("ROUND(v.v * w.u, 12)")}, 8) AS lam
+           |  FROM lfw$c w JOIN $L v ON v.i = w.i AND v.a = w.a
+           |  GROUP BY w.i)""".stripMargin)
+      val defl =
+        if (c == comps) Nil
+        else Seq(
+          s"""lg$c AS MATERIALIZED (
+             |  SELECT g.i, g.a, g.b,
+             |    ROUND(g.c - l.lam * va.v * vb.v, 12) AS c
+             |  FROM $gT g JOIN llam$c l ON l.i = g.i
+             |  JOIN $L va ON va.i = g.i AND va.a = g.a
+             |  JOIN $L vb ON vb.i = g.i AND vb.a = g.b)""".stripMargin)
+      Seq(init) ++ steps ++ lam ++ defl
+    }.mkString(",\n")
+
+  /** msum → bigm → Gershgorin shift + analytic constant deflation →
+    * deflated power iteration — the [[nullSpace2]] replay over a
+    * contribution CTE `ct(ja, jb, v)`, ending in pw{1,2}_`iters`. */
+  private def nullSpaceCtes(iters: Int): String =
+    s"""msum AS MATERIALIZED (
+       |  SELECT ja, jb, ${detS("v")} AS s FROM ct GROUP BY ja, jb),
+       |bigm AS MATERIALIZED (
+       |  SELECT a.i AS a, b.i AS b, COALESCE(s.s, 0.0) AS v
+       |  FROM samp a CROSS JOIN samp b
+       |  LEFT JOIN msum s ON s.ja = a.i AND s.jb = b.i),
+       |sg AS (SELECT ROUND(MAX(rs), 12) AS sigma FROM (
+       |  SELECT a, ${detS("ROUND(ABS(v), 12)")} AS rs
+       |  FROM bigm GROUP BY a) t),
+       |b0 AS MATERIALIZED (
+       |  SELECT m.a AS i, m.b AS j,
+       |    ROUND((CASE WHEN m.a = m.b THEN sg.sigma ELSE 0.0 END)
+       |      - m.v - sg.sigma / mm.md, 12) AS v
+       |  FROM bigm m CROSS JOIN sg CROSS JOIN mm),
+       |$vinitCte,
+       |${eigenCtes(2, iters)}""".stripMargin
+
+  /** DuckDB twin of [[ltsaSampledExact]]. */
+  def ltsaSampledExactSql(table: String, idSql: String,
+                          arraySql: Int => String, dims: Int, n: Int,
+                          kNei: Int, locIters: Int, iters: Int): String = {
+    val kdS = s"$kNei.0"
+    val L = s"le1_$locIters"; val L2 = s"le2_$locIters"
+    s"""WITH ${sampCtes(table, idSql, arraySql, dims, n)},
+       |${d2PairsCte(dims)},
+       |${knnRankCte(kNei)},
+       |${localGramCtes(dims, kdS)},
+       |${localEigCtes(kdS, locIters, 2)},
+       |ct AS MATERIALIZED (
+       |  SELECT k1.j AS ja, k2.j AS jb,
+       |    ROUND((CASE WHEN k1.a = k2.a THEN 1.0 ELSE 0.0 END) -
+       |      ROUND(1.0 / $kdS + wa1.v * wb1.v + wa2.v * wb2.v, 12),
+       |      12) AS v
+       |  FROM knn k1 JOIN knn k2 ON k1.i = k2.i
+       |  JOIN $L wa1 ON wa1.i = k1.i AND wa1.a = k1.a
+       |  JOIN $L wb1 ON wb1.i = k1.i AND wb1.a = k2.a
+       |  JOIN $L2 wa2 ON wa2.i = k1.i AND wa2.a = k1.a
+       |  JOIN $L2 wb2 ON wb2.i = k1.i AND wb2.a = k2.a),
+       |${nullSpaceCtes(iters)}
+       |SELECT s.id AS vec_id,
+       |  ROUND(v1.v, 6) AS ltsa1,
+       |  ROUND(v2.v, 6) AS ltsa2
+       |FROM samp s
+       |JOIN pw1_$iters v1 ON v1.i = s.i
+       |JOIN pw2_$iters v2 ON v2.i = s.i
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[hessianSampledExact]]: tangent chains, the
+    * 15-step modified Gram-Schmidt unroll over the 6-column design
+    * matrix, column-sum normalization with the hessian_tol guard,
+    * M += wwᵀ, null-space tail. */
+  def hessianSampledExactSql(table: String, idSql: String,
+                             arraySql: Int => String, dims: Int, n: Int,
+                             kNei: Int, locIters: Int, iters: Int,
+                             hessTol: Double = 1e-4): String = {
+    val kdS = s"$kNei.0"
+    val L = s"le1_$locIters"; val L2 = s"le2_$locIters"
+    // modified Gram-Schmidt unroll: per column c, r{c}_0 = yi.y{c},
+    // then p = 0..c−1 projection steps against the finished q{p}
+    val mgs = (0 until 6).flatMap { c =>
+      val r0 =
+        s"""r${c}_0 AS (SELECT i, a, y$c AS r FROM yi)""".stripMargin
+      val projs = (0 until c).flatMap { p =>
+        Seq(
+          s"""qd${c}_$p AS MATERIALIZED (
+             |  SELECT q.i, ${detS("ROUND(q.q * r.r, 12)")} AS dot
+             |  FROM q$p q JOIN r${c}_$p r ON r.i = q.i AND r.a = q.a
+             |  GROUP BY q.i)""".stripMargin,
+          s"""r${c}_${p + 1} AS MATERIALIZED (
+             |  SELECT r.i, r.a, ROUND(r.r - d.dot * q.q, 12) AS r
+             |  FROM r${c}_$p r
+             |  JOIN qd${c}_$p d ON d.i = r.i
+             |  JOIN q$p q ON q.i = r.i AND q.a = r.a)""".stripMargin)
+      }
+      val fin = Seq(
+        s"""qn$c AS (SELECT i, SQRT(${detS("ROUND(r * r, 12)")}) AS nrm
+           |  FROM r${c}_$c GROUP BY i)""".stripMargin,
+        s"""q$c AS MATERIALIZED (
+           |  SELECT r.i, r.a, ROUND(r.r / n.nrm, 12) AS q
+           |  FROM r${c}_$c r JOIN qn$c n ON n.i = r.i)""".stripMargin)
+      Seq(r0) ++ projs ++ fin
+    }.mkString(",\n")
+    val wNorm = (3 to 5).map { c =>
+      s"""ws$c AS (SELECT i, ${detS("q")} AS s FROM q$c GROUP BY i),
+         |wn$c AS MATERIALIZED (
+         |  SELECT q.i, q.a, ROUND(q.q / (CASE WHEN ABS(s.s) < $hessTol
+         |    THEN 1.0 ELSE s.s END), 12) AS w
+         |  FROM q$c q JOIN ws$c s ON s.i = q.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${sampCtes(table, idSql, arraySql, dims, n)},
+       |${d2PairsCte(dims)},
+       |${knnRankCte(kNei)},
+       |${localGramCtes(dims, kdS)},
+       |${localEigCtes(kdS, locIters, 2)},
+       |yi AS MATERIALIZED (
+       |  SELECT kk.i, kk.a, 1.0 AS y0, w1.v AS y1, w2.v AS y2,
+       |    ROUND(w1.v * w1.v, 12) AS y3, ROUND(w1.v * w2.v, 12) AS y4,
+       |    ROUND(w2.v * w2.v, 12) AS y5
+       |  FROM knn kk
+       |  JOIN $L w1 ON w1.i = kk.i AND w1.a = kk.a
+       |  JOIN $L2 w2 ON w2.i = kk.i AND w2.a = kk.a),
+       |$mgs,
+       |$wNorm,
+       |ct AS MATERIALIZED (
+       |  SELECT k1.j AS ja, k2.j AS jb,
+       |    ROUND(ROUND(wa3.w * wb3.w, 12) + ROUND(wa4.w * wb4.w, 12) +
+       |      ROUND(wa5.w * wb5.w, 12), 12) AS v
+       |  FROM knn k1 JOIN knn k2 ON k1.i = k2.i
+       |  JOIN wn3 wa3 ON wa3.i = k1.i AND wa3.a = k1.a
+       |  JOIN wn3 wb3 ON wb3.i = k1.i AND wb3.a = k2.a
+       |  JOIN wn4 wa4 ON wa4.i = k1.i AND wa4.a = k1.a
+       |  JOIN wn4 wb4 ON wb4.i = k1.i AND wb4.a = k2.a
+       |  JOIN wn5 wa5 ON wa5.i = k1.i AND wa5.a = k1.a
+       |  JOIN wn5 wb5 ON wb5.i = k1.i AND wb5.a = k2.a),
+       |${nullSpaceCtes(iters)}
+       |SELECT s.id AS vec_id,
+       |  ROUND(v1.v, 6) AS hes1,
+       |  ROUND(v2.v, 6) AS hes2
+       |FROM samp s
+       |JOIN pw1_$iters v1 ON v1.i = s.i
+       |JOIN pw2_$iters v2 ON v2.i = s.i
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** CUR column selection: rank embedding dimensions by PCA leverage
     * scores over the top-k components. */
   def curLeverage(df: DataFrame, arrayCol: String, k: Int): DataFrame = {

@@ -1257,6 +1257,34 @@ object MLQueries {
         dims = 16, n = 128, kNei = 5, reg = 0.001, wIters = 48,
         iters = 40))),
 
+    Q("ml_lle_ltsa", // projection/manifold.py:182 LLE method='ltsa'
+      // (tests/test_manifold.py:99-102): Local Tangent Space Alignment
+      // — per-point tangent basis = top-2 eigenvectors of the centered
+      // local Gram (grid power iteration, the per-point twin of the
+      // local SVD), alignment matrix M += I − GᵢGᵢᵀ with
+      // Gᵢ = [1/√k, g₁, g₂], embedding = smallest non-null
+      // eigenvectors of M (ones is grid-null by construction).
+      (s, d) => graft.ml.Manifold.ltsaSampledExact(
+        emb(s, d), "vec_id", "embedding", dims = 16, n = 128,
+        kNei = 5, locIters = 24, iters = 40),
+      Some(graft.ml.Manifold.ltsaSampledExactSql(
+        "embeddings", "vec_id", k => s"embedding[${k + 1}]",
+        dims = 16, n = 128, kNei = 5, locIters = 24, iters = 40))),
+
+    Q("ml_lle_hessian", // projection/manifold.py:182 LLE
+      // method='hessian' (tests/test_manifold.py:104-107): Hessian
+      // eigenmaps — tangent coords from the shared per-point
+      // eigensolve, design matrix [1, t₁, t₂, t₁², t₁t₂, t₂²],
+      // 15-step modified Gram-Schmidt (each step a grid inner
+      // product, so qr() replays as CTEs), Hessian estimator = last 3
+      // columns with the hessian_tol column-sum guard, M += wwᵀ.
+      (s, d) => graft.ml.Manifold.hessianSampledExact(
+        emb(s, d), "vec_id", "embedding", dims = 16, n = 128,
+        kNei = 8, locIters = 24, iters = 40),
+      Some(graft.ml.Manifold.hessianSampledExactSql(
+        "embeddings", "vec_id", k => s"embedding[${k + 1}]",
+        dims = 16, n = 128, kNei = 8, locIters = 24, iters = 40))),
+
     Q("ml_freeviz", // projection/freeviz.py:241-383 — force-optimized
       // linear projection: anchors fitted on a deterministic 200-point
       // sample (radial init inlined as literals, same-class attract /

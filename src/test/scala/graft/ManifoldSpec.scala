@@ -114,6 +114,41 @@ class ManifoldSpec extends SparkSpec {
     assert(run(blobs.repartition(7)) == out)
   }
 
+  test("LTSA embedding is unit-norm, non-collapsed, and partition-stable") {
+    // same contract as the standard-LLE test: the null-space tail
+    // returns unit-norm near-null directions of the alignment matrix,
+    // ≈⊥ constant (ones is grid-null: Gᵢ's first column reproduces it),
+    // deterministic under repartitioning.
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Manifold.ltsaSampledExact(df, "id", "vec", dims = 8, n = 60,
+          kNei = 5, locIters = 20, iters = 40)
+        .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    val out = run(blobs)
+    assert(out.length == 60)
+    val c1 = out.map(_._2); val c2 = out.map(_._3)
+    assert(math.abs(math.sqrt(c1.map(v => v * v).sum) - 1.0) < 1e-3)
+    assert(c1.distinct.length > 10 && c2.distinct.length > 10)
+    assert(math.abs(c1.sum) < 0.15, s"ltsa1 mean ${c1.sum / 60}")
+    assert(run(blobs.repartition(7)) == out)
+  }
+
+  test("Hessian-LLE estimator columns are ⊥ ones and the embedding is stable") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Manifold.hessianSampledExact(df, "id", "vec", dims = 8, n = 60,
+          kNei = 8, locIters = 20, iters = 40)
+        .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    val out = run(blobs)
+    assert(out.length == 60)
+    val c1 = out.map(_._2); val c2 = out.map(_._3)
+    assert(math.abs(math.sqrt(c1.map(v => v * v).sum) - 1.0) < 1e-3)
+    assert(c1.distinct.length > 10 && c2.distinct.length > 10)
+    // M = Σ wwᵀ with every w-column orthogonal to ones per neighborhood
+    // (QR against the leading 1-column) ⇒ the constant deflation is
+    // exact and the returned coordinates stay ≈centered
+    assert(math.abs(c1.sum) < 0.15, s"hes1 mean ${c1.sum / 60}")
+    assert(run(blobs.repartition(7)) == out)
+  }
+
   test("deterministic across partitionings") {
     val a = Manifold.tsneSampled(blobs, "id", "vec", 40, 10.0, 100)
       .orderBy("id").as[(Long, Double, Double)].collect().toSeq
