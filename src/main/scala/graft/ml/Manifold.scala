@@ -145,7 +145,8 @@ object Manifold {
         val u = Array.tabulate(m)(i =>
           decSum((0 until m).map(j => r12(b(i)(j) * v(j)))))
         val nrm = math.sqrt(decSum(u.map(ui => r12(ui * ui))))
-        v = u.map(ui => r12(ui / nrm))
+        // zero-norm guard mirrors the eigenCtes CASE (no-op when > 0)
+        v = if (nrm > 0) u.map(ui => r12(ui / nrm)) else u.map(_ => 0.0)
       }
       val w = Array.tabulate(m)(i =>
         decSum((0 until m).map(j => r12(b(i)(j) * v(j)))))
@@ -746,7 +747,11 @@ object Manifold {
         val u = Array.tabulate(m)(i =>
           decSum((0 until m).map(j => r12(b(i)(j) * v(j)))))
         val nrm = math.sqrt(decSum(u.map(ui => r12(ui * ui))))
-        v = u.map(ui => r12(ui / nrm))
+        // zero-norm iterate ⇔ the deflated residual annihilated v (a
+        // rank-deficient neighborhood): the component is exactly null —
+        // emit the 0 vector / λ=0 instead of dividing 0/0 to NaN. The
+        // SQL twins carry the same CASE (a no-op whenever nrm > 0).
+        v = if (nrm > 0) u.map(ui => r12(ui / nrm)) else u.map(_ => 0.0)
       }
       val w = Array.tabulate(m)(i =>
         decSum((0 until m).map(j => r12(b(i)(j) * v(j)))))
@@ -972,7 +977,8 @@ object Manifold {
              |  SQRT(${detS(s"ROUND(u * u, 12)")}) AS nrm
              |  FROM u${comp}_$t)""".stripMargin,
           s"""pw${comp}_$t AS MATERIALIZED (
-             |  SELECT i, ROUND(u / nrm, 12) AS v
+             |  SELECT i, ROUND(CASE WHEN nrm > 0
+             |    THEN u / nrm ELSE 0.0 END, 12) AS v
              |  FROM u${comp}_$t CROSS JOIN n${comp}_$t)""".stripMargin)
       }
       val pl = s"pw${comp}_$iters"
@@ -1331,6 +1337,101 @@ object Manifold {
       .toDF(idCol, "hes1", "hes2")
   }
 
+  /** LocallyLinearEmbedding method='modified' (manifold.py:182;
+    * tests/test_manifold.py:109-112): MLLE (Zhang & Wang 2006), the
+    * fourth and last sklearn LLE method. Per point: the POINT-centered
+    * local Gram C = (xₐ−xᵢ)·(x_b−xᵢ) (standard LLE's matrix,
+    * unregularized) is fully eigendecomposed — all k pairs by the
+    * shared deflated grid power iteration (k ≤ d_in here, sklearn's
+    * eigh branch, so no null-space basis ambiguity). From the
+    * eigenpairs: regularized weights w_reg = V diag(1/(λ+reg)) Vᵀ1
+    * normalized to Σ=1 (reg = 1e-3·Σλ), the intrinsic-dim ratio
+    * ρᵢ = Σ_{c>2}λ/Σ_{c≤2}λ, η = median(ρ), and the almost-null-space
+    * size sᵢ = #{c : cumsumTotal/cumsum_c − 1 < η} (numpy searchsorted
+    * on the reversed ratio ladder). The bottom-sᵢ eigenvectors Vᵢ get
+    * the Householder alignment (α = ‖Vᵢᵀ1‖/√s; h = α·1 − Vᵢᵀ1
+    * normalized, zeroed under `modTol`), and the multi-weight matrix
+    * Wᵢ = Vᵢ − 2(Vᵢh)hᵀ + (1−α)·w_reg·1ᵀ — whose columns each sum to 1
+    * by the Householder identity, so M stays ones-null: M[N,N] += WWᵀ,
+    * M[i,N] and M[N,i] −= W·1, M[i,i] += sᵢ. Embedding = two smallest
+    * non-null eigenvectors of M. Every reduction decimal-summed on the
+    * 1e-12 grid → [[mlleSampledExactSql]] replays CTE-for-CTE. */
+  def mlleSampledExact(df: DataFrame, idCol: String, arrayCol: String,
+                       dims: Int, n: Int, kNei: Int, locIters: Int,
+                       iters: Int, modTol: Double = 1e-12): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ids, x) = sampleX(df, idCol, arrayCol, dims, n)
+    val m = ids.length
+    val k = kNei
+    require(k <= dims, s"modified LLE needs k <= dims (eigh branch): $k > $dims")
+    val knn = knnSets(d2Grid(x, dims), k)
+    // point-centered local Grams (standard LLE's C, unregularized)
+    val grams = Array.tabulate(m) { i =>
+      val nb = knn(i)
+      Array.tabulate(k, k)((a, b) => decSum((0 until dims).map(f =>
+        r12((x(nb(a))(f) - x(i)(f)) * (x(nb(b))(f) - x(i)(f))))))
+    }
+    // full k-component eigendecomposition per point (descending |λ|;
+    // C is PSD so that's descending λ — sklearn's eigh order)
+    val eig = Array.tabulate(m)(i => powerCompsGrid(grams(i), locIters, k))
+    val lams = Array.tabulate(m, k)((i, c) => eig(i)(c)._1)
+    val vecs = Array.tabulate(m, k)((i, c) => eig(i)(c)._2)
+    // intrinsic-dim ratio + median η over the sample
+    val rho = Array.tabulate(m)(i =>
+      r12(decSum(lams(i).drop(2)) / decSum(lams(i).take(2))))
+    val sorted = rho.sorted
+    val mid = if (m % 2 == 0) Seq(sorted(m / 2 - 1), sorted(m / 2))
+              else Seq(sorted(m / 2))
+    val eta = r12(decSum(mid) / mid.size)
+    // per-point almost-null-space size via the cumsum ratio ladder
+    val sRange = Array.tabulate(m) { i =>
+      val cs = Array.tabulate(k)(c => decSum(lams(i).take(c + 1)))
+      val total = cs(k - 1)
+      (0 until k - 1).count(c => r12(total / cs(c) - 1.0) < eta)
+    }
+    val colsum = Array.tabulate(m, k)((i, c) => decSum(vecs(i)(c)))
+    val acc = Array.fill(m, m)(List.empty[Double])
+    for (i <- 0 until m if sRange(i) > 0) {
+      val nb = knn(i); val s = sRange(i)
+      val reg = r12(0.001 * decSum(lams(i)))
+      val tmp = Array.tabulate(k)(c =>
+        r12(colsum(i)(c) / r12(lams(i)(c) + reg)))
+      val w0 = Array.tabulate(k)(a =>
+        decSum((0 until k).map(c => r12(vecs(i)(c)(a) * tmp(c)))))
+      val ws = decSum(w0)
+      val wreg = w0.map(v => r12(v / ws))
+      // bottom-s eigenvectors (descending order → indices k−s..k−1)
+      val sel = (k - s) until k
+      val alpha = r12(math.sqrt(decSum(sel.map(c =>
+        r12(colsum(i)(c) * colsum(i)(c))))) / math.sqrt(s.toDouble))
+      val h0 = sel.map(c => r12(alpha - colsum(i)(c)))
+      val nh = math.sqrt(decSum(h0.map(v => r12(v * v))))
+      val hh = if (nh < modTol) h0.map(_ => 0.0)
+               else h0.map(v => r12(v / nh))
+      val wadd = wreg.map(v => r12((1.0 - alpha) * v))
+      val vh = Array.tabulate(k)(a => decSum(sel.indices.map(ci =>
+        r12(vecs(i)(sel(ci))(a) * hh(ci)))))
+      // Wi[a][ci] — columns each sum to 1 by the Householder identity
+      val wi = Array.tabulate(k, s)((a, ci) =>
+        r12(vecs(i)(sel(ci))(a) - 2.0 * r12(vh(a) * hh(ci)) + wadd(a)))
+      for (a <- 0 until k; b <- 0 until k)
+        acc(nb(a))(nb(b)) ::= decSum((0 until s).map(ci =>
+          r12(wi(a)(ci) * wi(b)(ci))))
+      for (a <- 0 until k) {
+        val rs = decSum(wi(a))
+        acc(i)(nb(a)) ::= -rs
+        acc(nb(a))(i) ::= -rs
+      }
+      acc(i)(i) ::= s.toDouble
+    }
+    val bigM = Array.tabulate(m, m)((p, q) => decSum(acc(p)(q)))
+    val comps = nullSpace2(bigM, iters)
+    ids.indices.map(i =>
+      (ids(i), r6d(comps(0)._2(i)), r6d(comps(1)._2(i))))
+      .toDF(idCol, "mlle1", "mlle2")
+  }
+
   // ---- SQL twins of the LLE variants -----------------------------------
 
   /** knn(i, j, a) with the LOCAL RANK a = 0..k−1 (the [[knnSets]]
@@ -1388,7 +1489,8 @@ object Manifold {
              |  SQRT(${detS("ROUND(u * u, 12)")}) AS nrm
              |  FROM lu${c}_$t GROUP BY i)""".stripMargin,
           s"""le${c}_$t AS MATERIALIZED (
-             |  SELECT u.i, u.a, ROUND(u.u / n.nrm, 12) AS v
+             |  SELECT u.i, u.a, ROUND(CASE WHEN n.nrm > 0
+             |    THEN u.u / n.nrm ELSE 0.0 END, 12) AS v
              |  FROM lu${c}_$t u JOIN ln${c}_$t n ON n.i = u.i)""".stripMargin)
       }
       val L = s"le${c}_$locIters"
@@ -1536,6 +1638,134 @@ object Manifold {
        |SELECT s.id AS vec_id,
        |  ROUND(v1.v, 6) AS hes1,
        |  ROUND(v2.v, 6) AS hes2
+       |FROM samp s
+       |JOIN pw1_$iters v1 ON v1.i = s.i
+       |JOIN pw2_$iters v2 ON v2.i = s.i
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[mlleSampledExact]]: point-centered local Grams,
+    * the full k-component per-point eigensolve (the shared
+    * [[localEigCtes]] chains at comps = k), regularized weights, the
+    * median-η / cumsum-ratio almost-null-space sizing, Householder
+    * alignment, the multi-weight W and its M contributions, null-space
+    * tail. */
+  def mlleSampledExactSql(table: String, idSql: String,
+                          arraySql: Int => String, dims: Int, n: Int,
+                          kNei: Int, locIters: Int, iters: Int,
+                          modTol: Double = 1e-12): String = {
+    val k = kNei
+    val kdS = s"$k.0"
+    val gTerms = (0 until dims).map(f =>
+      s"CAST(ROUND((sa.x_$f - si.x_$f) * (sb.x_$f - si.x_$f), 12) " +
+        "AS DECIMAL(38,14))").mkString(" + ")
+    val evU = (1 to k).map(c =>
+      s"SELECT i, $c AS c, lam FROM llam$c").mkString("\n  UNION ALL ")
+    val vvU = (1 to k).map(c =>
+      s"SELECT i, $c AS c, a, v FROM le${c}_$locIters")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${sampCtes(table, idSql, arraySql, dims, n)},
+       |${d2PairsCte(dims)},
+       |${knnRankCte(k)},
+       |lg0 AS MATERIALIZED (
+       |  SELECT k1.i, k1.a AS a, k2.a AS b, CAST($gTerms AS DOUBLE) AS c
+       |  FROM knn k1 JOIN knn k2 ON k1.i = k2.i
+       |  JOIN samp si ON si.i = k1.i
+       |  JOIN samp sa ON sa.i = k1.j
+       |  JOIN samp sb ON sb.i = k2.j),
+       |${localEigCtes(kdS, locIters, k)},
+       |ev AS MATERIALIZED (
+       |  $evU),
+       |vv AS MATERIALIZED (
+       |  $vvU),
+       |regt AS (SELECT i, ROUND(0.001 * ${detS("lam")}, 12) AS reg
+       |  FROM ev GROUP BY i),
+       |cs0 AS MATERIALIZED (
+       |  SELECT i, c, ${detS("v")} AS cs FROM vv GROUP BY i, c),
+       |rho AS MATERIALIZED (
+       |  SELECT hi.i, ROUND(hi.s / lo.s, 12) AS r
+       |  FROM (SELECT i, ${detS("lam")} AS s FROM ev WHERE c > 2
+       |        GROUP BY i) hi
+       |  JOIN (SELECT i, ${detS("lam")} AS s FROM ev WHERE c <= 2
+       |        GROUP BY i) lo ON lo.i = hi.i),
+       |med AS (SELECT ROUND(${detS("r")} / COUNT(*), 12) AS eta FROM (
+       |  SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+       |    COUNT(*) OVER () AS cnt FROM rho)
+       |  WHERE rn * 2 = cnt OR rn * 2 = cnt + 1 OR rn * 2 = cnt + 2),
+       |csum AS MATERIALIZED (
+       |  SELECT e1.i, e1.c, ${detS("e2.lam")} AS cs
+       |  FROM ev e1 JOIN ev e2 ON e2.i = e1.i AND e2.c <= e1.c
+       |  GROUP BY e1.i, e1.c),
+       |etar AS (SELECT cc.i, cc.c, ROUND(tt.cs / cc.cs - 1.0, 12) AS er
+       |  FROM csum cc JOIN csum tt ON tt.i = cc.i AND tt.c = $k
+       |  WHERE cc.c < $k),
+       |sr AS MATERIALIZED (
+       |  SELECT e.i, COUNT(*) FILTER (WHERE e.er < m.eta) AS s
+       |  FROM etar e CROSS JOIN med m GROUP BY e.i),
+       |tmp AS (SELECT c0.i, c0.c,
+       |    ROUND(c0.cs / ROUND(e.lam + rg.reg, 12), 12) AS t
+       |  FROM cs0 c0 JOIN ev e ON e.i = c0.i AND e.c = c0.c
+       |  JOIN regt rg ON rg.i = c0.i),
+       |w0 AS MATERIALIZED (
+       |  SELECT v.i, v.a, ${detS("ROUND(v.v * t.t, 12)")} AS w
+       |  FROM vv v JOIN tmp t ON t.i = v.i AND t.c = v.c
+       |  GROUP BY v.i, v.a),
+       |wsum AS (SELECT i, ${detS("w")} AS s FROM w0 GROUP BY i),
+       |wreg AS MATERIALIZED (
+       |  SELECT w0.i, w0.a, ROUND(w0.w / ws.s, 12) AS w
+       |  FROM w0 JOIN wsum ws ON ws.i = w0.i),
+       |alq AS (SELECT c0.i, ${detS("ROUND(c0.cs * c0.cs, 12)")} AS q
+       |  FROM cs0 c0 JOIN sr ON sr.i = c0.i WHERE c0.c > $k - sr.s
+       |  GROUP BY c0.i),
+       |alpha AS MATERIALIZED (
+       |  SELECT sr.i, ROUND(SQRT(q.q) / SQRT(CAST(sr.s AS DOUBLE)), 12)
+       |    AS al
+       |  FROM sr JOIN alq q ON q.i = sr.i WHERE sr.s > 0),
+       |h0 AS (SELECT c0.i, c0.c, ROUND(al.al - c0.cs, 12) AS h
+       |  FROM cs0 c0 JOIN sr ON sr.i = c0.i
+       |  JOIN alpha al ON al.i = c0.i WHERE c0.c > $k - sr.s),
+       |hn AS (SELECT i, SQRT(${detS("ROUND(h * h, 12)")}) AS nh
+       |  FROM h0 GROUP BY i),
+       |hh AS MATERIALIZED (
+       |  SELECT h0.i, h0.c, CASE WHEN hn.nh < $modTol THEN 0.0
+       |    ELSE ROUND(h0.h / hn.nh, 12) END AS h
+       |  FROM h0 JOIN hn ON hn.i = h0.i),
+       |vh AS MATERIALIZED (
+       |  SELECT v.i, v.a, ${detS("ROUND(v.v * h.h, 12)")} AS vh
+       |  FROM vv v JOIN hh h ON h.i = v.i AND h.c = v.c
+       |  GROUP BY v.i, v.a),
+       |wadd AS (SELECT wr.i, wr.a, ROUND((1.0 - al.al) * wr.w, 12) AS ad
+       |  FROM wreg wr JOIN alpha al ON al.i = wr.i),
+       |wi AS MATERIALIZED (
+       |  SELECT v.i, v.a, v.c,
+       |    ROUND(v.v - 2.0 * ROUND(vh.vh * h.h, 12) + ad.ad, 12) AS w
+       |  FROM vv v JOIN hh h ON h.i = v.i AND h.c = v.c
+       |  JOIN vh ON vh.i = v.i AND vh.a = v.a
+       |  JOIN wadd ad ON ad.i = v.i AND ad.a = v.a),
+       |wwt AS MATERIALIZED (
+       |  SELECT w1.i, w1.a AS a, w2.a AS b,
+       |    ${detS("ROUND(w1.w * w2.w, 12)")} AS v
+       |  FROM wi w1 JOIN wi w2 ON w1.i = w2.i AND w1.c = w2.c
+       |  GROUP BY w1.i, w1.a, w2.a),
+       |wrow AS MATERIALIZED (
+       |  SELECT i, a, ${detS("w")} AS s FROM wi GROUP BY i, a),
+       |ct AS MATERIALIZED (
+       |  SELECT k1.j AS ja, k2.j AS jb, t.v AS v
+       |  FROM wwt t JOIN knn k1 ON k1.i = t.i AND k1.a = t.a
+       |  JOIN knn k2 ON k2.i = t.i AND k2.a = t.b
+       |  UNION ALL
+       |  SELECT t.i AS ja, kk.j AS jb, -t.s AS v
+       |  FROM wrow t JOIN knn kk ON kk.i = t.i AND kk.a = t.a
+       |  UNION ALL
+       |  SELECT kk.j AS ja, t.i AS jb, -t.s AS v
+       |  FROM wrow t JOIN knn kk ON kk.i = t.i AND kk.a = t.a
+       |  UNION ALL
+       |  SELECT i AS ja, i AS jb, CAST(s AS DOUBLE) AS v
+       |  FROM sr WHERE s > 0),
+       |${nullSpaceCtes(iters)}
+       |SELECT s.id AS vec_id,
+       |  ROUND(v1.v, 6) AS mlle1,
+       |  ROUND(v2.v, 6) AS mlle2
        |FROM samp s
        |JOIN pw1_$iters v1 ON v1.i = s.i
        |JOIN pw2_$iters v2 ON v2.i = s.i

@@ -1285,6 +1285,25 @@ object MLQueries {
         "embeddings", "vec_id", k => s"embedding[${k + 1}]",
         dims = 16, n = 128, kNei = 8, locIters = 24, iters = 40))),
 
+    Q("ml_lle_modified", // projection/manifold.py:182 LLE
+      // method='modified' (tests/test_manifold.py:109-112): MLLE
+      // (Zhang & Wang 2006) — the 4th and last sklearn LLE method.
+      // Full k-component per-point eigensolve of the POINT-centered
+      // local Gram (k ≤ d_in = sklearn's eigh branch, so no basis
+      // ambiguity), regularized weights V(λ+reg)⁻¹Vᵀ1, median-η
+      // almost-null-space sizing via the cumsum-ratio ladder
+      // (numpy searchsorted), Householder-aligned multi-weights
+      // W = V_s − 2(V_s h)hᵀ + (1−α)w_reg1ᵀ, M += the WWᵀ block with
+      // the −W·1 borders and +s diagonal. Ones stays grid-null by the
+      // Householder column-sum identity; embedding = two smallest
+      // non-null eigenvectors of M.
+      (s, d) => graft.ml.Manifold.mlleSampledExact(
+        emb(s, d), "vec_id", "embedding", dims = 16, n = 128,
+        kNei = 5, locIters = 16, iters = 40),
+      Some(graft.ml.Manifold.mlleSampledExactSql(
+        "embeddings", "vec_id", k => s"embedding[${k + 1}]",
+        dims = 16, n = 128, kNei = 5, locIters = 16, iters = 40))),
+
     Q("ml_freeviz", // projection/freeviz.py:241-383 — force-optimized
       // linear projection: anchors fitted on a deterministic 200-point
       // sample (radial init inlined as literals, same-class attract /

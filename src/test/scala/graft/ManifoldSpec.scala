@@ -149,6 +149,32 @@ class ManifoldSpec extends SparkSpec {
     assert(run(blobs.repartition(7)) == out)
   }
 
+  test("modified-LLE embedding is unit-norm, centered, and partition-stable") {
+    // MLLE's W columns each sum to 1 by the Householder identity
+    // (Wᵀ1 = α·1 + (1−α)·1), so M stays ones-null and the analytic
+    // constant deflation is exact — same observable contract as the
+    // other variants: unit-norm, non-collapsed, ≈⊥ constant,
+    // deterministic under repartitioning.
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Manifold.mlleSampledExact(df, "id", "vec", dims = 8, n = 60,
+          kNei = 5, locIters = 16, iters = 40)
+        .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    val out = run(blobs)
+    assert(out.length == 60)
+    val c1 = out.map(_._2); val c2 = out.map(_._3)
+    assert(math.abs(math.sqrt(c1.map(v => v * v).sum) - 1.0) < 1e-3)
+    assert(c1.distinct.length > 10 && c2.distinct.length > 10)
+    assert(math.abs(c1.sum) < 0.15, s"mlle1 mean ${c1.sum / 60}")
+    assert(run(blobs.repartition(7)) == out)
+    // k > dims would enter sklearn's full_matrices SVD branch whose
+    // null-space basis is implementation-defined — refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      Manifold.mlleSampledExact(blobs, "id", "vec", dims = 4, n = 60,
+        kNei = 5, locIters = 16, iters = 40)
+    }
+    assert(ex.getMessage.contains("k <= dims"))
+  }
+
   test("deterministic across partitionings") {
     val a = Manifold.tsneSampled(blobs, "id", "vec", 40, 10.0, 100)
       .orderBy("id").as[(Long, Double, Double)].collect().toSeq
