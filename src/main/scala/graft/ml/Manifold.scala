@@ -1346,16 +1346,31 @@ object Manifold {
     * eigh branch, so no null-space basis ambiguity). From the
     * eigenpairs: regularized weights w_reg = V diag(1/(λ+reg)) Vᵀ1
     * normalized to Σ=1 (reg = 1e-3·Σλ), the intrinsic-dim ratio
-    * ρᵢ = Σ_{c>2}λ/Σ_{c≤2}λ, η = median(ρ), and the almost-null-space
-    * size sᵢ = #{c : cumsumTotal/cumsum_c − 1 < η} (numpy searchsorted
-    * on the reversed ratio ladder). The bottom-sᵢ eigenvectors Vᵢ get
+    * ρᵢ = Σ_{c>2}λ/Σ_{c≤2}λ (0 when the top-2 mass is exactly 0 — the
+    * rank-deficient case sklearn's float 0/0 turns into NaN), η =
+    * median(ρ), and the almost-null-space size sᵢ = #{c :
+    * cumsumTotal/cumsum_c − 1 < η} + 2 (numpy searchsorted on the
+    * reversed ratio ladder, then sklearn's `s_range += n_components`,
+    * so sᵢ ≥ 2 and every point contributes). sᵢ can reach k+1 (raw
+    * count ≤ k−1): numpy's `V[:, k−sᵢ:]` slice then starts at −1 and
+    * selects ONLY the last column while α's √sᵢ and the +sᵢ diagonal
+    * still use the full sᵢ — replicated here (sklearn's own W algebra
+    * would raise on that shape; we take the 1-column Householder).
+    * The bottom-sᵢ eigenvectors Vᵢ get
     * the Householder alignment (α = ‖Vᵢᵀ1‖/√s; h = α·1 − Vᵢᵀ1
     * normalized, zeroed under `modTol`), and the multi-weight matrix
     * Wᵢ = Vᵢ − 2(Vᵢh)hᵀ + (1−α)·w_reg·1ᵀ — whose columns each sum to 1
     * by the Householder identity, so M stays ones-null: M[N,N] += WWᵀ,
     * M[i,N] and M[N,i] −= W·1, M[i,i] += sᵢ. Embedding = two smallest
     * non-null eigenvectors of M. Every reduction decimal-summed on the
-    * 1e-12 grid → [[mlleSampledExactSql]] replays CTE-for-CTE. */
+    * 1e-12 grid → [[mlleSampledExactSql]] replays CTE-for-CTE.
+    *
+    * Known parity limit: on rank-deficient (but not skipped)
+    * neighborhoods the shared grid eigensolver emits exact 0-vectors
+    * for null components where sklearn's eigh returns an arbitrary
+    * unit-norm null-space basis; those eigenvectors feed colsum, w_reg
+    * and W directly, so MLLE output deviates from sklearn there even
+    * at k ≤ d_in. Both twins encode the identical choice. */
   def mlleSampledExact(df: DataFrame, idCol: String, arrayCol: String,
                        dims: Int, n: Int, kNei: Int, locIters: Int,
                        iters: Int, modTol: Double = 1e-12): DataFrame = {
@@ -1377,22 +1392,29 @@ object Manifold {
     val eig = Array.tabulate(m)(i => powerCompsGrid(grams(i), locIters, k))
     val lams = Array.tabulate(m, k)((i, c) => eig(i)(c)._1)
     val vecs = Array.tabulate(m, k)((i, c) => eig(i)(c)._2)
-    // intrinsic-dim ratio + median η over the sample
-    val rho = Array.tabulate(m)(i =>
-      r12(decSum(lams(i).drop(2)) / decSum(lams(i).take(2))))
+    // intrinsic-dim ratio + median η over the sample; rho = 0 when the
+    // top-2 eigenvalue mass is exactly 0 (rank-deficient neighborhood —
+    // sklearn's float 0/0 would NaN-poison the median; both twins
+    // encode the 0 choice identically)
+    val rho = Array.tabulate(m) { i =>
+      val den = decSum(lams(i).take(2))
+      if (den == 0.0) 0.0 else r12(decSum(lams(i).drop(2)) / den)
+    }
     val sorted = rho.sorted
     val mid = if (m % 2 == 0) Seq(sorted(m / 2 - 1), sorted(m / 2))
               else Seq(sorted(m / 2))
     val eta = r12(decSum(mid) / mid.size)
-    // per-point almost-null-space size via the cumsum ratio ladder
+    // per-point almost-null-space size via the cumsum ratio ladder,
+    // + n_components (=2): sklearn's `s_range += n_components`
+    // (_locally_linear.py method='modified'), so s ≥ 2 always
     val sRange = Array.tabulate(m) { i =>
       val cs = Array.tabulate(k)(c => decSum(lams(i).take(c + 1)))
       val total = cs(k - 1)
-      (0 until k - 1).count(c => r12(total / cs(c) - 1.0) < eta)
+      (0 until k - 1).count(c => r12(total / cs(c) - 1.0) < eta) + 2
     }
     val colsum = Array.tabulate(m, k)((i, c) => decSum(vecs(i)(c)))
     val acc = Array.fill(m, m)(List.empty[Double])
-    for (i <- 0 until m if sRange(i) > 0) {
+    for (i <- 0 until m) {
       val nb = knn(i); val s = sRange(i)
       val reg = r12(0.001 * decSum(lams(i)))
       val tmp = Array.tabulate(k)(c =>
@@ -1401,8 +1423,10 @@ object Manifold {
         decSum((0 until k).map(c => r12(vecs(i)(c)(a) * tmp(c)))))
       val ws = decSum(w0)
       val wreg = w0.map(v => r12(v / ws))
-      // bottom-s eigenvectors (descending order → indices k−s..k−1)
-      val sel = (k - s) until k
+      // bottom-s eigenvectors (descending order → indices k−s..k−1);
+      // s = k+1 replicates numpy's negative-start slice: only the last
+      // column is selected while α and the diagonal keep the full s
+      val sel = (if (k - s >= 0) k - s else k - 1) until k
       val alpha = r12(math.sqrt(decSum(sel.map(c =>
         r12(colsum(i)(c) * colsum(i)(c))))) / math.sqrt(s.toDouble))
       val h0 = sel.map(c => r12(alpha - colsum(i)(c)))
@@ -1413,10 +1437,10 @@ object Manifold {
       val vh = Array.tabulate(k)(a => decSum(sel.indices.map(ci =>
         r12(vecs(i)(sel(ci))(a) * hh(ci)))))
       // Wi[a][ci] — columns each sum to 1 by the Householder identity
-      val wi = Array.tabulate(k, s)((a, ci) =>
+      val wi = Array.tabulate(k, sel.size)((a, ci) =>
         r12(vecs(i)(sel(ci))(a) - 2.0 * r12(vh(a) * hh(ci)) + wadd(a)))
       for (a <- 0 until k; b <- 0 until k)
-        acc(nb(a))(nb(b)) ::= decSum((0 until s).map(ci =>
+        acc(nb(a))(nb(b)) ::= decSum(sel.indices.map(ci =>
           r12(wi(a)(ci) * wi(b)(ci))))
       for (a <- 0 until k) {
         val rs = decSum(wi(a))
@@ -1683,7 +1707,8 @@ object Manifold {
        |cs0 AS MATERIALIZED (
        |  SELECT i, c, ${detS("v")} AS cs FROM vv GROUP BY i, c),
        |rho AS MATERIALIZED (
-       |  SELECT hi.i, ROUND(hi.s / lo.s, 12) AS r
+       |  SELECT hi.i, CASE WHEN lo.s = 0 THEN 0.0
+       |    ELSE ROUND(hi.s / lo.s, 12) END AS r
        |  FROM (SELECT i, ${detS("lam")} AS s FROM ev WHERE c > 2
        |        GROUP BY i) hi
        |  JOIN (SELECT i, ${detS("lam")} AS s FROM ev WHERE c <= 2
@@ -1700,7 +1725,7 @@ object Manifold {
        |  FROM csum cc JOIN csum tt ON tt.i = cc.i AND tt.c = $k
        |  WHERE cc.c < $k),
        |sr AS MATERIALIZED (
-       |  SELECT e.i, COUNT(*) FILTER (WHERE e.er < m.eta) AS s
+       |  SELECT e.i, COUNT(*) FILTER (WHERE e.er < m.eta) + 2 AS s
        |  FROM etar e CROSS JOIN med m GROUP BY e.i),
        |tmp AS (SELECT c0.i, c0.c,
        |    ROUND(c0.cs / ROUND(e.lam + rg.reg, 12), 12) AS t
@@ -1715,15 +1740,19 @@ object Manifold {
        |  SELECT w0.i, w0.a, ROUND(w0.w / ws.s, 12) AS w
        |  FROM w0 JOIN wsum ws ON ws.i = w0.i),
        |alq AS (SELECT c0.i, ${detS("ROUND(c0.cs * c0.cs, 12)")} AS q
-       |  FROM cs0 c0 JOIN sr ON sr.i = c0.i WHERE c0.c > $k - sr.s
+       |  FROM cs0 c0 JOIN sr ON sr.i = c0.i
+       |  WHERE c0.c >= CASE WHEN sr.s > $k THEN $k
+       |                     ELSE $k - sr.s + 1 END
        |  GROUP BY c0.i),
        |alpha AS MATERIALIZED (
        |  SELECT sr.i, ROUND(SQRT(q.q) / SQRT(CAST(sr.s AS DOUBLE)), 12)
        |    AS al
-       |  FROM sr JOIN alq q ON q.i = sr.i WHERE sr.s > 0),
+       |  FROM sr JOIN alq q ON q.i = sr.i),
        |h0 AS (SELECT c0.i, c0.c, ROUND(al.al - c0.cs, 12) AS h
        |  FROM cs0 c0 JOIN sr ON sr.i = c0.i
-       |  JOIN alpha al ON al.i = c0.i WHERE c0.c > $k - sr.s),
+       |  JOIN alpha al ON al.i = c0.i
+       |  WHERE c0.c >= CASE WHEN sr.s > $k THEN $k
+       |                     ELSE $k - sr.s + 1 END),
        |hn AS (SELECT i, SQRT(${detS("ROUND(h * h, 12)")}) AS nh
        |  FROM h0 GROUP BY i),
        |hh AS MATERIALIZED (
@@ -1761,7 +1790,7 @@ object Manifold {
        |  FROM wrow t JOIN knn kk ON kk.i = t.i AND kk.a = t.a
        |  UNION ALL
        |  SELECT i AS ja, i AS jb, CAST(s AS DOUBLE) AS v
-       |  FROM sr WHERE s > 0),
+       |  FROM sr),
        |${nullSpaceCtes(iters)}
        |SELECT s.id AS vec_id,
        |  ROUND(v1.v, 6) AS mlle1,
