@@ -49,6 +49,23 @@ object Tables {
   private val Dec = DecimalType(38, 6)
 
   /** Order-independent exact sum of a double column. */
+  /** Frees the block-manager storage behind an EAGER
+    * `df.localCheckpoint(...)` result. Iterative operators (Lloyd
+    * rounds, BPE merge rounds, label propagation) re-checkpoint a
+    * frame every round; without this, every superseded round's blocks
+    * linger until driver GC happens to collect the RDD reference — at
+    * sweep scale that's hundreds of orphaned block sets inflating
+    * NEIGHBORING queries' wall time (the r15 in-sweep contamination).
+    * Only call on frames whose checkpoint is fully superseded: a
+    * locally-checkpointed RDD cannot be recomputed after unpersist, so
+    * any surviving reference would fail loudly rather than respill. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def exactSum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
 
   /** Exact mean = exact sum / non-null count (single double division). */

@@ -81,10 +81,12 @@ object Bisect {
       val childAsg = members.select(col("id"),
         when(dOf(cFin, 0) <= dOf(cFin, 1), lit(chosen))
           .otherwise(lit(s)).as("newc"))
+      val prevAsg = asg
       asg = asg.join(childAsg, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("newc"), col("cluster")).as("cluster"))
         .localCheckpoint(eager = true)
+      graft.core.Tables.unpersistLocalCheckpoint(prevAsg)
       members.unpersist()
     }
     val out = asg.groupBy("cluster")

@@ -243,6 +243,9 @@ object Clustering {
         .distinct().localCheckpoint(eager = true)
       stable = small.count() == e.count() &&
         small.exceptAll(e).limit(1).count() == 0
+      // the stability probe above was the last read of the old edge
+      // set — free its checkpoint blocks (no-op on round 1's plain plan)
+      graft.core.Tables.unpersistLocalCheckpoint(e)
       e = small
     }
     // at the fixpoint the edges form stars around each component min

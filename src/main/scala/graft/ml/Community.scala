@@ -96,12 +96,15 @@ object Community {
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("u"))
         .orderBy(col("n").desc, col("label").asc)
+      val prev = labels
       labels = counts.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("u").as("node"), col("label"))
       // cut the lineage each round: iterative plans otherwise stack
       // joins into one deep tree (driver-side planning blowup at scale)
       labels = labels.localCheckpoint(eager = true)
+      // free the superseded round's blocks (no-op on the initial plan)
+      graft.core.Tables.unpersistLocalCheckpoint(prev)
     }
     sym.unpersist()
     labels
@@ -216,9 +219,16 @@ object Community {
           .select(col("node"), coalesce(col("c"), col("label")).as("label"))
           .localCheckpoint(eager = true)
         val qNext = qOf(next)
-        if (qNext > q + 1e-12) { labels = next; q = qNext }
-        else improved = false
+        if (qNext > q + 1e-12) {
+          // accepted: the old labels checkpoint is superseded
+          graft.core.Tables.unpersistLocalCheckpoint(labels)
+          labels = next; q = qNext
+        } else {
+          graft.core.Tables.unpersistLocalCheckpoint(next)
+          improved = false
+        }
       }
+      graft.core.Tables.unpersistLocalCheckpoint(moves)
     }
     e.unpersist()
     labels

@@ -695,10 +695,12 @@ object Rules {
         val b = cand.minBy(t => (-t._6, t._1, t._2))
         rules += ((rnd, b._1, b._2, b._3,
           rAway(b._6, 1e6), rAway(b._5, 1e6), rAway(b._4, 1e6)))
+        val prevCur = cur
         cur = cur.withColumn("__w",
             when(col(b._1) <=> lit(b._2),
               round(col("__w") * gamma, 12)).otherwise(col("__w")))
           .localCheckpoint(eager = true)
+        graft.core.Tables.unpersistLocalCheckpoint(prevCur)
       }
     }
     // default rule: weighted majority with the POST-covering weights

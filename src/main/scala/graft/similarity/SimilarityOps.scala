@@ -378,13 +378,20 @@ object SimilarityOps {
         col("cv"), "list_id")
       val dims = (1 to dim).map(i => graft.core.Tables.exactMean(
         element_at(col("cv"), i)).as(s"d$i"))
+      val prev = children
       children = assigned.groupBy(col("list_id"))
         .agg(dims.head, dims.tail: _*)
         .select(col("list_id"),
           array((1 to dim).map(i => col(s"d$i")): _*).as("cent"))
         .localCheckpoint(eager = true)
+      // the new eager checkpoint fully supersedes the previous round's
+      // — free its blocks now instead of leaking them until driver GC
+      // (the r15 in-sweep contamination source)
+      graft.core.Tables.unpersistLocalCheckpoint(prev)
     }
-    HierQuantizer(tops, routed(children).localCheckpoint(eager = true))
+    val out = HierQuantizer(tops, routed(children).localCheckpoint(eager = true))
+    graft.core.Tables.unpersistLocalCheckpoint(children)
+    out
   }
 
   /** Coarse routing shared by the whole IVF family: (corpus rows +
@@ -392,11 +399,16 @@ object SimilarityOps {
     * Flat below the nlist ceiling — the Exchange-free CentroidArgTop
     * kernel over the driver-held centroid list, bit-unchanged vs the
     * old crossJoin+window. Two-level (IMI) above it or when `ntop` is
-    * forced: corpus assignment is the O(√nlist)-per-row two-stage;
-    * query probes rank ALL children per query via a broadcast join +
-    * window — queries are the small side by contract, and this is the
-    * one place top-nprobe across CELLS is needed (same
-    * (cos desc, list_id asc) order as the flat kernel). */
+    * forced: corpus assignment is the O(√nlist)-per-row two-stage, and
+    * query probes are two-stage as well when nprobe < nlist — rank the
+    * ~√nlist tops per query (CentroidArgTop over the driver-held tops,
+    * Exchange-free), equi-join only the matched cells' children, then
+    * keep the top-nprobe children across the probed cells (same
+    * (cos desc, list_id asc) order as the flat kernel). Per-query cost
+    * is O((√nlist + nprobe)·dim) — the r15 O(queries × nlist)
+    * broadcast-and-rank-everything seam is gone. Only nprobe ≥ nlist
+    * (the oracle-identity configs, where every list must be probed)
+    * keeps the exhaustive rank, which is then exact by construction. */
   private[graft] def coarseRoute(queries: DataFrame, corpus: DataFrame,
                                  id: String, vec: String, dim: Int,
                                  nlist: Int, nprobe: Int, lloyd: Int,
@@ -410,20 +422,41 @@ object SimilarityOps {
     } else {
       val q = hierCentroids(corpus, id, vec, dim, nlist,
         if (ntop > 0) ntop else math.ceil(math.sqrt(nlist)).toInt, lloyd)
-      val pw = Window.partitionBy(col(id))
-        .orderBy(col("__pc").desc, col("list_id").asc)
       val qv = col(vec).cast("array<double>")
       val probeCos = graft.functions.VectorExprs.dotD(qv, col("cent")) /
         (graft.functions.VectorExprs.norm2D(qv) * col("__cn"))
+      val probes =
+        if (nprobe >= nlist)
+          // every list is probed — the exhaustive rank IS the answer
+          // (no windowed cut needed, each query keeps all children)
+          queries.crossJoin(broadcast(q.children.select(col("list_id"))))
+        else {
+          // stage 1: rank SURVIVING tops per query (a Lloyd round can
+          // empty a cell; a probe routed only to empty cells would
+          // silently lose its lists on the join below)
+          val surv = q.children.select(col("top_id")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          val survTops = q.tops.filter(t => surv(t._1))
+          // probe enough tops to cover ≈ nprobe children on average
+          // (each top owns ≈ nlist/ntop children)
+          val topsProbed = math.min(survTops.size, math.max(1,
+            math.ceil(nprobe.toDouble * survTops.size / nlist).toInt))
+          val pw = Window.partitionBy(col(id))
+            .orderBy(col("__pc").desc, col("list_id").asc)
+          assignTopR(queries, survTops, qv,
+              graft.functions.CentroidSelect.Cos, asc = false,
+              topsProbed, "__qtop")
+            .join(broadcast(q.children.select(
+              col("top_id").as("__qtop"), col("list_id"), col("cent"),
+              col("__cn"))), Seq("__qtop"))
+            .withColumn("__pc", probeCos)
+            .withColumn("__pr", row_number().over(pw))
+            .filter(col("__pr") <= nprobe)
+            .drop("__qtop", "cent", "__cn", "__pc", "__pr")
+        }
       (hierAssign1(corpus, q.tops, q.children,
          col(vec).cast("array<double>"), "list_id"),
-       queries
-         .crossJoin(broadcast(q.children.select(
-           col("list_id"), col("cent"), col("__cn"))))
-         .withColumn("__pc", probeCos)
-         .withColumn("__pr", row_number().over(pw))
-         .filter(col("__pr") <= nprobe)
-         .drop("cent", "__cn", "__pc", "__pr"))
+       probes)
     }
   }
 
@@ -749,12 +782,20 @@ object SimilarityOps {
       .getOrElse(java.math.BigInteger.ZERO)
     if (est.compareTo(java.math.BigInteger.valueOf(maxPairs)) > 0) {
       val hot = g.getStruct(1)
+      // suggested override: the exact pair estimate rounded UP to one
+      // significant digit — a stable figure to paste into the conf
+      // (under the linear protocol pairs ≈ corpus × (occupancy−1)/2,
+      // so the estimate itself is the sizing rule's output)
+      val mag = java.math.BigInteger.TEN.pow(est.toString.length - 1)
+      val sug = est.add(mag.subtract(java.math.BigInteger.ONE))
+        .divide(mag).multiply(mag)
       throw new IllegalStateException(
         s"semanticDedup would score ~$est within-cluster pairs " +
         s"(> $maxPairs, graft.dedup.maxSemanticPairs): cluster " +
         s"${hot.getLong(1)} alone holds ${hot.getLong(0)} vectors. " +
         "Raise nlist so corpus/nlist shrinks per-cluster volume, or " +
-        "raise graft.dedup.maxSemanticPairs explicitly.")
+        "accept the volume explicitly with " +
+        s"spark.conf.set(\"graft.dedup.maxSemanticPairs\", \"$sug\").")
     }
     val a = scored.select(col("list_id"), col("__sid").as("__id1"),
       col("__sv").as("__v1"))

@@ -118,8 +118,12 @@ object BpeOps {
         replace(c, lit(SEP + a + SEP + SEP + b + SEP),
           lit(SEP + a + b + SEP))
       }
+      val prev = words
       words = words.select(col("n"), chained.as("syms"))
         .localCheckpoint()
+      // no-op on the first (un-checkpointed) frame, frees every
+      // superseded batch checkpoint after
+      graft.core.Tables.unpersistLocalCheckpoint(prev)
     }
     words.select(col("n"),
         explode(split(trim(col("syms"), SEP), SEP + SEP)).as("token"))
@@ -209,6 +213,7 @@ object BpeOps {
             Seq("pair"), "full")
           .select(col("pair"), (coalesce(col("__nn"), lit(0L)) -
             coalesce(col("__no"), lit(0L))).as("__d"))
+        val (prevCounts, prevWords) = (counts, words)
         counts = counts.join(delta, Seq("pair"), "full")
           .select(col("pair"), (coalesce(col("n_occ"), lit(0L)) +
             coalesce(col("__d"), lit(0L))).as("n_occ"))
@@ -217,10 +222,16 @@ object BpeOps {
         words = words.withColumn("syms",
           replace(col("syms"), pat, mergedSym))
           .localCheckpoint()
+        // both new eager checkpoints are materialized — free the
+        // superseded round's blocks instead of leaking them until GC
+        graft.core.Tables.unpersistLocalCheckpoint(prevCounts)
+        graft.core.Tables.unpersistLocalCheckpoint(prevWords)
         if (stats != null) stats += ((r, affN, System.nanoTime - t0))
         r += 1
       }
     }
+    // the pair-count table dies with the loop; only `words` is returned
+    graft.core.Tables.unpersistLocalCheckpoint(counts)
     (merges.toSeq, words)
   }
 }

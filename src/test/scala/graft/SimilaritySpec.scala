@@ -417,6 +417,29 @@ class SimilaritySpec extends SparkSpec {
     assert(run(e.repartition(13)) == got, "partitioning changed the result")
   }
 
+  test("clustered fixture: two-stage probe routing recall@10 is monotone, exact at full probe") {
+    // nprobe < nlist with ntop forced exercises the TWO-STAGE query
+    // path (rank √nlist tops → rank children only in matched cells);
+    // nprobe = nlist falls back to the exhaustive identity path. The
+    // clustered geometry turns routing mistakes into hard recall drops.
+    val e = clustered
+    val q = e.filter(col("vec_id") % 40 === 0) // one query per cluster
+    val bf = SimilarityOps.topKCosine(q, e, "vec_id", "embedding", 16, 10)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recalls = Seq(2, 4, 8).map { np =>
+      val r = SimilarityOps.ivfTopKCosine(q, e, "vec_id", "embedding", 16,
+          10, nlist = 8, nprobe = np, ntop = 3)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (bf intersect r).size.toDouble / bf.size
+    }
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1) + 1e-12),
+      s"two-stage recall not monotone in nprobe: $recalls")
+    assert(recalls.head >= 0.5, s"recall@10 nprobe=2 too low: ${recalls.head}")
+    assert(recalls.last == 1.0, s"full probe not exact: ${recalls.last}")
+  }
+
   test("ChildArgTop: tie-break by id, independent of cell packing order") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
