@@ -188,4 +188,177 @@ object DecisionTree {
        |FROM leaves WHERE rk = 1
        |ORDER BY root_value, leaf_value""".stripMargin
   }
+
+  /** Depth-2 REGRESSION tree (reference Orange/regression/tree.py:16
+    * `TreeLearner` — Orange's own inducer at its binarize=False
+    * default, tested at Orange/tests/test_tree.py:24
+    * `test_regression`): multiway splits on discrete features scored
+    * by the grouped-MSE decrease of
+    * Orange/classification/_tree_scorers.pyx:323 `compute_grouped_MSE`
+    *   score(f) = (Σ_v s_v²/n_v − (Σs_v)²/Σn_v) / N
+    * where the Σ run over attribute values with ≥ `minLeaf` rows, N is
+    * the node size including rows outside valid groups (the scorer's
+    * missing-value punishment), and fewer than 2 valid groups scores 0
+    * (the nvalid guard). Leaves predict the node MEAN (tree.py mean
+    * leaves), argmax over features with ties → feature name ascending.
+    *
+    * Same two-scan contingency shape as [[depth2]]: each level reduces
+    * the corpus to per-(feature, value) moment sums (n_v, Σy — ONE
+    * map-side-combined groupBy), and every score/rank runs over that
+    * tiny table. The inter terms s_v²/n_v go through the coarse
+    * detSum(·, 6) grid (|t| can reach Σy·max y, too big for the 1e-12
+    * grid — see Tables.detSum(scale)); leaf means are exact-decimal
+    * sums rounded at 6. Deviation shared by both twins and the
+    * classification twin: the depth-2 shape always splits, where the
+    * reference would stop at a node whose best score is ≤ 0. Emits
+    * (root_feature, root_value, leaf_feature, leaf_value, n, mean). */
+  def depth2Regression(df: DataFrame, feats: Seq[(String, Column)],
+                       y: Column, minLeaf: Int = 1): DataFrame = {
+    val base = df.select(
+      feats.map { case (n, c) => c.cast("string").as(s"f_$n") } :+
+        y.cast("double").as("yy"): _*)
+      .filter(col("yy").isNotNull)
+
+    val long1 = base.select(explode(array(feats.map { case (n, _) =>
+      struct(lit(n).as("fname"), col(s"f_$n").as("fval"))
+    }: _*)).as("fv"), col("yy"))
+      .select(col("fv.fname"), col("fv.fval"), col("yy"))
+
+    // per-(feature, value) moment sums; null feature values stay
+    // OUTSIDE the groups but inside N (missing-x punishment)
+    val mom1 = long1.filter(col("fval").isNotNull)
+      .groupBy(col("fname"), col("fval"))
+      .agg(count(lit(1)).as("nv"), exactSum(col("yy")).as("sv"))
+    val tot = base.agg(count(lit(1)).cast("double").as("n_all"))
+    val sc1 = mom1.filter(col("nv") >= minLeaf)
+      .groupBy(col("fname"))
+      .agg(detSum(col("sv") * col("sv") / col("nv"), 6).as("inter"),
+        detSum(col("sv"), 6).as("ssum"),
+        sum(col("nv")).cast("double").as("nn"),
+        count(lit(1)).as("nvalid"))
+      .crossJoin(broadcast(tot))
+      .withColumn("score", when(col("nvalid") < 2, lit(0.0)).otherwise(
+        round((col("inter") - col("ssum") * col("ssum") / col("nn")) /
+          col("n_all"), 10)))
+    val pick1 = sc1
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("fname").asc)))
+      .filter(col("rk") === 1)
+      .select(col("fname").as("root_feat"))
+
+    val base2 = base.crossJoin(broadcast(pick1))
+      .withColumn("root_val", coalesce(feats.map { case (n, _) =>
+        when(col("root_feat") === n, col(s"f_$n")) }: _*))
+      .filter(col("root_val").isNotNull)
+
+    val long2 = base2.select(col("root_feat"), col("root_val"), col("yy"),
+      explode(array(feats.map { case (n, _) =>
+        struct(lit(n).as("fname"), col(s"f_$n").as("fval"))
+      }: _*)).as("fv"))
+      .filter(col("fv.fname") =!= col("root_feat"))
+      .select(col("root_feat"), col("root_val"),
+        col("fv.fname"), col("fv.fval"), col("yy"))
+
+    val mom2 = long2.filter(col("fval").isNotNull)
+      .groupBy(col("root_feat"), col("root_val"), col("fname"),
+        col("fval"))
+      .agg(count(lit(1)).as("nv"), exactSum(col("yy")).as("sv"))
+    val tot2 = base2.groupBy(col("root_val"))
+      .agg(count(lit(1)).cast("double").as("n_all2"))
+    val sc2 = mom2.filter(col("nv") >= minLeaf)
+      .groupBy(col("root_val"), col("fname"))
+      .agg(detSum(col("sv") * col("sv") / col("nv"), 6).as("inter"),
+        detSum(col("sv"), 6).as("ssum"),
+        sum(col("nv")).cast("double").as("nn"),
+        count(lit(1)).as("nvalid"))
+      .join(tot2, "root_val")
+      .withColumn("score", when(col("nvalid") < 2, lit(0.0)).otherwise(
+        round((col("inter") - col("ssum") * col("ssum") / col("nn")) /
+          col("n_all2"), 10)))
+    val pick2 = sc2
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("root_val"))
+          .orderBy(col("score").desc, col("fname").asc)))
+      .filter(col("rk") === 1)
+      .select(col("root_val"), col("fname").as("leaf_feat"))
+
+    mom2.as("m").join(pick2.as("p"),
+        col("m.root_val") === col("p.root_val") &&
+        col("m.fname") === col("p.leaf_feat"))
+      .select(col("m.root_feat").as("root_feature"),
+        col("m.root_val").as("root_value"),
+        col("p.leaf_feat").as("leaf_feature"),
+        col("m.fval").as("leaf_value"),
+        col("m.nv").as("n"),
+        round(col("m.sv") / col("m.nv"), 6).as("mean"))
+      .orderBy(col("root_value"), col("leaf_value"))
+  }
+
+  /** DuckDB twin of [[depth2Regression]]: the same moment/score/rank
+    * pipeline as chained CTEs — identical coarse detSum grid, score
+    * rounding and tie order. */
+  def depth2RegressionSql(table: String, feats: Seq[(String, String)],
+                          ySql: String, minLeaf: Int = 1): String = {
+    val longSel = feats.map { case (n, e) =>
+      s"SELECT '$n' AS fname, CAST(($e) AS VARCHAR) AS fval, " +
+        s"CAST(($ySql) AS DOUBLE) AS yy FROM $table " +
+        s"WHERE ($ySql) IS NOT NULL"
+    }.mkString("\n  UNION ALL\n  ")
+    def scoreSql(nAll: String) =
+      s"""CASE WHEN COUNT(*) < 2 THEN 0.0 ELSE
+         |      ROUND((${sqlDetSum("sv * sv / nv", 6)}
+         |        - ${sqlDetSum("sv", 6)} * ${sqlDetSum("sv", 6)}
+         |          / CAST(SUM(nv) AS DOUBLE)) / MAX($nAll), 10)
+         |    END AS score""".stripMargin
+    s"""WITH long1 AS (
+       |  $longSel),
+       |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_all FROM $table
+       |  WHERE ($ySql) IS NOT NULL),
+       |mom1 AS (
+       |  SELECT fname, fval, COUNT(*) AS nv, ${sqlSum("yy")} AS sv
+       |  FROM long1 WHERE fval IS NOT NULL GROUP BY 1, 2),
+       |sc1 AS (
+       |  SELECT fname,
+       |    ${scoreSql("t.n_all")}
+       |  FROM mom1 CROSS JOIN tot t WHERE nv >= $minLeaf
+       |  GROUP BY fname),
+       |pick1 AS (SELECT fname AS root_feat FROM sc1
+       |  ORDER BY score DESC, fname ASC LIMIT 1),
+       |base2 AS (
+       |  SELECT CASE ${feats.map { case (n, e) =>
+           s"WHEN root_feat = '$n' THEN CAST(($e) AS VARCHAR)" }
+           .mkString(" ")} END AS root_val,
+       |    root_feat, CAST(($ySql) AS DOUBLE) AS yy,
+       |    ${feats.map { case (n, e) =>
+           s"CAST(($e) AS VARCHAR) AS f_$n" }.mkString(", ")}
+       |  FROM $table CROSS JOIN pick1
+       |  WHERE ($ySql) IS NOT NULL),
+       |b2 AS (SELECT * FROM base2 WHERE root_val IS NOT NULL),
+       |tot2 AS (SELECT root_val, CAST(COUNT(*) AS DOUBLE) AS n_all2
+       |  FROM b2 GROUP BY root_val),
+       |long2 AS (
+       |  ${feats.map { case (n, _) =>
+           s"SELECT root_feat, root_val, '$n' AS fname, f_$n AS fval, yy " +
+           s"FROM b2 WHERE root_feat <> '$n'" }
+           .mkString("\n  UNION ALL\n  ")}),
+       |mom2 AS (
+       |  SELECT root_feat, root_val, fname, fval, COUNT(*) AS nv,
+       |    ${sqlSum("yy")} AS sv
+       |  FROM long2 WHERE fval IS NOT NULL GROUP BY 1, 2, 3, 4),
+       |sc2 AS (
+       |  SELECT root_val, fname,
+       |    ${scoreSql("t.n_all2")}
+       |  FROM mom2 JOIN tot2 t USING (root_val) WHERE nv >= $minLeaf
+       |  GROUP BY root_val, fname),
+       |pick2 AS (SELECT root_val, fname AS leaf_feat FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY root_val
+       |    ORDER BY score DESC, fname ASC) AS rk FROM sc2)
+       |  WHERE rk = 1)
+       |SELECT m.root_feat AS root_feature, m.root_val AS root_value,
+       |  p.leaf_feat AS leaf_feature, m.fval AS leaf_value, m.nv AS n,
+       |  ROUND(m.sv / m.nv, 6) AS mean
+       |FROM mom2 m JOIN pick2 p ON p.root_val = m.root_val
+       |  AND p.leaf_feat = m.fname
+       |ORDER BY root_value, leaf_value""".stripMargin
+  }
 }

@@ -902,6 +902,30 @@ object MLQueries {
           ("disc_bin", "CAST(FLOOR(l_discount * 20) AS BIGINT)")),
         "l_linestatus"))),
 
+    Q("ml_tree_regression", // regression/tree.py:16 TreeLearner —
+      // Orange's own regression inducer (binarize=False default):
+      // depth-2 multiway tree, splits scored by the grouped-MSE
+      // decrease of _tree_scorers.pyx:323 compute_grouped_MSE
+      // ((Σ s_v²/n_v − (Σs_v)²/n)/N over ≥min_leaf groups, 0 under 2
+      // valid groups), mean leaves (test_tree.py:24 test_regression).
+      // Same two-scan moment-algebra shape as ml_decision_tree; the
+      // oracle replays the induction CTE-for-CTE, coarse detSum grid
+      // on the s²/n terms.
+      (s, d) => graft.ml.DecisionTree.depth2Regression(
+        li(s, d),
+        Seq(("flag", col("l_returnflag")),
+          ("status", col("l_linestatus")),
+          ("disc_bin", floor(col("l_discount") * 20)),
+          ("tax_bin", floor(col("l_tax") * 25))),
+        col("l_quantity")),
+      Some(graft.ml.DecisionTree.depth2RegressionSql(
+        "lineitem",
+        Seq(("flag", "l_returnflag"),
+          ("status", "l_linestatus"),
+          ("disc_bin", "CAST(FLOOR(l_discount * 20) AS BIGINT)"),
+          ("tax_bin", "CAST(FLOOR(l_tax * 25) AS BIGINT)")),
+        "l_quantity"))),
+
     Q("ml_random_forest", // classification/random_forest.py (sklearn
       // RandomForestClassifier) — deterministic forest of bagged depth-2
       // contingency trees: md5-hash Bernoulli(0.632) row bags, cyclic
