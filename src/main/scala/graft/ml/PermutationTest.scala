@@ -34,26 +34,35 @@ object PermutationTest {
     val base = df.select(col(id).cast("long").as("__id"),
       x.cast("double").as("__x"), y.cast("double").as("__y"))
     // perm 0 keeps labels; perm p reorders labels by the seeded
-    // md5-order permutation (np.random.shuffle's deterministic twin)
-    val perms = (0 to nPerm).map { p =>
-      if (p == 0)
-        base.select(lit(0).as("perm"), col("__id"), col("__x"),
-          col("__y"), col("__y").as("__yp"))
-      else {
-        val left = graft.functions.RankOps.rowNumber(
-          base, Seq(col("__id")), "__rn")
-        // NB: RankOps.rowNumber claims "__pid" internally — keep the
-        // carried id under a non-colliding name
-        val permuted = graft.functions.RankOps.rowNumber(
-          base.select(col("__id").as("__lid"), col("__y").as("__yp")),
-          Seq(md5(concat(lit(s"perm$p#"), col("__lid").cast("string"))),
-            col("__lid")), "__rn")
-          .select(col("__rn"), col("__yp"))
-        left.join(permuted, "__rn")
-          .select(lit(p).as("perm"), col("__id"), col("__x"),
-            col("__y"), col("__yp"))
-      }
-    }.reduce(_.unionByName(_))
+    // md5-order permutation (np.random.shuffle's deterministic twin).
+    // ALL permutations come from ONE exploded projection with two
+    // per-perm windows — not a per-permutation driver loop: the old
+    // shape paid 2 eager rank checkpoints + a shuffle join PER
+    // permutation (~3 s of pure job-launch each on a 300-row input);
+    // this one is a single lazy plan whose windows partition by perm,
+    // so perms rank in parallel and the pairing (hence every output
+    // bit and the unchanged oracle SQL) is identical. Per-perm window
+    // partitions hold one diagnostic sample each — bounded by the
+    // operator's sample contract, never corpus-sized.
+    val permKey = md5(concat(lit("perm"), col("perm").cast("string"),
+      lit("#"), col("__lid").cast("string")))
+    val left = base
+      .select(explode(sequence(lit(1), lit(nPerm))).as("perm"),
+        col("__id"), col("__x"), col("__y"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("perm")).orderBy(col("__id"))))
+    val right = base
+      .select(explode(sequence(lit(1), lit(nPerm))).as("perm"),
+        col("__id").as("__lid"), col("__y").as("__yp"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("perm")).orderBy(permKey, col("__lid"))))
+      .select(col("perm"), col("__rn"), col("__yp"))
+    val perms = base
+      .select(lit(0).as("perm"), col("__id"), col("__x"), col("__y"),
+        col("__y").as("__yp"))
+      .unionByName(left.join(right, Seq("perm", "__rn"))
+        .select(col("perm"), col("__id"), col("__x"), col("__y"),
+          col("__yp")))
     val withFold = perms.withColumn("fold",
       pmod(Tables.hashVal32(concat(lit("fold#"),
         col("__id").cast("string"))), lit(folds)))
