@@ -36,6 +36,11 @@ object RecallBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_EXH_PROBES=1 forces the pre-r16 exhaustive
+    // rank-all-children query-probe shape on the two-level path — the
+    // A/B control for the O(q·nlist) → O(q·(√nlist+nprobe)) claim
+    val exh = sys.env.get("SPARK_GRAFT_EXH_PROBES").contains("1")
+    if (exh) spark.conf.set("graft.ann.exhaustiveProbes", "true")
     import spark.implicits._
 
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
@@ -61,15 +66,25 @@ object RecallBench {
       SimilarityOps.topKCosine(q, e, "vec_id", "embedding", dim, k)))
     println(f"""{"op":"bruteforce","k":$k,"recall":1.0,"cold_sec":$bfCold%.2f,"warm_sec":$bfWarm%.2f}""")
 
+    // SPARK_GRAFT_PROBE_AB=1 runs each ivf config twice — two-stage
+    // then exhaustive probes — sharing the session and ground truth
+    val abModes =
+      if (sys.env.get("SPARK_GRAFT_PROBE_AB").contains("1")) Seq(false, true)
+      else Seq(exh)
     for (np <- nprobes) {
-      def ivf = SimilarityOps.ivfTopKCosine(
-        q, e, "vec_id", "embedding", dim, k, nlist, np)
-      val (_, c1) = timed(ivf.count())
-      val (got, w1) = timed(pairs(ivf))
-      val r1 = (got intersect bf).size.toDouble / bf.size
-      println(f"""{"op":"ann_ivf","nlist":$nlist,"nprobe":$np,"k":$k,"recall":$r1%.4f,"cold_sec":$c1%.2f,"warm_sec":$w1%.2f}""")
+      for (exhM <- abModes) {
+        spark.conf.set("graft.ann.exhaustiveProbes", exhM.toString)
+        def ivf = SimilarityOps.ivfTopKCosine(
+          q, e, "vec_id", "embedding", dim, k, nlist, np)
+        val (_, c1) = timed(ivf.count())
+        val (got, w1) = timed(pairs(ivf))
+        val r1 = (got intersect bf).size.toDouble / bf.size
+        println(f"""{"op":"ann_ivf","nlist":$nlist,"nprobe":$np,"k":$k,"recall":$r1%.4f,"cold_sec":$c1%.2f,"warm_sec":$w1%.2f,"exh_probes":$exhM}""")
+      }
+      spark.conf.set("graft.ann.exhaustiveProbes", exh.toString)
 
-      for (m <- ms) {
+      // m = 0 skips the PQ rows (the probe-routing A/B needs only ivf)
+      for (m <- ms.filter(_ > 0)) {
         def ivfpq = SimilarityOps.ivfPqTopKCosine(
           q, e, "vec_id", "embedding", dim, k, nlist, np, m = m)
         val (_, c2) = timed(ivfpq.count())
