@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** Table loading + deterministic-arithmetic helpers.
   *
@@ -115,14 +115,49 @@ object Tables {
     * per-term libm ulp (absorbed by the rounding). Used wherever a sum of
     * *derived* doubles (entropy terms, distances, densities) feeds an
     * oracle-compared result. */
-  def detSum(term: Column): Column =
-    sum(round(term, 12).cast(DecimalType(38, 14))).cast(DoubleType)
+  def detSum(term: Column): Column = {
+    // Bit-identical fast path of the original decimal formulation
+    //   sum(round(term, 12).cast(DecimalType(38, 14))).cast(double).
+    // round(term, 12) is exactly k·10⁻¹² for an integer k (the shortest
+    // decimal repr of the rounded double IS k·10⁻¹² while |k| ≲ 2⁵¹, so
+    // the decimal cast recovers precisely k at scale 14), hence the
+    // decimal sum is Σk·10⁻¹². The fast path recovers k per row as a
+    // LONG — d·10¹² lands within |k|·2⁻⁵² ≪ 0.5 of k, so the half-up
+    // floor is exact — and sums three radix-2²¹ digits as plain longs:
+    // whole-stage-codegen primitive adds instead of a precision-38
+    // decimal agg buffer that boxes a BigDecimal per row (measured ~3×
+    // on moment scans, see scaledLongSum). The digit sums recombine in
+    // DECIMAL (exact, per GROUP not per row) and Σk·10⁻¹² converts
+    // through the string-exponent cast, which parses correctly rounded —
+    // the same double the decimal cast produced. Caller contract
+    // (unchanged in spirit, tightened 4×): max|term|·10¹² < 2⁵¹, i.e.
+    // |term| ≤ ~2.2·10³ — every scale-12 caller pre-scales far below
+    // (entropy terms, distances, centered moments of ~[0,1] features).
+    // NaN terms: round keeps NaN, floor→long maps it to 0 — additive
+    // identity, same net effect as the decimal path's NULL-skip. Digit
+    // sums overflow only past 2⁴² rows per group (scaledLongSum bound).
+    // Terms that may exceed the 2⁵¹ grid use detSum(term, scale) below,
+    // which keeps the exact-at-any-magnitude decimal accumulator.
+    val x = floor(round(term, 12) * lit(1e12) + lit(0.5))
+    val m = lit((1L << 21) - 1)
+    val dec = DecimalType(38, 0)
+    val hi = sum(shiftright(x, 42)).cast(dec) * lit(1L << 42)
+    val mid = sum(shiftright(x, 21).bitwiseAND(m)).cast(dec) * lit(1L << 21)
+    val lo = sum(x.bitwiseAND(m)).cast(dec)
+    concat((hi + mid + lo).cast(StringType), lit("E-12")).cast(DoubleType)
+  }
 
   /** detSum with an explicit rounding scale. Use a COARSER scale for
     * large-magnitude terms: round(t, 12) on |t| ≳ 10⁴ makes t·10¹²
     * exceed 2⁵³, where DuckDB's float-path ROUND loses ulps that
     * Spark's decimal-semantics ROUND doesn't — the engines then
-    * disagree. Pick scale so max|t|·10^scale < 2⁵³. */
+    * disagree. Pick scale so max|t|·10^scale < 2⁵³.
+    *
+    * Deliberately NOT on the split-radix long fast path: coarse-scale
+    * callers exist precisely because their terms are large (up to the
+    * 2⁵³ grid edge, beyond the long path's 2⁵¹ exact-recovery bound),
+    * and they all sum GROUP-level rows (dozens–thousands), where the
+    * decimal accumulator costs nothing measurable. */
   def detSum(term: Column, scale: Int): Column =
     sum(round(term, scale).cast(DecimalType(38, scale + 2))).cast(DoubleType)
 
