@@ -49,8 +49,16 @@ object DecisionTree {
     }: _*)).as("fv"), col("cls"))
       .select(col("fv.fname"), col("fv.fval"), col("cls"))
 
+    // Eagerly checkpoint the contingency: it is TINY
+    // (|features|·|values|·|classes| rows) but consumed by several
+    // downstream subtrees (entropy ranks, the leaf join), and without
+    // materialization Catalyst inlines the whole corpus scan into each
+    // consumer — the physical plan held 8 parquet scans / 24 exchanges
+    // for a conceptually 2-scan induction (r16 plan audit). With the
+    // two contingencies pinned, the corpus is scanned exactly twice.
     val cont1 = long1.groupBy(col("fname"), col("fval"), col("cls"))
       .agg(count(lit(1)).as("nvc"))
+      .localCheckpoint(true)
     val wV1 = Window.partitionBy(col("fname"), col("fval"))
     val wF1 = Window.partitionBy(col("fname"))
     val h1 = cont1
@@ -82,6 +90,7 @@ object DecisionTree {
       .groupBy(col("root_feat"), col("root_val"), col("fname"),
         col("fval"), col("cls"))
       .agg(count(lit(1)).as("nvc"))
+      .localCheckpoint(true) // second (and last) corpus scan
     val wV2 = Window.partitionBy(col("root_val"), col("fname"), col("fval"))
     val wF2 = Window.partitionBy(col("root_val"), col("fname"))
     val h2 = cont2
@@ -224,12 +233,23 @@ object DecisionTree {
     }: _*)).as("fv"), col("yy"))
       .select(col("fv.fname"), col("fv.fval"), col("yy"))
 
-    // per-(feature, value) moment sums; null feature values stay
-    // OUTSIDE the groups but inside N (missing-x punishment)
-    val mom1 = long1.filter(col("fval").isNotNull)
+    // per-(feature, value) moment sums — null feature values KEPT as
+    // their own group here (they stay outside the scored groups but
+    // inside N, the missing-x punishment) so that the node total can
+    // be derived from this same tiny table instead of a separate
+    // corpus subtree. Eagerly checkpointed: it is |features|·|values|
+    // rows but consumed by scores, totals and leaves — without
+    // materialization Catalyst inlined the corpus scan into every
+    // consumer (18 parquet scans / 34 exchanges for this conceptually
+    // 2-scan induction, 32.6 s cold; r16 plan audit).
+    val mom1all = long1
       .groupBy(col("fname"), col("fval"))
       .agg(count(lit(1)).as("nv"), exactSum(col("yy")).as("sv"))
-    val tot = base.agg(count(lit(1)).cast("double").as("n_all"))
+      .localCheckpoint(true)
+    val mom1 = mom1all.filter(col("fval").isNotNull)
+    // |base| = Σ nv over any one feature's groups (nulls included)
+    val tot = mom1all.filter(col("fname") === feats.head._1)
+      .agg(sum(col("nv")).cast("double").as("n_all"))
     val sc1 = mom1.filter(col("nv") >= minLeaf)
       .groupBy(col("fname"))
       .agg(detSum(col("sv") * col("sv") / col("nv"), 6).as("inter"),
@@ -259,12 +279,19 @@ object DecisionTree {
       .select(col("root_feat"), col("root_val"),
         col("fv.fname"), col("fv.fval"), col("yy"))
 
-    val mom2 = long2.filter(col("fval").isNotNull)
+    // null-fval groups kept for the same reason as level 1; second
+    // (and last) corpus scan
+    val mom2all = long2
       .groupBy(col("root_feat"), col("root_val"), col("fname"),
         col("fval"))
       .agg(count(lit(1)).as("nv"), exactSum(col("yy")).as("sv"))
-    val tot2 = base2.groupBy(col("root_val"))
-      .agg(count(lit(1)).cast("double").as("n_all2"))
+      .localCheckpoint(true)
+    val mom2 = mom2all.filter(col("fval").isNotNull)
+    // every base2 row contributes exactly (|feats|−1) long2 rows, so
+    // the per-branch node size falls out of the same checkpointed table
+    val tot2 = mom2all.groupBy(col("root_val"))
+      .agg((sum(col("nv")) / lit(feats.size - 1)).cast("double")
+        .as("n_all2"))
     val sc2 = mom2.filter(col("nv") >= minLeaf)
       .groupBy(col("root_val"), col("fname"))
       .agg(detSum(col("sv") * col("sv") / col("nv"), 6).as("inter"),

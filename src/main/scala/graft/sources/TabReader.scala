@@ -90,9 +90,65 @@ object TabReader {
     * try_to_timestamp probes, NULL only when no format fits (the
     * reference raises; a NULL row surfaces the same rows through
     * IsDefined filters). */
+  /** Cheap NECESSARY pre-conditions for pattern `fmt` to parse a string:
+    * exact length (every TimeFormats token is fixed-width — Spark's
+    * strict `yyyy` rejects 5-digit years, verified; a trailing `Z`
+    * zone-offset widens the length to a [L+1, L+6] band) plus the
+    * literal separators at their fixed positions. Returns None (no
+    * gate) for patterns with variable-width tokens (the locale `d.M.y`
+    * family). A gate can only SKIP a parse that was guaranteed to fail:
+    * probe semantics (first matching format wins) are unchanged, but a
+    * non-matching format costs a length/char compare instead of an
+    * exception-driven formatter failure — the probe chain was ~14
+    * doomed parse attempts per row for late-format rows. */
+  private[graft] def probeGate(c: Column, fmt: String): Option[Column] = {
+    var i = 0; var pos = 0
+    var lits = List.empty[(Int, Char)]
+    var zTail = false
+    var ok = true
+    while (ok && i < fmt.length) {
+      val ch = fmt(i)
+      if (ch == '\'') {
+        val end = fmt.indexOf('\'', i + 1)
+        if (end < 0) ok = false
+        else {
+          val body = fmt.substring(i + 1, end)
+          val chars = if (body.isEmpty) "'" else body
+          chars.foreach { lc => lits ::= (pos, lc); pos += 1 }
+          i = end + 1
+        }
+      } else if (ch.isLetter) {
+        val run = fmt.substring(i).takeWhile(_ == ch).length
+        (ch, run) match {
+          case ('y', 4) => pos += 4
+          case ('M', 2) | ('d', 2) | ('H', 2) | ('m', 2) | ('s', 2) =>
+            pos += 2
+          case ('D', 3) => pos += 3
+          case ('S', n) => pos += n
+          case ('Z', 1) if i + run == fmt.length => zTail = true
+          case _ => ok = false // variable-width or unknown: no gate
+        }
+        i += run
+      } else { lits ::= (pos, ch); pos += 1; i += 1 }
+    }
+    if (!ok) None
+    else {
+      val lenGate =
+        if (zTail) length(c).between(pos + 1, pos + 6)
+        else length(c) === pos
+      Some(lits.reverse.foldLeft(lenGate) { case (g, (p, lc)) =>
+        g && substring(c, p + 1, 1) === lc.toString })
+    }
+  }
+
   def timeProbe(c: Column, locale: Boolean = false): Column = {
     val fmts = TimeFormats ++ (if (locale) LocaleTimeFormats else Nil)
-    coalesce(fmts.map(f => try_to_timestamp(c, lit(f))): _*)
+    coalesce(fmts.map { f =>
+      probeGate(c, f) match {
+        case Some(g) => when(g, try_to_timestamp(c, lit(f)))
+        case None    => try_to_timestamp(c, lit(f))
+      }
+    }: _*)
   }
 
   /** Per-column import override (the CSV-import widget's column-type
