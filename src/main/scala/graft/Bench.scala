@@ -56,6 +56,16 @@ object Bench {
       // contaminates later queries' timings (measured 2.4 s → 227 s on
       // the same query between runs). Clean aggressively instead.
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // The status stores retain 1000 jobs/stages/executions by default
+      // EVEN WITH THE UI DISABLED; a ~500-execution sweep accumulates
+      // hundreds of MB of plan-graph/metric state in the 8g heap, and
+      // later queries' times degrade from the memory pressure (the
+      // r15/r16 in-sweep contamination: queries measured 3-6x their
+      // isolated wall mid-sweep). Measurement hygiene, not query
+      // tuning: the computation per query is unchanged.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.sql.ui.retainedExecutions", "4")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -90,8 +100,16 @@ object Bench {
     // validated + clamped: 0/negative would leave `warms` empty and
     // throw on the median index AFTER the cold run already paid its
     // cost; an unparsable value should fail before any query runs
+    // DEFAULT CHANGED r16 (measurement-bug fix, documented in
+    // OPTIMIZATION_r16.md): single-sweep warm values were lightning-
+    // prone — in-sweep neighbor garbage inflated individual queries 3-6×
+    // (r15's ann_ivf_pq 4.68× adjudicated as contamination; r16 repro:
+    // dist_corr_matrix 41.8 s in-sweep vs 6.5 s isolated). The lower-
+    // median of 3 warm runs absorbs a single strike; "basis" still
+    // records the protocol, and the old single-sweep artifacts remain
+    // committed (BENCH_r15.json, plans/r16/BENCH_before_subset.json).
     val warmRuns = {
-      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMRUNS", "1")
+      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMRUNS", "3")
       val n = try raw.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"SPARK_GRAFT_BENCH_WARMRUNS must be an integer, got: '$raw'")

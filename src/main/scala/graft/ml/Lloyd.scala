@@ -62,14 +62,18 @@ object Lloyd {
       (0 until d).map { j =>
         val e = col(s"x_${feats(j)._1}") - col(s"cc_${c}_$j"); e * e
       }.reduce(_ + _)
-    // suffix argmin chain — arm c: d_c ≤ d_j ∀ j > c, first arm wins
-    def clusterOf: Column = {
-      val ds = (0 until k).map(distOf)
-      (0 until k - 1).foldRight(lit(k - 1)) { (c, rest) =>
-        when((c + 1 until k).map(j => ds(c) <= ds(j)).reduce(_ && _),
-          lit(c)).otherwise(rest)
-      }
-    }
+    // argmin with ties to the lowest cluster = FIRST index of the array
+    // minimum. Identical value to the previous suffix CASE chain
+    // (arm c: d_c ≤ d_j ∀ j > c), but each distance polynomial is
+    // evaluated ONCE: the chain inlined every d_c into ~k²/2
+    // comparisons, and at k=5·d=8 the iteration stage codegen'd to a
+    // 6.7k-line unit — janino took seconds to compile it and
+    // intermittently bailed to interpreted execution mid-sweep
+    // (ml_kmeans_embeddings cold 13-15 s, the r16 sweep's flaky
+    // InternalCompilerException).
+    def dsArr: Column = array((0 until k).map(distOf): _*)
+    def clusterOf: Column =
+      (array_position(dsArr, array_min(dsArr)) - 1).cast("int")
     // exact split-radix sum — overflow-proof to 2⁴² rows/cluster at
     // long speed (see Tables.scaledLongSum)
     def scaledSum(c: Column): Column = Tables.scaledLongSum(c)
@@ -94,13 +98,12 @@ object Lloyd {
       }
     }
 
-    // final assignment: sizes + per-cluster inertia + centroid echo
+    // final assignment: sizes + per-cluster inertia + centroid echo —
+    // the own-cluster distance is element_at(ds, cluster+1), the same
+    // double the previous per-cluster CASE re-selection produced
     val asg = base.crossJoin(broadcast(centDF(cent)))
-      .select(clusterOf.as("cluster") +:
-        (0 until k).map(c => distOf(c).as(s"d_$c")): _*)
-    val inertiaTerm = (0 until k - 1).foldRight(col(s"d_${k - 1}")) {
-      (c, rest) => when(col("cluster") === c, col(s"d_$c")).otherwise(rest)
-    }
+      .select(clusterOf.as("cluster"), dsArr.as("__ds"))
+    val inertiaTerm = element_at(col("__ds"), col("cluster") + 1)
     val grouped = asg.groupBy("cluster").agg(
       count(lit(1)).as("size"),
       round(Tables.detSum(inertiaTerm), 6).as("inertia"))

@@ -696,18 +696,30 @@ object TextQueries {
           0.3, maxDocFreq = Some(50))
         val canon = DedupOps.canonicalize(exactKeep, pairs, "doc_id")
           .filter(col("keep") === 1).select(col("doc_id"))
-        val kept = exactKeep.join(canon, "doc_id")
-          .select(col("lang"), col("doc_id"),
+        // Stage counts from TWO corpus passes instead of four: pass 1 =
+        // one conditional aggregation over the raw docs (n_raw +
+        // n_quality per lang); pass 2 = the exact-kept survivors with a
+        // canon membership flag (n_exact, and n_final/total_tokens as
+        // conditional aggregates). Same counts, same left-join NULL
+        // semantics (a lang with 0 quality docs has no exactKeep rows —
+        // the left join keeps its NULLs for the COALESCE below).
+        val kept = exactKeep.join(canon.withColumn("__c", lit(1)),
+            Seq("doc_id"), "left")
+          .select(col("lang"), col("__c"),
             TextOps.nTokens(col("text")).cast("long").as("n_tok"))
         val stages = dd.groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_raw"))
-          .join(quality.groupBy(col("lang"))
-            .agg(count(lit(1)).as("n_quality")), Seq("lang"), "left")
-          .join(exactKeep.groupBy(col("lang"))
-            .agg(count(lit(1)).as("n_exact")), Seq("lang"), "left")
+          .agg(count(lit(1)).as("n_raw"),
+            count(when(TextOps.keepDecision(col("text")), 1))
+              .as("n_quality0"))
+          .select(col("lang"), col("n_raw"),
+            when(col("n_quality0") > 0, col("n_quality0")).as("n_quality"))
           .join(kept.groupBy(col("lang"))
-            .agg(count(lit(1)).as("n_final"),
-              sum(col("n_tok")).as("total_tokens")), Seq("lang"), "left")
+            .agg(count(lit(1)).as("n_exact"),
+              count(when(col("__c") === 1, 1)).as("n_final0"),
+              sum(when(col("__c") === 1, col("n_tok"))).as("total_tokens0"))
+            .select(col("lang"), col("n_exact"),
+              when(col("n_final0") > 0, col("n_final0")).as("n_final"),
+              col("total_tokens0").as("total_tokens")), Seq("lang"), "left")
         stages.select(col("lang"), col("n_raw"),
             coalesce(col("n_quality"), lit(0L)).as("n_quality"),
             coalesce(col("n_exact"), lit(0L)).as("n_exact"),

@@ -82,22 +82,27 @@ object DedupOps {
                    threshold: Double,
                    maxDocFreq: Option[Int] = None): DataFrame = {
     val shAll = shingleTable(df, id, text, n)
+    // ONE doc-frequency reduction serves both the stop-shingle cap and
+    // the fail-fast pair estimate below (it previously ran twice: once
+    // inside the capped-join plan and once re-grouping the cached
+    // retained shingles — a full extra pass over the shingle table).
+    // Checkpointed eagerly: it is one row per distinct shingle, consumed
+    // by two independent subtrees.
+    val dfreqAll = shAll.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .localCheckpoint(true)
     val sh = (maxDocFreq match {
       case Some(cap) =>
-        val dfreq = shAll.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap)
-          .select(col("shingle"))
-        shAll.join(dfreq, "shingle")
+        shAll.join(dfreqAll.filter(col("__df") <= cap)
+          .select(col("shingle")), "shingle")
       case None => shAll
     }).cache()
     // fail-fast skew guard: the shingle self-join below materializes
-    // exactly Σ df·(df−1)/2 candidate rows; estimate it from one
-    // aggregate over the (already cached) retained shingles and refuse
-    // a job that can only end in a disk-filling shuffle. Scale paths
-    // that stay sub-quadratic at any corpus size: a maxDocFreq cap
-    // (dedup_ngram_jaccard_capped) or MinHash-LSH banding
-    // (dedup_minhash_lsh / minhashBandPairs).
+    // exactly Σ df·(df−1)/2 candidate rows; estimate it from the
+    // retained document frequencies and refuse a job that can only end
+    // in a disk-filling shuffle. Scale paths that stay sub-quadratic at
+    // any corpus size: a maxDocFreq cap (dedup_ngram_jaccard_capped)
+    // or MinHash-LSH banding (dedup_minhash_lsh / minhashBandPairs).
     val maxPairs = df.sparkSession.conf
       .getOption("graft.dedup.maxJaccardPairs").map(_.toLong)
       .getOrElse(DefaultMaxJaccardPairs)
@@ -105,8 +110,8 @@ object DedupOps {
       // decimal throughout: df·(df−1) overflows a long once df > ~3e9,
       // which a 100 TB hot shingle can reach
       val d = col("__df").cast("decimal(19,0)")
-      Option(sh.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("__df"))
+      Option(maxDocFreq.fold(dfreqAll)(cap =>
+            dfreqAll.filter(col("__df") <= cap))
           .agg(sum((d * (d - 1) / 2).cast("decimal(38,0)")).as("p"))
           .head.getDecimal(0))
         .map(_.toBigInteger).getOrElse(java.math.BigInteger.ZERO)
