@@ -115,8 +115,18 @@ object Tables {
     * per-term libm ulp (absorbed by the rounding). Used wherever a sum of
     * *derived* doubles (entropy terms, distances, densities) feeds an
     * oracle-compared result. */
-  def detSum(term: Column): Column = {
-    // Bit-identical fast path of the original decimal formulation
+  def detSum(term: Column): Column =
+    sum(round(term, 12).cast(DecimalType(38, 14))).cast(DoubleType)
+
+  /** Opt-in fast path of [[detSum]] for callers whose terms are
+    * PROVABLY pre-scaled small: bit-identical while
+    * max|term|·10¹² < 2⁵¹ (i.e. |term| ≲ 2.2·10³). Callers must argue
+    * the bound at the call site — the r16 ScoringSpec fixture showed
+    * raw-magnitude terms (LOF reach distances ~10⁹) silently saturate
+    * the long grid where the decimal path stays exact, so this is NOT
+    * a drop-in replacement for the general-purpose detSum. */
+  def detSumFast(term: Column): Column = {
+    // Bit-identical fast path of the decimal formulation
     //   sum(round(term, 12).cast(DecimalType(38, 14))).cast(double).
     // round(term, 12) is exactly k·10⁻¹² for an integer k (the shortest
     // decimal repr of the rounded double IS k·10⁻¹² while |k| ≲ 2⁵¹, so
@@ -129,15 +139,10 @@ object Tables {
     // on moment scans, see scaledLongSum). The digit sums recombine in
     // DECIMAL (exact, per GROUP not per row) and Σk·10⁻¹² converts
     // through the string-exponent cast, which parses correctly rounded —
-    // the same double the decimal cast produced. Caller contract
-    // (unchanged in spirit, tightened 4×): max|term|·10¹² < 2⁵¹, i.e.
-    // |term| ≤ ~2.2·10³ — every scale-12 caller pre-scales far below
-    // (entropy terms, distances, centered moments of ~[0,1] features).
+    // the same double the decimal cast produced.
     // NaN terms: round keeps NaN, floor→long maps it to 0 — additive
     // identity, same net effect as the decimal path's NULL-skip. Digit
     // sums overflow only past 2⁴² rows per group (scaledLongSum bound).
-    // Terms that may exceed the 2⁵¹ grid use detSum(term, scale) below,
-    // which keeps the exact-at-any-magnitude decimal accumulator.
     val x = floor(round(term, 12) * lit(1e12) + lit(0.5))
     val m = lit((1L << 21) - 1)
     val dec = DecimalType(38, 0)

@@ -20,7 +20,8 @@ import graft.queries.SqlGen._
   * same catastrophic-cancellation-safe shape the ANOVA scorer uses:
   * centered product terms are O(spread²) and survive the 12-decimal
   * deterministic-sum grid at any row count. Callers pre-scale features
-  * to ~[0,1] like the GD learners do.
+  * to ~[0,1] like the GD learners do — which also licenses detSumFast
+  * (all terms ≤ O(1) ≪ the 2⁵¹/10¹² ≈ 2.2·10³ long-grid bound).
   *
   * Scale shape: pass 1 = one map-side-combined agg (means), pass 2 = one
   * agg over the mean-broadcast rows (centered moments). Weights come out
@@ -36,16 +37,16 @@ object LinearClosed {
              y: Column, alpha: Double): DataFrame = {
     val base = df.select(f1._2.as("x1"), f2._2.as("x2"), y.cast("double").as("yy"))
     val means = base.agg(
-      (detSum(col("x1")) / count(lit(1))).as("m1"),
-      (detSum(col("x2")) / count(lit(1))).as("m2"),
-      (detSum(col("yy")) / count(lit(1))).as("my"))
+      (detSumFast(col("x1")) / count(lit(1))).as("m1"),
+      (detSumFast(col("x2")) / count(lit(1))).as("m2"),
+      (detSumFast(col("yy")) / count(lit(1))).as("my"))
     val c = base.crossJoin(broadcast(means))
     val d1 = col("x1") - col("m1"); val d2 = col("x2") - col("m2")
     val dy = col("yy") - col("my")
     val mom = c.agg(
-      detSum(d1 * d1).as("s11"), detSum(d2 * d2).as("s22"),
-      detSum(d1 * d2).as("s12"),
-      detSum(d1 * dy).as("s1y"), detSum(d2 * dy).as("s2y"),
+      detSumFast(d1 * d1).as("s11"), detSumFast(d2 * d2).as("s22"),
+      detSumFast(d1 * d2).as("s12"),
+      detSumFast(d1 * dy).as("s1y"), detSumFast(d2 * dy).as("s2y"),
       max(col("m1")).as("m1"), max(col("m2")).as("m2"), max(col("my")).as("my"))
     val a11 = col("s11") + alpha; val a22 = col("s22") + alpha
     val det = a11 * a22 - col("s12") * col("s12")
@@ -102,12 +103,12 @@ object LinearClosed {
                  l1Ratio: Double): DataFrame = {
     val base = df.select(feat._2.as("x"), y.cast("double").as("yy"))
     val means = base.agg(
-      (detSum(col("x")) / count(lit(1))).as("mx"),
-      (detSum(col("yy")) / count(lit(1))).as("my"), count(lit(1)).as("n"))
+      (detSumFast(col("x")) / count(lit(1))).as("mx"),
+      (detSumFast(col("yy")) / count(lit(1))).as("my"), count(lit(1)).as("n"))
     val c = base.crossJoin(broadcast(means))
     val dx = col("x") - col("mx"); val dy = col("yy") - col("my")
     val mom = c.agg(
-      detSum(dx * dy).as("rho"), detSum(dx * dx).as("s"),
+      detSumFast(dx * dy).as("rho"), detSumFast(dx * dx).as("s"),
       max(col("mx")).as("mx"), max(col("my")).as("my"), max(col("n")).as("n"))
     def soft(z: Column, t: Double): Column =
       signum(z) * greatest(abs(z) - t, lit(0.0))
@@ -176,20 +177,20 @@ object LinearClosed {
     val base = df.select(f1._2.as("x1"), f2._2.as("x2"), f3._2.as("x3"),
       y.cast("double").as("yy"))
     val means = base.agg(
-      (detSum(col("x1")) / count(lit(1))).as("m1"),
-      (detSum(col("x2")) / count(lit(1))).as("m2"),
-      (detSum(col("x3")) / count(lit(1))).as("m3"),
-      (detSum(col("yy")) / count(lit(1))).as("my"),
+      (detSumFast(col("x1")) / count(lit(1))).as("m1"),
+      (detSumFast(col("x2")) / count(lit(1))).as("m2"),
+      (detSumFast(col("x3")) / count(lit(1))).as("m3"),
+      (detSumFast(col("yy")) / count(lit(1))).as("my"),
       count(lit(1)).as("n"))
     val c = base.crossJoin(broadcast(means))
     val d1 = col("x1") - col("m1"); val d2 = col("x2") - col("m2")
     val d3 = col("x3") - col("m3"); val dy = col("yy") - col("my")
     val mom = c.agg(
-      detSum(d1 * d1).as("s11"), detSum(d1 * d2).as("s12"),
-      detSum(d1 * d3).as("s13"), detSum(d2 * d2).as("s22"),
-      detSum(d2 * d3).as("s23"), detSum(d3 * d3).as("s33"),
-      detSum(d1 * dy).as("s1y"), detSum(d2 * dy).as("s2y"),
-      detSum(d3 * dy).as("s3y"), detSum(dy * dy).as("syy"),
+      detSumFast(d1 * d1).as("s11"), detSumFast(d1 * d2).as("s12"),
+      detSumFast(d1 * d3).as("s13"), detSumFast(d2 * d2).as("s22"),
+      detSumFast(d2 * d3).as("s23"), detSumFast(d3 * d3).as("s33"),
+      detSumFast(d1 * dy).as("s1y"), detSumFast(d2 * dy).as("s2y"),
+      detSumFast(d3 * dy).as("s3y"), detSumFast(dy * dy).as("syy"),
       max(col("m1")).as("m1"), max(col("m2")).as("m2"),
       max(col("m3")).as("m3"), max(col("my")).as("my"),
       max(col("n")).as("n"))

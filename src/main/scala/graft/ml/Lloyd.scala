@@ -106,7 +106,7 @@ object Lloyd {
     val inertiaTerm = element_at(col("__ds"), col("cluster") + 1)
     val grouped = asg.groupBy("cluster").agg(
       count(lit(1)).as("size"),
-      round(Tables.detSum(inertiaTerm), 6).as("inertia"))
+      round(Tables.detSumFast(inertiaTerm), 6).as("inertia")) // terms ≤ 4·d ≪ the 2.2e3 fast-grid bound (|x| ≤ 1 envelope)
     val centCols = feats.zipWithIndex.map { case ((n, _), j) =>
       (0 until k - 1).foldRight(col(s"cc_${k - 1}_$j")) { (c, rest) =>
         when(col("cluster") === c, col(s"cc_${c}_$j")).otherwise(rest)

@@ -496,9 +496,9 @@ object AnalyticsQueries {
         val dc = col("l_discount") * 10.0
         val t = col("l_tax") * 10.0
         li(s, d).agg(
-          round(sqrt(detSum((q - dc) * (q - dc))), 6).as("d_qty_disc"),
-          round(sqrt(detSum((q - t) * (q - t))), 6).as("d_qty_tax"),
-          round(sqrt(detSum((dc - t) * (dc - t))), 6).as("d_disc_tax"))
+          round(sqrt(detSumFast((q - dc) * (q - dc))), 6).as("d_qty_disc"),
+          round(sqrt(detSumFast((q - t) * (q - t))), 6).as("d_qty_tax"),
+          round(sqrt(detSumFast((dc - t) * (dc - t))), 6).as("d_disc_tax")) // pre-scaled terms ≤ 4: fast-grid safe
       },
       Some { // same detSum grid as the Spark side
         def e(a: String, b: String) =

@@ -102,10 +102,17 @@ object TabReader {
     * exception-driven formatter failure — the probe chain was ~14
     * doomed parse attempts per row for late-format rows. */
   private[graft] def probeGate(c: Column, fmt: String): Option[Column] = {
-    var i = 0; var pos = 0
+    var i = 0; var minLen = 0; var maxLen = 0
     var lits = List.empty[(Int, Char)]
-    var zTail = false
+    // once a variable-width token (fraction, zone) appears, later
+    // positions are no longer fixed — stop pinning literals there
+    var varSeen = false
     var ok = true
+    def fixed(w: Int): Unit = { minLen += w; maxLen += w }
+    def lit1(lc: Char): Unit = {
+      if (!varSeen) lits ::= (minLen, lc)
+      fixed(1)
+    }
     while (ok && i < fmt.length) {
       val ch = fmt(i)
       if (ch == '\'') {
@@ -113,29 +120,33 @@ object TabReader {
         if (end < 0) ok = false
         else {
           val body = fmt.substring(i + 1, end)
-          val chars = if (body.isEmpty) "'" else body
-          chars.foreach { lc => lits ::= (pos, lc); pos += 1 }
+          (if (body.isEmpty) "'" else body).foreach(lit1)
           i = end + 1
         }
       } else if (ch.isLetter) {
         val run = fmt.substring(i).takeWhile(_ == ch).length
         (ch, run) match {
-          case ('y', 4) => pos += 4
+          case ('y', 4) => fixed(4)
           case ('M', 2) | ('d', 2) | ('H', 2) | ('m', 2) | ('s', 2) =>
-            pos += 2
-          case ('D', 3) => pos += 3
-          case ('S', n) => pos += n
-          case ('Z', 1) if i + run == fmt.length => zTail = true
+            fixed(2)
+          case ('D', 3) => fixed(3)
+          case ('S', _) =>
+            // Spark parses an S-run as a FLEXIBLE fraction (1992-01-02
+            // 03:04:05.5 parses under …ss.SSSSSS) — allow 0-9 digits
+            maxLen += 9; varSeen = true
+          case ('Z', 1) =>
+            // zone offset: 'Z' / '+01' / '+0100' / '+01:00'
+            minLen += 1; maxLen += 6; varSeen = true
           case _ => ok = false // variable-width or unknown: no gate
         }
         i += run
-      } else { lits ::= (pos, ch); pos += 1; i += 1 }
+      } else { lit1(ch); i += 1 }
     }
     if (!ok) None
     else {
       val lenGate =
-        if (zTail) length(c).between(pos + 1, pos + 6)
-        else length(c) === pos
+        if (minLen == maxLen) length(c) === minLen
+        else length(c).between(minLen, maxLen)
       Some(lits.reverse.foldLeft(lenGate) { case (g, (p, lc)) =>
         g && substring(c, p + 1, 1) === lc.toString })
     }

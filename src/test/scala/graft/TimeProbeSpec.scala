@@ -22,6 +22,9 @@ class TimeProbeSpec extends SparkSpec {
     "1992-03-04 05:06:07", "1992-03-04T05:06:07", "1992-03-04",
     "19920304050607", "19920304", "1992-064", "05:06:07",
     "1992-03-04 05:06:07.123456+0100",
+    // short fractions: Spark parses S-runs flexibly (1-9 digits)
+    "1992-03-04 05:06:07.5", "1992-03-04T05:06:07.12",
+    "1992-03-04 05:06:07.5+0100", "05:06:07.1", "050607.12",
     // other formats in the chain
     "1992-03-04 05:06", "1992-03-04 05:06:07+0100",
     "1992-03-04T05:06:07+0100", "1992-03-04 05:06:07.123456",
