@@ -87,8 +87,13 @@ object Bench {
       // next GC, and measurably slowed the SECOND (warm) execution of
       // checkpoint-heavy queries below the first (memory pressure +
       // eviction). Drop them eagerly so runs are independent.
+      // BLOCKING: with blocking=false the block removal races the next
+      // timed execution of the same query — the r16 full-sweep medians
+      // showed checkpoint-heavy queries' WARM runs consistently slower
+      // than their own cold run (ml_lpa_communities 2.5 s cold → 5.9 s
+      // warm median). The wait lands here, between timed regions.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       (dt, err)
     }
 
