@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-contract seam (PERF_r15/r16 both had parsed:null): with the
+// default LoggedOutput strategy sbt prefixes every forked-stdout line
+// with "[info] " and appends its own "[success] Total time ..." trailer,
+// so the bench's compact JSON line is never the literal last line of
+// bare JSON the driver's tail parser needs. StdoutOutput hands the
+// forked JVM sbt's own stdout fd (no prefix, no forwarding thread to
+// race at exit), and showSuccess drops the trailer.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

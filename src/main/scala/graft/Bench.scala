@@ -190,14 +190,14 @@ object Bench {
     // interleaving into the stdout the driver parses — after this point
     // nothing but the compact line may reach the stream
     spark.sparkContext.setLogLevel("OFF")
-    println(compact)
-    Console.out.flush()
-    // stop, then print AGAIN: shutdown warnings cannot land after this
-    // copy, so when the forwarder does drain fully the compact line is the
-    // literal last line of output for tail-capture parsers
+    // stop FIRST, then print exactly once: the compact line must be the
+    // literal last line of bare JSON on stdout for the driver's tail
+    // parser (PERF_r15/r16 parsed:null — the old two-copy print plus
+    // sbt's [info] prefix/[success] trailer defeated it; build.sbt now
+    // uses StdoutOutput + showSuccess:=false so the forked JVM writes
+    // this fd directly and nothing follows it)
     spark.stop()
     println(compact)
     Console.out.flush()
-    Thread.sleep(2000) // let sbt's output-forwarding thread drain
   }
 }
