@@ -169,6 +169,11 @@ object Bench {
     val onlyStamp = onlyFilter.map(l => s""","only":"$l"""").getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","basis":"$basis","n_queries":${results.size}$onlyStamp,"queries":$warmQs,"queries_cold":$coldQs,"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir"}"""
+    // create parent dirs: a missing directory in SPARK_GRAFT_BENCH_OUT
+    // must not throw AFTER a 27-minute sweep has already run (it did,
+    // r17 — the whole run's timings were lost at this line)
+    Option(java.nio.file.Paths.get(outPath).toAbsolutePath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver captures only the LAST ~2000 chars of sbt output, and the

@@ -125,6 +125,96 @@ object Tables {
     * raw-magnitude terms (LOF reach distances ~10⁹) silently saturate
     * the long grid where the decimal path stays exact, so this is NOT
     * a drop-in replacement for the general-purpose detSum. */
+  /** NULL out non-finite terms so the long fast paths skip them exactly
+    * like the decimal casts do: cast(NaN/±Inf as DECIMAL) is NULL in
+    * non-ANSI mode, so the decimal accumulators silently drop such rows.
+    * Without this guard the long grid folded NaN to 0 (same sum, but an
+    * all-NaN group summed to 0 where the decimal path returns NULL) and
+    * mapped ±Inf to ±Long.MaxValue — a silently corrupted sum (the
+    * ADVICE r16 Infinity finding). */
+  private def finiteOrNull(t: Column): Column =
+    when(!isnan(t) && abs(t) =!= Double.PositiveInfinity, t)
+
+  /** Split-radix digit sums of a long column, recombined exactly in
+    * DECIMAL(38,0) per GROUP (three scalar ops, never per row): the
+    * [[scaledLongSum]] device. Per-row digits are ≤ 2²¹, so a digit sum
+    * only overflows past ~2⁴¹ rows per group. */
+  private def gridDigitSum(k: Column): Column = {
+    val m = lit((1L << 21) - 1)
+    val dec = DecimalType(38, 0)
+    val hi = sum(shiftright(k, 42)).cast(dec) * lit(1L << 42)
+    val mid = sum(shiftright(k, 21).bitwiseAND(m)).cast(dec) * lit(1L << 21)
+    val lo = sum(k.bitwiseAND(m)).cast(dec)
+    hi + mid + lo
+  }
+
+  /** Opt-in fast path of [[exactSum]] — bit-identical (same
+    * NULL/NaN/Inf skips, same correctly-rounded double) while
+    * |c| < 2.25·10⁹ (= 2⁵¹/10⁶). Spark's double→DECIMAL(38,6) cast is
+    * HALF_UP at scale 6 of the double's SHORTEST DECIMAL REPR
+    * (BigDecimal(Double.toString)), and round(c, 6) applies the very
+    * same operation before converting back to double — so
+    * round(c, 6)·10⁶ sits within |k|·2⁻⁵² < 0.5 of the cast's integer k
+    * and the half-up floor recovers k exactly (the proven detSumFast
+    * recovery, at scale 6). The digit sums recombine Σk exactly and the
+    * string-exponent cast parses correctly rounded — the same double the
+    * decimal sum produced. Hot path: codegen'd long adds instead of a
+    * per-row BigDecimal allocation.
+    *
+    * The bound is NOT widenable by splitting off the integer part:
+    * beyond 2⁵¹ the rounded double physically cannot carry k's digits
+    * (ulp > 10⁻⁶), and subtracting the integer part changes the
+    * shortest-repr digits the cast sees (1.0000025 − 1 =
+    * 2.4999999999…e-6 — a DIFFERENT half-up image). Sites with terms
+    * beyond the envelope (extendedprice² ≈ 1.3·10¹⁰) keep THAT one sum
+    * on the decimal path — see the mixed-moment helpers below. */
+  def exactSumFast(c: Column): Column = {
+    val k = floor(round(finiteOrNull(c), 6) * lit(1e6) + lit(0.5))
+    concat(gridDigitSum(k).cast(StringType), lit("E-6")).cast(DoubleType)
+  }
+
+  /** [[exactMean]] on the [[exactSumFast]] grid (same division).
+    * Caller bound: |c| < 2.25·10⁹. */
+  def exactMeanFast(c: Column): Column = exactSumFast(c) / count(c)
+
+  /** [[exactVarSamp]] with Σc on the [[exactSumFast]] grid and Σc²
+    * selectable: pass sqFast = false when |c|² can exceed the 2.25·10⁹
+    * envelope (money-scale columns) — that one sum then stays on the
+    * decimal path, bit-identical either way. */
+  def exactVarSampFast(c: Column, sqFast: Boolean = true): Column = {
+    val s  = exactSumFast(c)
+    val ss = if (sqFast) exactSumFast(c * c)
+             else sum((c * c).cast(Dec)).cast(DoubleType)
+    val n  = count(c)
+    (ss - s * s / n) / (n - lit(1))
+  }
+
+  def exactStdSampFast(c: Column, sqFast: Boolean = true): Column =
+    sqrt(exactVarSampFast(c, sqFast))
+
+  /** [[exactCorr]] with per-moment grid selection: sx/sy/sxy always ride
+    * the fast grid (caller bound: |x|, |y|, |x·y| < 2.25·10⁹); pass
+    * xxFast/yyFast = false for a side whose SQUARE exceeds the envelope. */
+  def exactCorrFast(x: Column, y: Column, xxFast: Boolean = true,
+                    yyFast: Boolean = true): Column = {
+    val n   = count(x).cast(DoubleType)
+    val sx  = exactSumFast(x);       val sy  = exactSumFast(y)
+    val sxx = if (xxFast) exactSumFast(x * x) else exactSum(x * x)
+    val syy = if (yyFast) exactSumFast(y * y) else exactSum(y * y)
+    val sxy = exactSumFast(x * y)
+    (n * sxy - sx * sy) /
+      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
+
+  /** [[exactCovarSamp]] on the [[exactSumFast]] grid.
+    * Caller bound: |x|, |y|, |x·y| < 2.25·10⁹. */
+  def exactCovarSampFast(x: Column, y: Column): Column = {
+    val n   = count(x).cast(DoubleType)
+    val sx  = exactSumFast(x); val sy = exactSumFast(y)
+    val sxy = exactSumFast(x * y)
+    (sxy - sx * sy / n) / (n - lit(1))
+  }
+
   def detSumFast(term: Column): Column = {
     // Bit-identical fast path of the decimal formulation
     //   sum(round(term, 12).cast(DecimalType(38, 14))).cast(double).
@@ -140,10 +230,12 @@ object Tables {
     // DECIMAL (exact, per GROUP not per row) and Σk·10⁻¹² converts
     // through the string-exponent cast, which parses correctly rounded —
     // the same double the decimal cast produced.
-    // NaN terms: round keeps NaN, floor→long maps it to 0 — additive
-    // identity, same net effect as the decimal path's NULL-skip. Digit
+    // Non-finite terms are NULLed out up front so they are skipped
+    // exactly like the decimal path's NULL-on-cast (an unguarded NaN
+    // folded to 0 — wrong for an all-NaN group — and ±Inf became
+    // ±Long.MaxValue, silently corrupting the sum: ADVICE r16). Digit
     // sums overflow only past 2⁴² rows per group (scaledLongSum bound).
-    val x = floor(round(term, 12) * lit(1e12) + lit(0.5))
+    val x = floor(round(finiteOrNull(term), 12) * lit(1e12) + lit(0.5))
     val m = lit((1L << 21) - 1)
     val dec = DecimalType(38, 0)
     val hi = sum(shiftright(x, 42)).cast(dec) * lit(1L << 42)

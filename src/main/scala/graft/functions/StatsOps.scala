@@ -17,15 +17,21 @@ import graft.core.Tables._
 object StatsOps {
 
   /** Per-column min/max/mean/var/#nan/#non-nan (basic_stats.py:18-60) in a
-    * single pass; output = one row with `<col>_<stat>` columns. */
-  def basicStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * single pass; output = one row with `<col>_<stat>` columns.
+    * Moments ride the exactSumFast long grid (caller bound:
+    * |column| < 2.25e9); the variance's SQUARE sum additionally needs
+    * |column|² inside the envelope — name such columns in `sqFast`
+    * (money-scale squares like extendedprice² ≈ 1.3e10 exceed it and
+    * keep that one sum decimal). */
+  def basicStats(df: DataFrame, cols: Seq[String],
+                 sqFast: Set[String] = Set.empty): DataFrame = {
     val aggs = cols.flatMap { c =>
       val v = col(c)
       Seq(
         min(v).as(s"${c}_min"),
         max(v).as(s"${c}_max"),
-        exactMean(v).as(s"${c}_mean"),
-        exactVarSamp(v).as(s"${c}_var"),
+        exactMeanFast(v).as(s"${c}_mean"),
+        exactVarSampFast(v, sqFast = sqFast(c)).as(s"${c}_var"),
         (count(lit(1)) - count(v)).as(s"${c}_nans"),
         count(v).as(s"${c}_nonnans"))
     }
@@ -36,8 +42,10 @@ object StatsOps {
     * (distribution.py:32-334). */
   def distribution(df: DataFrame, c: String,
                    weight: Option[String] = None): DataFrame = {
+    // long-grid fast sum: weights are 1.0 (or caller-audited small) —
+    // far inside the 4.6e12 envelope
     val w = weight.map(col(_)).getOrElse(lit(1.0))
-    df.groupBy(col(c)).agg(exactSum(w).as("freq")).orderBy(col(c))
+    df.groupBy(col(c)).agg(exactSumFast(w).as("freq")).orderBy(col(c))
   }
 
   /** Contingency: counts over a (rowVar, colVar) pair, long form —

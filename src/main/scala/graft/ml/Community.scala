@@ -82,10 +82,17 @@ object Community {
       .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
       .distinct()
       .cache()
-    if (useLocal && longIds(edges, src, dst) && sym.count() <= LocalEdgeCap) {
-      val e = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
-      sym.unpersist()
-      return labelsDf(edges.sparkSession, lpaLocal(e, rounds))
+    if (useLocal && longIds(edges, src, dst)) {
+      // ONE limit-collect job decides the path AND fetches the edges
+      // (r16 VERDICT item 4: count()-then-collect() was two jobs, and
+      // the count is a FULL scan at scale where limit(cap+1) terminates
+      // early): ≤ cap rows back ⇒ that IS the complete edge set.
+      val eArr = sym.limit(LocalEdgeCap.toInt + 1).collect()
+      if (eArr.length <= LocalEdgeCap) {
+        sym.unpersist()
+        return labelsDf(edges.sparkSession,
+          lpaLocal(eArr.map(r => (r.getLong(0), r.getLong(1))), rounds))
+      }
     }
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -157,11 +164,14 @@ object Community {
               lpaRounds: Int, refineRounds: Int,
               useLocal: Boolean = true): DataFrame = {
     if (useLocal && longIds(edges, src, dst)) {
+      // one limit-collect decides the path and fetches the edges (see
+      // labelPropagation)
       val eSmall = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
-      val cnt = eSmall.count()
-      if (2 * cnt <= LocalEdgeCap)
+      val cap = (LocalEdgeCap / 2).toInt
+      val eArr = eSmall.limit(cap + 1).collect()
+      if (eArr.length <= cap)
         return louvainLocal(edges.sparkSession,
-          eSmall.collect().map(r => (r.getLong(0), r.getLong(1))),
+          eArr.map(r => (r.getLong(0), r.getLong(1))),
           lpaRounds, refineRounds)
     }
     val e = edges.select(col(src).as("u"), col(dst).as("v")).distinct().cache()
@@ -410,11 +420,13 @@ object Community {
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .distinct()
     if (useLocal && longIds(edges, src, dst)) {
-      val cnt = e.count()
-      if (2 * cnt <= LocalEdgeCap) {
-        val arr = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
-        return pagerankLocalDf(edges.sparkSession, arr, rounds, damping)
-      }
+      // one limit-collect on the symmetrized table decides the path and
+      // fetches the edges (see labelPropagation); |sym| ≤ 2·|e|, so the
+      // old 2·count(e) ≤ cap gate is implied by |sym| ≤ cap
+      val arr = sym.limit(LocalEdgeCap.toInt + 1).collect()
+      if (arr.length <= LocalEdgeCap)
+        return pagerankLocalDf(edges.sparkSession,
+          arr.map(r => (r.getLong(0), r.getLong(1))), rounds, damping)
     }
     val symC = sym.localCheckpoint(eager = true)
     val deg = symC.groupBy(col("u")).agg(count(lit(1)).as("deg"))

@@ -244,7 +244,9 @@ object DecisionTree {
     // 2-scan induction, 32.6 s cold; r16 plan audit).
     val mom1all = long1
       .groupBy(col("fname"), col("fval"))
-      .agg(count(lit(1)).as("nv"), exactSum(col("yy")).as("sv"))
+      // exactSumFast grid: |yy| is a fixture column ≤ money scale
+      // (≪ 2.25e9) — this is the per-row corpus agg of the induction
+      .agg(count(lit(1)).as("nv"), exactSumFast(col("yy")).as("sv"))
       .localCheckpoint(true)
     val mom1 = mom1all.filter(col("fval").isNotNull)
     // |base| = Σ nv over any one feature's groups (nulls included)
@@ -284,7 +286,7 @@ object DecisionTree {
     val mom2all = long2
       .groupBy(col("root_feat"), col("root_val"), col("fname"),
         col("fval"))
-      .agg(count(lit(1)).as("nv"), exactSum(col("yy")).as("sv"))
+      .agg(count(lit(1)).as("nv"), exactSumFast(col("yy")).as("sv"))
       .localCheckpoint(true)
     val mom2 = mom2all.filter(col("fval").isNotNull)
     // every base2 row contributes exactly (|feats|−1) long2 rows, so

@@ -31,7 +31,12 @@ import graft.core.Tables
 object Lloyd {
 
   /** @param idCol unique row id — seeds are the k lowest-id rows
-    * @param feats (name, expression) pre-scaled to |x| ≤ 1
+    * @param feats (name, expression) pre-scaled to |x| ≤ 1. Rows with a
+    *   NULL feature are dropped up front (na.drop below), so the
+    *   array_position argmin can never see an all-NULL distance row —
+    *   callers must not bypass that precondition (the old suffix CASE
+    *   chain fell through to cluster k−1 on NULLs; the array form would
+    *   yield a NULL cluster instead — ADVICE r16).
     * @return one row per non-empty cluster:
     *         (cluster, size, inertia, c_<feat>…) */
   def fit(df: DataFrame, idCol: Column, feats: Seq[(String, Column)],

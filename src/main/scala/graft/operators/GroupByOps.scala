@@ -26,16 +26,19 @@ object GroupByOps {
 
   // --- the 17 aggregations (owgroupby.py:99-183) -------------------------
 
-  def meanExact(c: Column): Column          = exactMean(c)
+  // *Exact moments ride the exactSumFast long grid (bit-identical to the
+  // decimal sums while |c|² < 2.25e9, i.e. |c| ≲ 4.7e4 — the only
+  // production caller aggregates l_quantity ≤ 51)
+  def meanExact(c: Column): Column          = exactMeanFast(c)
   def medianExact(c: Column): Column        = round(percentile(c, lit(0.5)), 6)
   def q1Exact(c: Column): Column            = round(percentile(c, lit(0.25)), 6)
   def q3Exact(c: Column): Column            = round(percentile(c, lit(0.75)), 6)
   def medianApprox(c: Column): Column       = percentile_approx(c, lit(0.5), lit(10000))
   def minAgg(c: Column): Column             = min(c)
   def maxAgg(c: Column): Column             = max(c)
-  def stdExact(c: Column): Column           = exactStdSamp(c)
-  def varExact(c: Column): Column           = exactVarSamp(c)
-  def sumExact(c: Column): Column           = exactSum(c)
+  def stdExact(c: Column): Column           = exactStdSampFast(c)
+  def varExact(c: Column): Column           = exactVarSampFast(c)
+  def sumExact(c: Column): Column           = exactSumFast(c)
   def spanExact(c: Column): Column          = max(c) - min(c)
   def countDefined(c: Column): Column       = count(c)
   def countAll(): Column                    = count(lit(1))

@@ -168,9 +168,11 @@ object OutlierOps {
   def mahalanobisND(df: DataFrame, features: Seq[String]): DataFrame = {
     val d = features.length
     require(d >= 1, "mahalanobisND needs at least one feature")
-    val aggs = features.map(f => exactMean(col(f)).as(s"__m_$f")) ++
+    // exactSumFast grid: callers keep |fᵢ·fⱼ| < 2.25e9 (every caller
+    // feeds pre-scaled or sub-acctbal features; squares ≤ ~1.2e8)
+    val aggs = features.map(f => exactMeanFast(col(f)).as(s"__m_$f")) ++
       (for { i <- 0 until d; j <- i until d } yield
-        exactCovarSamp(col(features(i)), col(features(j))).as(s"__c_${i}_$j"))
+        exactCovarSampFast(col(features(i)), col(features(j))).as(s"__c_${i}_$j"))
     val row = df.agg(aggs.head, aggs.tail: _*).first()
     val means = features.map(f => row.getDouble(row.fieldIndex(s"__m_$f")))
     val cov = Array.ofDim[Double](d, d)
@@ -223,6 +225,11 @@ object OutlierOps {
     val h = (n + d + 1) / 2
 
     def moments(sub: DataFrame): (Seq[Double], Array[Array[Double]]) = {
+      // stays on the DECIMAL moments: this agg re-codegens 2·cSteps+1
+      // times per fit with fresh (μ, Σ⁻¹, t) literals, so the fast
+      // grid's 3×-bigger aggregate set paid ~11 extra janino compiles
+      // and slowed the fit ~25% at fixture scale (r17 A/B); the per-row
+      // decimal cost is iteration-bound, not corpus-bound, here
       val aggs = features.map(f => exactMean(col(f)).as(s"__m_$f")) ++
         (for { i <- 0 until d; j <- i until d } yield
           exactCovarSamp(col(features(i)), col(features(j)))

@@ -79,11 +79,17 @@ object AnalyticsQueries {
         // correlation is scale-invariant; the ~1e-11 grid shift is
         // absorbed by the 6-decimal rounding the oracle compares, same
         // as there). The decimal corr was 3.2 s of the query's 6.2 s.
-        val nRows = base.count().toDouble
+        // n rides in as a broadcast 1-row subtree instead of a separate
+        // base.count() driver action (r16 VERDICT item 7: the count was
+        // an extra corpus job serialized before the rank pass; the same
+        // count(*) inside the plan schedules concurrently). Identical
+        // doubles: same count value, same division.
+        val nF = base.agg(count(lit(1)).cast("double").as("__n"))
         def lSum(c: org.apache.spark.sql.Column) = Tables.scaledLongSum(c)
         graft.functions.RankOps.withAvgRanks(base, cols2)
-          .select((col("r_l_quantity") / nRows).as("rx"),
-            (col("r_l_extendedprice") / nRows).as("ry"))
+          .crossJoin(broadcast(nF))
+          .select((col("r_l_quantity") / col("__n")).as("rx"),
+            (col("r_l_extendedprice") / col("__n")).as("ry"))
           .agg(lSum(col("rx")).as("sx"), lSum(col("ry")).as("sy"),
             lSum(col("rx") * col("rx")).as("sxx"),
             lSum(col("ry") * col("ry")).as("syy"),
@@ -95,12 +101,35 @@ object AnalyticsQueries {
                sqrt(col("n") * col("syy") - col("sy") * col("sy"))),
             6).as("spearman"))
       },
-      Some(s"""SELECT ROUND(${sqlCorr("rx", "ry")}, 6) AS spearman FROM (
-              |  SELECT RANK() OVER (ORDER BY l_quantity)
-              |           + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
-              |         RANK() OVER (ORDER BY l_extendedprice)
-              |           + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
-              |  FROM lineitem)""".stripMargin)),
+      Some {
+        // Mirrors the Spark side's scaled-long formulation EXACTLY
+        // (ADVICE r16: the old unscaled-decimal oracle relied on the
+        // ~1e-11 grid drift being absorbed by ROUND(…,6), a
+        // scale-dependent tolerance; with both engines on the same
+        // 1/n-scaled 1e-12 grid the equality is structural at any SF).
+        // The BIGINT scaled sum is the proven Lloyd fitSql twin of
+        // Tables.scaledLongSum.
+        def lsum(t: String) =
+          s"(CAST(SUM(CAST(ROUND(($t) * 1e12, 0) AS BIGINT)) AS BIGINT) / 1e12)"
+        s"""WITH ranked AS (
+           |  SELECT RANK() OVER (ORDER BY l_quantity)
+           |           + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rxr,
+           |         RANK() OVER (ORDER BY l_extendedprice)
+           |           + (COUNT(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ryr
+           |  FROM lineitem),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM lineitem),
+           |scaled AS (SELECT rxr / nv AS rx, ryr / nv AS ry
+           |           FROM ranked CROSS JOIN nn),
+           |m AS (SELECT ${lsum("rx")} AS sx, ${lsum("ry")} AS sy,
+           |             ${lsum("rx * rx")} AS sxx, ${lsum("ry * ry")} AS syy,
+           |             ${lsum("rx * ry")} AS sxy,
+           |             CAST(COUNT(*) AS DOUBLE) AS n
+           |      FROM scaled)
+           |SELECT ROUND((n * sxy - sx * sy) /
+           |         (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+           |       AS spearman
+           |FROM m""".stripMargin
+      }),
 
     Q("dist_transform", // owdistancetransformation.py:30-41 (normalize
       // then invert, commit() order :70-75): [0,1] normalization +
@@ -208,10 +237,14 @@ object AnalyticsQueries {
       // closed-form 2-D Σ⁻¹ from exact sums → fully deterministic.
       (s, d) => {
         val x = col("l_quantity"); val y = col("l_extendedprice")
+        // fast-grid bounds: |x| ≤ 51, |y| ≤ ~1.14e5, |x·y| ≤ 5.9e6,
+        // |x²| ≤ 2601 — all ≪ 2.25e9; only y² (1.3e10) exceeds the
+        // envelope and keeps its single decimal sum (sqFast = false)
         val stats = li(s, d).agg(
-          exactMean(x).as("mx"), exactMean(y).as("my"),
-          exactVarSamp(x).as("vx"), exactVarSamp(y).as("vy"),
-          exactCovarSamp(x, y).as("cxy"))
+          exactMeanFast(x).as("mx"), exactMeanFast(y).as("my"),
+          exactVarSampFast(x).as("vx"),
+          exactVarSampFast(y, sqFast = false).as("vy"),
+          exactCovarSampFast(x, y).as("cxy"))
         val dx = x - col("mx"); val dy = y - col("my")
         val det = col("vx") * col("vy") - col("cxy") * col("cxy")
         val md2 = (dx * dx * col("vy") - dx * dy * col("cxy") * 2.0
@@ -245,12 +278,18 @@ object AnalyticsQueries {
       (s, d) => {
         val x = col("l_quantity"); val y = col("l_extendedprice")
         val z = col("l_discount")
+        // fast-grid bounds: x ≤ 51, z ≤ 0.1, y ≤ ~1.14e5; every product
+        // ≤ 5.9e6 ≪ 2.25e9; only y² (1.3e10) exceeds the envelope and
+        // keeps its single decimal sum
         val stats = li(s, d).agg(
-          exactMean(x).as("mx"), exactMean(y).as("my"), exactMean(z).as("mz"),
-          exactVarSamp(x).as("vx"), exactVarSamp(y).as("vy"),
-          exactVarSamp(z).as("vz"),
-          exactCovarSamp(x, y).as("cxy"), exactCovarSamp(x, z).as("cxz"),
-          exactCovarSamp(y, z).as("cyz"))
+          exactMeanFast(x).as("mx"), exactMeanFast(y).as("my"),
+          exactMeanFast(z).as("mz"),
+          exactVarSampFast(x).as("vx"),
+          exactVarSampFast(y, sqFast = false).as("vy"),
+          exactVarSampFast(z).as("vz"),
+          exactCovarSampFast(x, y).as("cxy"),
+          exactCovarSampFast(x, z).as("cxz"),
+          exactCovarSampFast(y, z).as("cyz"))
         val dx = x - col("mx"); val dy = y - col("my"); val dz = z - col("mz")
         val ca = col("vy") * col("vz") - col("cyz") * col("cyz")
         val cb = col("vx") * col("vz") - col("cxz") * col("cxz")
@@ -431,9 +470,11 @@ object AnalyticsQueries {
       // over exact correlation sums.
       (s, d) => {
         val feats = Seq("l_quantity", "l_discount", "l_tax")
+        // fast grid for f, price, f·price (≤ 5.9e6 ≪ 2.25e9); price²
+        // (1.3e10) exceeds the envelope → that one sum stays decimal
         val fCols = feats.map { f =>
-          val r = exactCorr(col(f).cast("double"),
-            col("l_extendedprice").cast("double"))
+          val r = exactCorrFast(col(f).cast("double"),
+            col("l_extendedprice").cast("double"), yyFast = false)
           round(r * r / (lit(1.0) - r * r) *
             (count(lit(1)).cast(DoubleType) - 2.0), 6).as(s"f_$f")
         }

@@ -163,7 +163,7 @@ object ExtraQueries {
         val c = cust(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         val synth = cust(s, d).agg(
           lit(-1L).as("c_custkey"), lit("synthetic#mean").as("c_name"),
-          exactMean(col("c_acctbal")).as("c_acctbal"))
+          exactMeanFast(col("c_acctbal")).as("c_acctbal")) // acctbal ≤ ~1.1e4: fast grid
         c.unionByName(synth).orderBy(col("c_custkey"))
       },
       Some(s"""SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -236,10 +236,11 @@ object ExtraQueries {
       (s, d) => li(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          exactSum(col("l_extendedprice") * col("l_quantity")).as("wsum"),
-          exactSum(col("l_quantity")).as("wtotal"),
-          (exactSum(col("l_extendedprice") * col("l_quantity")) /
-            exactSum(col("l_quantity"))).as("wmean"),
+          // fast grid: price·qty ≤ 5.9e6 ≪ 2.25e9
+          exactSumFast(col("l_extendedprice") * col("l_quantity")).as("wsum"),
+          exactSumFast(col("l_quantity")).as("wtotal"),
+          (exactSumFast(col("l_extendedprice") * col("l_quantity")) /
+            exactSumFast(col("l_quantity"))).as("wmean"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag")),
       Some(s"""SELECT l_returnflag,
@@ -293,13 +294,18 @@ object ExtraQueries {
           ("l_quantity", "l_extendedprice"),
           ("l_quantity", "l_discount"),
           ("l_extendedprice", "l_tax"))
+        // fast grid for every moment except extendedprice² (1.3e10 >
+        // the 2.25e9 envelope) — that one sum stays decimal per pair
+        // (quantity ≤ 51, discount ≤ 0.1, tax ≤ 0.08, price ≤ ~1.14e5)
+        def corrOf(x: String, y: String) = exactCorrFast(col(x), col(y),
+          xxFast = x != "l_extendedprice", yyFast = y != "l_extendedprice")
         pairs.map { case (x, y) =>
           li(s, d).agg(
             lit(s"$x~$y").as("pair"),
-            round(exactCorr(col(x), col(y)), 6).as("r"),
-            round(exactCorr(col(x), col(y)) *
+            round(corrOf(x, y), 6).as("r"),
+            round(corrOf(x, y) *
               sqrt((count(lit(1)) - 2) /
-                (lit(1.0) - exactCorr(col(x), col(y)) * exactCorr(col(x), col(y)))),
+                (lit(1.0) - corrOf(x, y) * corrOf(x, y))),
               4).as("t_stat"))
         }.reduce(_.unionByName(_)).orderBy(col("pair"))
       },

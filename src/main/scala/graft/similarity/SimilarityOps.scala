@@ -278,6 +278,11 @@ object SimilarityOps {
       val assigned = assignTopR(c, centroids,
         col("cv").cast("array<double>"),
         graft.functions.CentroidSelect.Cos, asc = false, 1, "list_id")
+      // stays on the DECIMAL mean: this agg feeds a driver collect over
+      // ≤ nlist groups and re-codegens EVERY Lloyd round (fresh centroid
+      // literals) — the fast grid tripled the aggregate expression count
+      // and the janino bill, measurably slowing the whole ann family at
+      // fixture scale while saving nothing per row (r17 A/B)
       val dims = (1 to dim).map(i => graft.core.Tables.exactMean(
         element_at(col("cv"), i).cast("double")).as(s"d$i"))
       centroids = assigned.groupBy(col("list_id"))
@@ -377,7 +382,7 @@ object SimilarityOps {
       val assigned = hierAssign1(c, tops, routed(children),
         col("cv"), "list_id")
       val dims = (1 to dim).map(i => graft.core.Tables.exactMean(
-        element_at(col("cv"), i)).as(s"d$i"))
+        element_at(col("cv"), i)).as(s"d$i")) // decimal: see coarseCentroids
       val prev = children
       children = assigned.groupBy(col("list_id"))
         .agg(dims.head, dims.tail: _*)
@@ -522,7 +527,9 @@ object SimilarityOps {
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     codes.join(broadcast(lut), Seq("s", "code"))
       .groupBy(col("query_id"), col("cid").as("neighbor_id"))
-      .agg(round(graft.core.Tables.detSum(col("__d2")), 6).as("adc"))
+      // partial L2² between unit subvectors is ≤ 4 ≪ the 2.2e3
+      // fast-grid bound; this agg runs per (query × candidate × m) row
+      .agg(round(graft.core.Tables.detSumFast(col("__d2")), 6).as("adc"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -591,7 +598,7 @@ object SimilarityOps {
     }
     for (_ <- 1 to lloyd) {
       val dims = (1 to sub).map(i => graft.core.Tables.exactMean(
-        element_at(col("sv"), i)).as(s"d$i"))
+        element_at(col("sv"), i)).as(s"d$i")) // decimal: see coarseCentroids
       codebook = assign(cSub).groupBy(col("s"), col("code"))
         .agg(dims.head, dims.tail: _*)
         .collect()
@@ -648,7 +655,8 @@ object SimilarityOps {
     codes.join(candidates, Seq("cid"))
       .join(broadcast(lut), Seq("query_id", "s", "code"))
       .groupBy(col("query_id"), col("cid").as("neighbor_id"))
-      .agg(round(graft.core.Tables.detSum(col("__d2")), 6).as("adc"))
+      // partial L2² ≤ 4 ≪ 2.2e3 — fast-grid safe (see pqTopKCosine)
+      .agg(round(graft.core.Tables.detSumFast(col("__d2")), 6).as("adc"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

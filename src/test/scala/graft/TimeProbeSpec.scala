@@ -49,6 +49,20 @@ class TimeProbeSpec extends SparkSpec {
     }
   }
 
+  test("'+'-prefixed 5+-digit years are a documented non-goal of the gates") {
+    // java.time's strict parser (SignStyle.EXCEEDS_PAD) would accept a
+    // '+'-signed year of 5+ digits in the UNGATED chain, but the length
+    // gate pins yyyy to exactly 4 chars and rejects it (ADVICE r16).
+    // The fixture generators never emit signed years; pin the gated
+    // choice so the divergence stays deliberate.
+    for (locale <- Seq(false, true)) {
+      val r = Seq("+12345-01-02 03:04:05").toDF("s")
+        .select(TabReader.timeProbe(col("s"), locale).as("gated"))
+        .collect().head
+      assert(r.isNullAt(0), s"locale=$locale: gate unexpectedly widened")
+    }
+  }
+
   test("gates are derivable exactly for every fixed-width TimeFormat") {
     // every non-locale format is fixed-width → a gate must exist
     TabReader.TimeFormats.foreach { f =>
