@@ -180,13 +180,13 @@ object Bench {
       .foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // The driver captures only the LAST ~2000 chars of sbt output, and the
-    // r8 artifact showed the final line can be truncated at the RIGHT end:
-    // a println racing JVM exit is not guaranteed to drain through sbt's
-    // log-forwarding thread. Defenses: (a) keep the compact line short
-    // (top-8 slowest, ~600 chars, fits the window with room for stray
-    // warnings); (b) print it BEFORE spark.stop() as well as after; (c)
-    // flush and sleep before returning so the forwarder drains.
+    // The driver captures only the LAST ~2000 chars of sbt output, so the
+    // compact line stays short (top-8 slowest, ~600 chars — fits the
+    // window with room for stray warnings). Since r17 the forked JVM
+    // writes sbt's stdout fd directly (StdoutOutput, no forwarding
+    // thread to race at exit), so ONE post-stop print suffices; the r8
+    // right-end-truncation defense of printing twice is gone with its
+    // cause.
     val slowest = results.sortBy(-_._3).take(8).map(r => (r._1, r._3))
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","basis":"$basis","queries":${jmap(slowest)},"n_queries":${results.size}$onlyStamp,"n_errors":${results.count(_._4 != null)},"total_cold":$totalCold,"sf":"$sfDir","full":"$outPath"}"""
